@@ -1,0 +1,141 @@
+"""Hashing / fingerprinting column expressions (dedup building blocks).
+
+Two families:
+
+- **Oracle-portable hashes** built on ``md5`` (identical output in Spark
+  and DuckDB) — used by the correctness-gated queries so MinHash /
+  SimHash / fingerprint results can be differentially tested against
+  the DuckDB oracle.
+- **Fast-path hashes** on ``xxhash64`` (JVM intrinsic, no hex-string
+  materialization) — the variant you run at 100 TB. Same algorithm
+  shape, different hash primitive; recall/grouping behavior is
+  statistically equivalent.
+
+All pure column expressions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace runs, trim. (The reference strips lines on read,
+    reference src/main.py:9; this is the generalized version.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def sql_normalize_text(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def sql_fingerprint_md5(expr: str) -> str:
+    return f"md5({sql_normalize_text(expr)})"
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles of normalized text as array<string>.
+
+    Built with sequence+transform+slice — stays JVM-side. Documents with
+    fewer than ``n`` words yield a single shingle of the whole text so
+    short docs still participate in MinHash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalize_text(c), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+    )
+
+
+def sql_word_shingles(expr: str, n: int = 3) -> str:
+    toks = f"string_split({sql_normalize_text(expr)}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def minhash_md5(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Hash family h_i(s) = md5(i || ':' || s); the signature element is the
+    lexicographic min over shingles. Lexicographic min over uniformly
+    distributed hex strings preserves the MinHash property (a uniform
+    total order over hash outputs is all the scheme needs).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def sql_minhash_md5(shingles_expr: str, num_hashes: int = 8) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    return f"[{parts}]"
+
+
+def minhash_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH bands: array of band-key strings ``band_idx:h1|h2|..``.
+
+    Docs sharing any band key are near-dup candidates. ``explode`` the
+    result and group/join on the band key — a pure shuffle-on-short-key
+    plan that scales linearly (no pairwise comparison before banding).
+    """
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.array_join(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+                ),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def sql_minhash_bands(sig_expr: str, num_bands: int, rows_per_band: int) -> str:
+    parts = ", ".join(
+        f"'{b}:' || array_to_string(list_slice({sig_expr}, {b * rows_per_band + 1}, "
+        f"{(b + 1) * rows_per_band}), '|')"
+        for b in range(num_bands)
+    )
+    return f"[{parts}]"
+
+
+def fingerprint_xxhash(col: Column | str) -> Column:
+    """Fast-path 64-bit fingerprint (cluster-scale; not oracle-portable)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def minhash_xxhash(shingles: Column, num_hashes: int = 16) -> Column:
+    """Fast-path MinHash: array<long> via seeded xxhash64 — the variant to
+    run at 100 TB (8 bytes/element vs 32-char hex strings)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )

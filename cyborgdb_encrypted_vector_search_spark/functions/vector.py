@@ -1,0 +1,137 @@
+"""Vector distance / similarity column expressions.
+
+The reference computes cosine similarity row-at-a-time in numpy
+(reference src/app.py:52-59) with a non-standard guard: if either
+operand has zero norm the result is the sentinel ``-1.0`` (not NaN or
+null — reference src/app.py:57-58). That sentinel is preserved here
+exactly (pinned by tests/test_vector.py).
+
+Everything in this module is a pure Catalyst column expression built
+from higher-order functions (``zip_with`` / ``aggregate``) — no Python
+UDFs, so the hot path stays inside whole-stage codegen on the JVM and
+vectorizes over Parquet scans. At 100 TB this matters: a per-row Python
+cosine would serialize every 64-float array across the Arrow boundary;
+these expressions never leave the executor JVM.
+
+All math is done in DOUBLE precision regardless of the storage type
+(testdata stores ``array<float>``) so results are reproducible and
+match the DuckDB oracle bit-for-bit at reasonable rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Cast an array<float>/array<double> column to array<double>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def literal_vector(values) -> Column:
+    """A literal array<double> column from a Python float sequence.
+
+    Spark mapping of the reference's broadcast-once target vector
+    (reference src/app.py:134,193): the literal is constant-folded into
+    the plan, so scoring a corpus against it is a scan + projection with
+    no join and no shuffle.
+    """
+    return F.array(*[F.lit(float(v)) for v in values]).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Elementwise dot product via zip_with + aggregate (reference src/app.py:55).
+
+    Left-to-right fold in double precision — the same evaluation order a
+    sequential loop uses, which keeps parity with the oracle tight.
+    """
+    a, b = as_double_array(a), as_double_array(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm (reference src/app.py:56)."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity with the reference's -1.0 zero-norm sentinel.
+
+    Parity target: reference src/app.py:52-59 — ``dot/(na*nb)``, and
+    -1.0 (not null/NaN) when either norm is 0.
+    """
+    a, b = as_double_array(a), as_double_array(b)
+    na, nb = norm(a), norm(b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(-1.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """1 - cosine similarity (zero-norm operands → 2.0, consistent with sentinel)."""
+    return F.lit(1.0) - cosine(a, b)
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance (the metric ChromaDB reports in the reference's
+    kNN printout, reference src/cod.py:134-139)."""
+    a, b = as_double_array(a), as_double_array(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize; zero vectors pass through unchanged (no division by 0)."""
+    a = as_double_array(a)
+    n = norm(a)
+    return F.when(n == F.lit(0.0), a).otherwise(
+        F.transform(a, lambda x: x / n)
+    )
+
+
+def dim_check(a: Column | str, expected_dim: int) -> Column:
+    """Boolean constraint ``size(a) = D``.
+
+    The reference never validates dimensionality (SURVEY.md §1.3); we
+    make it an explicit, cheap predicate a collection can enforce on
+    ingest (``df.filter(dim_check(...))`` or an assert-count job).
+    """
+    c = F.col(a) if isinstance(a, str) else a
+    return F.size(c) == F.lit(expected_dim)
+
+
+# --- DuckDB oracle SQL fragment builders -------------------------------
+# Used by the query catalog so the Spark expression and the oracle SQL
+# are generated from one place and cannot drift.
+
+def sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)})"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {sql_norm(a)} = 0 OR {sql_norm(b)} = 0 THEN -1.0 "
+        f"ELSE {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}) END"
+    )
+
+
+def sql_l2(a: str, b: str) -> str:
+    return (
+        "sqrt(list_sum(list_transform(list_zip(({a})::DOUBLE[], ({b})::DOUBLE[]),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    ).format(a=a, b=b)

@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup is keep-best-score-per-distinct-text
+(reference src/app.py:246-251). Generalized here into the standard
+large-corpus family:
+
+- exact dedup          — hash groupBy on a normalized fingerprint
+- MinHash + LSH        — shingle → minhash signature → band → bucket join
+- n-gram Jaccard       — verified pairwise similarity on band candidates
+- embedding near-dup   — cosine self-join above a threshold
+
+Scale notes: every variant is banding/bucketing first, pairwise second —
+the pairwise verification only ever runs on same-bucket candidates, so
+cost is O(corpus) + O(candidate pairs), never O(n^2). The md5 hash
+family keeps DuckDB-oracle parity; swap ``functions.hashing.
+minhash_xxhash`` in at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
+from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+
+def dedup_keep_best(
+    df: DataFrame, key_col: str, score_col: str
+) -> DataFrame:
+    """Keep the best-scoring row per key (reference src/app.py:246-251:
+    dict-overwrite keeps max score per text). Hash aggregate — one
+    shuffle on the key, map-side partial max first."""
+    return df.groupBy(key_col).agg(F.max(score_col).alias(score_col))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized md5 fingerprint).
+
+    Returns (fingerprint, n_docs, doc_ids sorted) for groups with >1 doc.
+    One shuffle on a 32-char key; at 100 TB you'd use the xxhash64
+    fingerprint to shrink the key to 8 bytes.
+    """
+    return (
+        df.select(
+            F.col(id_col), H.fingerprint_md5(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, signature array<string>) per document."""
+    sh = H.word_shingles(F.col(text_col), shingle_len)
+    return df.select(
+        F.col(id_col), H.minhash_md5(sh, num_hashes).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding.
+
+    explode(bands) → self-join on band key → distinct (a, b) with a < b.
+    The join key is the band hash, so co-bucketed docs collide without
+    any pairwise scan. Returns (doc_a, doc_b).
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(df, id_col, text_col, shingle_len, num_hashes)
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(H.minhash_bands(F.col("signature"), num_bands, rows_per_band)).alias(
+            "band"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="band")
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Jaccard similarity over word n-gram shingle sets.
+
+    If ``pairs`` (doc_a, doc_b) is given, verifies only those candidates
+    (the scalable path: LSH first, verify second). Without it, verifies
+    all id-ordered pairs — O(n^2), only for small/test corpora.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(H.word_shingles(F.col(text_col), shingle_len)).alias("__sh"),
+    )
+    if pairs is None:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        joined = a.crossJoin(b).filter(F.col("a.__id") < F.col("b.__id"))
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        joined = (
+            pairs.join(a, pairs["doc_a"] == F.col("a.__id"))
+            .join(b, pairs["doc_b"] == F.col("b.__id"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        joined.select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.round(jac, 7).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity >= threshold.
+
+    Test-scale implementation is the exact self-join; at cluster scale
+    route candidates through LSH/IVF bucketing first (operators.ann) and
+    verify with this same cosine expression.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine("__va", "__vb"), 7))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,108 @@
+"""k-nearest-neighbor similarity search operators.
+
+Re-creates the reference's two query shapes:
+
+- score-against-one-target (reference src/app.py:133-134) — the target
+  vector becomes a *literal* column, so the plan is scan → project →
+  TakeOrderedAndProject: zero shuffles, zero joins, trivially parallel
+  over any corpus size.
+- kNN search, queries × corpus top-k (reference src/cod.py:124-129,
+  ``n_results=3``) — broadcast the (small) query side, cross-join
+  against the corpus, per-query top-k. The corpus side streams; only
+  k rows per query per partition survive the partial limit, so the
+  shuffle into the final rank is O(queries × k × partitions), not
+  O(corpus).
+
+Determinism: ties broken by ascending neighbor id everywhere so results
+are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+
+def score_against_target(
+    corpus: DataFrame,
+    target: Sequence[float],
+    embedding_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Add a cosine-vs-literal-target score column (reference src/app.py:134).
+
+    Broadcast-degenerate join: the target is constant-folded into the
+    projection; no shuffle at any scale.
+    """
+    return corpus.withColumn(
+        score_col, V.cosine(F.col(embedding_col), V.literal_vector(target))
+    )
+
+
+def topk_against_target(
+    corpus: DataFrame,
+    target: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Global top-k by cosine vs one literal target.
+
+    Plans as TakeOrderedAndProject (per-partition heap of k, merge on
+    driver) — no global sort even over a 100 TB corpus.
+    """
+    scored = score_against_target(corpus, target, embedding_col, score_col)
+    return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact kNN: for each query row, the k nearest corpus rows.
+
+    Reference parity: ``collection.query(query_embeddings=[v],
+    n_results=3)`` (src/cod.py:124-129) generalized to N queries.
+
+    Physical plan (the one you want at scale): BroadcastNestedLoopJoin
+    with the *query* side broadcast (queries are few; the corpus is the
+    100 TB side and must stream), then window rank per query id. Spark's
+    WindowGroupLimit (4.x) pushes the ``rank <= k`` limit into a
+    per-partition partial, so the shuffle carries only candidate
+    survivors, not the full cross product.
+    """
+    asc = metric != "cosine"  # cosine: higher is better; distances: lower
+    if metric == "cosine":
+        score = V.cosine(F.col(corpus_vec_col), F.col(query_vec_col))
+    elif metric == "l2":
+        score = V.l2_distance(F.col(corpus_vec_col), F.col(query_vec_col))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias(query_vec_col)
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).withColumn(score_col, score)
+    order = [
+        F.asc(score_col) if asc else F.desc(score_col),
+        F.asc(corpus_id_col),
+    ]
+    w = Window.partitionBy("__qid").orderBy(*order)
+    return (
+        joined.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank", query_vec_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference initializes its "session" via side-effectful imports
+(model load + collection creation at import time, reference
+src/embeddings.py:3, src/chromadb_store.py:3-4). Here session init is
+explicit, and the defaults are chosen for a real cluster:
+
+- AQE on (runtime re-plan, skew-join handling, partition coalescing).
+- Arrow enabled for every pandas interchange (the embed/mutate UDF path).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Shuffle partitions sized by caller (32 for local bench; a cluster
+  deployment would size this to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cyborgdb-encrypted-vector-search-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata writes TIMESTAMP(NANOS) parquet (events.ts),
+        # which Spark rejects by default; read as long and convert in
+        # the registry (micro-aligned, so the conversion is lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Small local driver UIs are useless in CI and cost startup time.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,162 @@
+"""Vector collections: the reference's data model as Parquet tables.
+
+Reference semantics re-created batch-first (SURVEY.md §1, §2.1):
+
+- create / create-or-get collection  (reference src/chromadb_store.py:4,
+  src/cod.py:79-84)            → Parquet directory + declared schema
+- row-at-a-time ``add`` loop   (reference src/chromadb_store.py:7-8)
+                               → batch append writes
+- full-scan extract ("the leak", reference src/chromadb_store.py:10-12)
+                               → column-pruned scan
+- point get by id              (reference src/cod.py:107-120)
+                               → pushed-down key-equality filter
+- encrypted store/extract stub (reference src/cyborgdb_store.py:4-11)
+                               → real AES-GCM BINARY column
+
+Scale design: a collection written with ``save`` is repartitioned by a
+hash of the id so point-gets and id-joins hit a bounded set of files;
+ids are generated distributedly (no driver-side enumeration). Online
+per-record CRUD is an explicit non-goal (batch append/compact model).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cyborgdb_encrypted_vector_search_spark.functions import crypto
+from cyborgdb_encrypted_vector_search_spark.functions.vector import dim_check
+
+# collection(id STRING, document STRING, embedding ARRAY<FLOAT>,
+#            metadata MAP<STRING,STRING>)  — SURVEY.md §1.3
+COLLECTION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("document", T.StringType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+@dataclass
+class Collection:
+    """A named, Parquet-backed vector collection."""
+
+    spark: SparkSession
+    name: str
+    path: str
+    dim: int | None = None
+
+    # -- DDL ------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        name: str,
+        base_dir: str,
+        dim: int | None = None,
+        exist_ok: bool = True,
+    ) -> "Collection":
+        """Create-or-get (reference create→get fallback, src/cod.py:82-84)."""
+        path = os.path.join(base_dir, name)
+        exists = os.path.isdir(path)
+        if exists and not exist_ok:
+            raise FileExistsError(f"collection {name!r} already exists at {path}")
+        coll = cls(spark, name, path, dim)
+        if not exists:
+            spark.createDataFrame([], COLLECTION_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return coll
+
+    # -- writes ---------------------------------------------------------
+    def add(
+        self,
+        df: DataFrame,
+        id_col: str | None = None,
+        document_col: str = "document",
+        embedding_col: str = "embedding",
+        metadata_col: str | None = None,
+    ) -> None:
+        """Batch append (replaces the reference's per-record add loop,
+        src/chromadb_store.py:7-8). Generates UUID ids when none given
+        (reference src/cod.py:68); enforces the dim constraint the
+        reference never checked."""
+        out = df
+        if id_col is None:
+            out = out.withColumn("id", F.expr("uuid()"))
+            id_col = "id"
+        sel = [
+            F.col(id_col).cast("string").alias("id"),
+            F.col(document_col).cast("string").alias("document"),
+            F.col(embedding_col).cast("array<float>").alias("embedding"),
+        ]
+        if metadata_col is None:
+            sel.append(F.lit(None).cast("map<string,string>").alias("metadata"))
+        else:
+            sel.append(F.col(metadata_col).alias("metadata"))
+        out = out.select(*sel)
+        if self.dim is not None:
+            out = out.filter(
+                F.col("embedding").isNull() | dim_check("embedding", self.dim)
+            )
+        out.write.mode("append").parquet(self.path)
+
+    # -- reads ----------------------------------------------------------
+    def scan(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def extract_embeddings(self) -> DataFrame:
+        """The 'leak': full scan of all vectors (reference
+        src/chromadb_store.py:10-12). Column-pruned to the embedding."""
+        return self.scan().select("id", "embedding")
+
+    def get(self, ids: list[str], include: list[str] | None = None) -> DataFrame:
+        """Point lookup by id(s) (reference src/cod.py:107-120).
+
+        The IN-predicate is pushed into the Parquet scan; with the
+        id-hash layout written by ``save`` this prunes to few files.
+        """
+        cols = include or ["id", "document", "embedding", "metadata"]
+        if "id" not in cols:
+            cols = ["id", *cols]
+        return self.scan().select(*cols).filter(F.col("id").isin(ids))
+
+    # -- encrypted variant (reference src/cyborgdb_store.py) -------------
+    def add_encrypted(self, df: DataFrame, key: str, **kwargs) -> None:
+        """Store with AES-GCM-encrypted embedding + document columns."""
+        staged = df
+        emb = kwargs.pop("embedding_col", "embedding")
+        doc = kwargs.pop("document_col", "document")
+        staged = staged.withColumn(
+            "__emb_ct", crypto.encrypt_vector(emb, key)
+        ).withColumn("__doc_ct", crypto.encrypt_text(doc, key))
+        out = staged.select(
+            (F.col(kwargs["id_col"]).cast("string") if kwargs.get("id_col") else F.expr("uuid()")).alias("id"),
+            F.base64("__doc_ct").alias("document"),
+            F.array().cast("array<float>").alias("embedding"),
+            F.create_map(
+                F.lit("embedding_ct"), F.base64("__emb_ct")
+            ).alias("metadata"),
+        )
+        out.write.mode("append").parquet(self.path)
+
+    def extract_encrypted(self) -> DataFrame:
+        """Scan of the encrypted table: yields ciphertext only (the
+        mitigation the reference stubs, src/cyborgdb_store.py:10-11)."""
+        return self.scan().select("id", F.col("metadata")["embedding_ct"].alias("embedding_ct"))
+
+    def decrypt(self, key: str) -> DataFrame:
+        """Authorized read: decrypt embeddings + documents exactly."""
+        return self.scan().select(
+            "id",
+            crypto.decrypt_text(F.unbase64("document"), key).alias("document"),
+            crypto.decrypt_vector(
+                F.unbase64(F.col("metadata")["embedding_ct"]), key
+            ).alias("embedding"),
+        )

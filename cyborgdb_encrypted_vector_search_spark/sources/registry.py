@@ -1,0 +1,63 @@
+"""Testdata table registry: load the driver's Parquet tables.
+
+One reader per table keeps pushdown intact: callers ``.select``/
+``.filter`` on what this returns, and Catalyst pushes projection and
+predicates into the Parquet scan (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Testdata embeddings are fixed 64-dim (FIXTURES.md); the reference's
+# model implies 384 (reference src/embeddings.py:3) — dim is a table
+# property here, not a constant.
+EMBEDDING_DIM = 64
+
+
+def load(spark: SparkSession, table: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one testdata table as a DataFrame."""
+    d = sf_dir or DEFAULT_SF_DIR
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    if table == "events":
+        # Runtime-settable; needed even on sessions not built by our
+        # factory (e.g. the verify driver's own session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(d, f"{table}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong; restore a proper timestamp
+    # (values are microsecond-aligned — verified in TESTDATA parquet).
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
