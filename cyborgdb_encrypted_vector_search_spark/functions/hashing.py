@@ -73,14 +73,12 @@ def minhash_md5(shingles: Column, num_hashes: int = 8) -> Column:
     distributed hex strings preserves the MinHash property (a uniform
     total order over hash outputs is all the scheme needs).
     """
+    def _h(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            )
+            F.array_min(F.transform(shingles, _h(i)))
             for i in range(num_hashes)
         ]
     )
@@ -131,11 +129,12 @@ def fingerprint_xxhash(col: Column | str) -> Column:
 def minhash_xxhash(shingles: Column, num_hashes: int = 16) -> Column:
     """Fast-path MinHash: array<long> via seeded xxhash64 — the variant to
     run at 100 TB (8 bytes/element vs 32-char hex strings)."""
+    def _h(i):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles, _h(i)))
             for i in range(num_hashes)
         ]
     )

@@ -131,10 +131,16 @@ def lang_id(col: Column | str) -> Column:
     reproduced exactly by the SQL twin.
     """
     toks = tokens(col)
+
+    def _contains(w_arr):
+        # plain closure: a default-arg lambda would make PySpark treat
+        # the function as the (element, index) two-arg variant
+        return lambda t: F.array_contains(w_arr, t)
+
     scored = []
     for lang, words in sorted(LANG_MARKERS.items()):
         w_arr = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.filter(toks, lambda t, w_arr=w_arr: F.array_contains(w_arr, t)))
+        score = F.size(F.filter(toks, _contains(w_arr)))
         # struct sorts by (neg_score, lang): element 0 after sort_array is
         # the max-score / lexicographically-first language.
         scored.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))

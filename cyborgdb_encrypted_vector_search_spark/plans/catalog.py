@@ -387,5 +387,490 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Deduplication pack (north-star: training-data pipeline ops)
+#
+# The corpus has no natural duplicates (500 distinct texts), so the
+# dedup queries derive a deterministic doubled corpus inside the query:
+# original docs UNION a (doc_id+100000) copy — exact copy for exact
+# dedup, suffix-perturbed copy for the near-dup family. Same derivation
+# in the oracle SQL, so the duplicate signal is real and differential.
+# ----------------------------------------------------------------------
+
+_CORPUS2X_EXACT_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+_CORPUS2X_NEAR_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' zz qq ww' AS text FROM documents
+"""
+
+
+def _corpus2x(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    if near:
+        copy = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+        )
+    else:
+        copy = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+        )
+    return docs.unionByName(copy)
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    WITH corpus AS ({_CORPUS2X_EXACT_SQL})
+    SELECT {H.sql_fingerprint_md5('text')} AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text fingerprint → hash groupBy.
+    One shuffle on the fingerprint; at 100 TB swap in the xxhash64
+    fingerprint (8-byte key) via functions.hashing.fingerprint_xxhash."""
+    corpus = _corpus2x(spark, sf_dir, near=False)
+    groups = dedup.exact_duplicates(corpus, "doc_id", "text")
+    return groups.select(
+        "fingerprint",
+        F.col("n_docs").cast("bigint"),
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH corpus AS ({_CORPUS2X_EXACT_SQL})
+    SELECT {H.sql_fingerprint_md5('text')} AS fingerprint,
+           CAST(max(doc_id) AS BIGINT) AS best_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-key (reference src/app.py:246-251 keeps max score
+    per distinct text): groupBy fingerprint, max over a preference
+    column. Map-side partial max, single shuffle."""
+    corpus = _corpus2x(spark, sf_dir, near=False)
+    return (
+        corpus.select(
+            H.fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max("doc_id").cast("bigint").alias("best_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+_SH = H.sql_word_shingles("text", 3)
+_SIG = H.sql_minhash_md5("sh", 8)
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH corpus AS ({_CORPUS2X_NEAR_SQL}),
+    shingled AS (
+      SELECT doc_id, {_SH} AS sh FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG} AS sig FROM shingled
+    ),
+    banded AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands('sig', 4, 2)}) AS band FROM sigs
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → 8 md5 minhashes
+    → 4 bands of 2 → explode bands → self-join on band key → distinct
+    pairs. Linear in corpus size until the (band-blocked) join; no
+    pairwise scan anywhere."""
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    pairs = dedup.lsh_candidate_pairs(
+        corpus, "doc_id", "text", shingle_len=3, num_hashes=8, num_bands=4
+    )
+    return pairs.select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")
+    )
+
+
+@query(
+    "dedup_jaccard_verified",
+    f"""
+    WITH corpus AS ({_CORPUS2X_NEAR_SQL}),
+    shingled AS (
+      SELECT doc_id, list_distinct({_SH}) AS sh FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG.replace('sh', 'list_distinct(' + _SH + ')')} AS sig
+      FROM corpus
+    ),
+    banded AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands('sig', 4, 2)}) AS band FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                      / len(list_distinct(list_concat(a.sh, b.sh))) END, 7) AS jaccard
+    FROM cand c
+    JOIN shingled a ON c.doc_a = a.doc_id
+    JOIN shingled b ON c.doc_b = b.doc_id
+    WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+          ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.5
+    """,
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scalable near-dup pipeline: LSH candidates (blocking)
+    then n-gram Jaccard verification >= 0.5 on candidates only.
+
+    NOTE (distinct-shingle subtlety): minhash here runs over the
+    *distinct* shingle set so signature and Jaccard see the same sets.
+    """
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    # LSH over distinct shingles: build candidates from a pre-distinct
+    # shingle frame to mirror the oracle exactly.
+    shingled = corpus.select(
+        "doc_id",
+        F.array_distinct(H.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    sigs = shingled.select(
+        "doc_id", H.minhash_md5(F.col("sh"), 8).alias("signature")
+    )
+    banded = sigs.select(
+        F.col("doc_id"),
+        F.explode(H.minhash_bands(F.col("signature"), 4, 2)).alias("band"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, "band")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = shingled.select(F.col("doc_id").alias("__ida"), F.col("sh").alias("__sha"))
+    b = shingled.select(F.col("doc_id").alias("__idb"), F.col("sh").alias("__shb"))
+    joined = cand.join(a, cand["doc_a"] == a["__ida"]).join(
+        b, cand["doc_b"] == b["__idb"]
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 7))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.sql_cosine('a.embedding', 'b.embedding')}, 7) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({V.sql_cosine('a.embedding', 'b.embedding')}, 7) >= 0.3
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with IVF-style blocking: pairs are only
+    compared within the same coarse bucket (here the label column; in
+    the ANN module, a k-means centroid id). Turns O(n^2) into
+    O(sum bucket^2) — the 100 TB pattern."""
+    emb = load(spark, "embeddings", sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("__la"),
+        F.col("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("__lb"),
+        F.col("embedding").alias("__vb"),
+    )
+    return (
+        a.join(b, (F.col("__la") == F.col("__lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", F.round(V.cosine("__va", "__vb"), 7))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ----------------------------------------------------------------------
+# Text-analysis pack (north-star: language id, quality, tokens, prints)
+# ----------------------------------------------------------------------
+
+@query(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CAST({X.sql_token_count('text')} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           round({X.sql_punct_ratio('text')}, 7) AS punct_ratio,
+           round({X.sql_stopword_ratio('text')}, 7) AS stopword_ratio,
+           {X.sql_quality_score('text')} AS quality,
+           {X.sql_lang_id('text')} AS lang_pred,
+           {H.sql_fingerprint_md5('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics: token count, char count, punctuation
+    ratio, stopword ratio, composite quality, heuristic language id,
+    content fingerprint. Pure scan→project, no shuffle."""
+    from cyborgdb_encrypted_vector_search_spark.operators import textops
+
+    docs = load(spark, "documents", sf_dir)
+    prof = textops.profile(docs, "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint"),
+        F.col("n_chars_computed").cast("bigint"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+@query(
+    "text_lang_distribution",
+    f"""
+    SELECT {X.sql_lang_id('text')} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language histogram from the marker-word classifier."""
+    from cyborgdb_encrypted_vector_search_spark.operators import textops
+
+    return textops.lang_distribution(load(spark, "documents", sf_dir))
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    SELECT doc_id, CAST({X.sql_token_count('text')} AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE {X.sql_token_count('text')} >= 30
+      AND {X.sql_punct_ratio('text')} <= 0.05
+      AND {X.sql_stopword_ratio('text')} >= 0.01
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality gate: min length, low punctuation,
+    some stopwords (fluency proxy). Filters evaluate inside the scan
+    stage — no shuffle, no materialization of rejected rows."""
+    docs = load(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.filter(
+        (X.token_count(t) >= 30)
+        & (X.punct_ratio(t) <= 0.05)
+        & (X.stopword_ratio(t) >= 0.01)
+    ).select("doc_id", X.token_count(t).cast("bigint").alias("n_tokens"))
+
+
+# ----------------------------------------------------------------------
+# Set operations / relational extras
+# ----------------------------------------------------------------------
+
+@query(
+    "q_set_ops_customers",
+    """
+    WITH c94 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    c95 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM c94 EXCEPT SELECT * FROM c95)
+    UNION ALL
+    SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM c94 INTERSECT SELECT * FROM c95)
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage (SURVEY.md §2.7): EXCEPT + INTERSECT + UNION ALL
+    over customer-year cohorts."""
+    o = load(spark, "orders", sf_dir)
+    def cohort(y0, y1):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+    c94, c95 = cohort(1996, 1997), cohort(1997, 1998)
+    only94 = c94.subtract(c95).select(
+        "o_custkey", F.lit("only_1996").alias("cohort")
+    )
+    both = c94.intersect(c95).select(
+        "o_custkey", F.lit("both_years").alias("cohort")
+    )
+    return only94.unionByName(both)
+
+
+@query(
+    "q_rollup_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP) — grouping-set coverage
+    (SURVEY.md §2.4 'absent in reference, built-in when generalizing')."""
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "q_events_user_gaps",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(CAST(sum(ts_us - prev_us) AS BIGINT) AS DOUBLE) / count(*)
+             AS avg_gap_us
+    FROM seq WHERE prev_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag) over event time per user — inter-event gap
+    stats by type. One shuffle on user_id for the window, one on
+    event_type for the aggregate. Integer microsecond math end-to-end,
+    so the average is bit-stable."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    return (
+        seq.filter(F.col("prev_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.sum(F.col("ts_us") - F.col("prev_us")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_gap_us"),
+        )
+    )
+
+
+@query(
+    "q_anti_join_quiet_customers",
+    """
+    SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_quiet
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: customers with no orders, counted by nation.
+    left_anti shuffles on custkey; nation dim is broadcast."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    o2001 = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    quiet = c.join(o2001, c["c_custkey"] == o2001["o_custkey"], "left_anti")
+    return (
+        quiet.join(F.broadcast(n), quiet["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_quiet"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Encrypted-at-rest (reference src/cyborgdb_store.py, done for real)
+# ----------------------------------------------------------------------
+
+@query(
+    "crypto_roundtrip",
+    """
+    SELECT vec_id, true AS roundtrip_ok, true AS ciphertext_differs
+    FROM embeddings
+    """,
+)
+def crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-GCM round-trip as a differential property: for every vector,
+    decrypt(encrypt(v)) == v exactly AND ciphertext != serialized
+    plaintext. The oracle asserts the property holds for every row
+    (reference thesis: src/cyborgdb_store.py ciphertext-reveals-nothing,
+    here with real crypto instead of a placeholder string)."""
+    from cyborgdb_encrypted_vector_search_spark.functions import crypto
+
+    key = "0123456789abcdef"  # 16-byte AES-128 test key
+    emb = load(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    ct = crypto.encrypt_vector(v, key)
+    rt = crypto.decrypt_vector(ct, key)
+    return emb.select(
+        "vec_id",
+        (rt == v).alias("roundtrip_ok"),
+        (ct.cast("string") != F.to_json(v)).alias("ciphertext_differs"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

@@ -1,0 +1,153 @@
+"""Unit pins for dedup/text/crypto/knn operators (FIXTURES.md hand-rolled
+fixtures: dup-keep-max, k>group-size, AES round-trip, short docs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import crypto
+from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
+from cyborgdb_encrypted_vector_search_spark.functions import text as X
+from cyborgdb_encrypted_vector_search_spark.operators import dedup, knn
+
+
+def test_dedup_keep_best_ties_and_max(spark):
+    # reference src/app.py:246-251: keep max score per distinct text
+    df = spark.createDataFrame(
+        [("a", 0.1), ("a", 0.9), ("b", 0.5), ("b", 0.5)],
+        "text string, score double",
+    )
+    got = {r["text"]: r["score"] for r in dedup.dedup_keep_best(df, "text", "score").collect()}
+    assert got == {"a": 0.9, "b": 0.5}
+
+
+def test_exact_duplicates_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD "), (4, "other")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 3]
+
+
+def test_knn_k_larger_than_corpus(spark):
+    # reference src/cod.py:125-129 returns <= n results
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.1])], "query_id long, query_vec array<double>"
+    )
+    res = knn.knn_join(q, corpus, k=5, corpus_id_col="vec_id")
+    assert res.count() == 2  # k=5 > corpus size: underflow, no padding
+
+
+def test_knn_orders_by_score_desc(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    res = knn.topk_against_target(corpus, [1.0, 0.0], k=2, id_col="vec_id")
+    rows = res.collect()
+    assert [r["vec_id"] for r in rows] == [1, 3]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now today friend")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["signature"] for r in
+            dedup.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_exact_dup_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    res = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df).collect()}
+    assert res[(1, 2)] == 1.0
+    assert res[(1, 3)] == 0.0
+
+
+def test_crypto_roundtrip_and_ciphertext_opacity(spark):
+    key = "0123456789abcdef"
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.25, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id",
+        "v",
+        crypto.decrypt_vector(crypto.encrypt_vector("v", key), key).alias("rt"),
+        crypto.encrypt_vector("v", key).cast("string").alias("ct_str"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["v"]  # exact float round-trip
+        assert "1.5" not in r["ct_str"]  # ciphertext reveals nothing
+    # GCM randomized IV: identical plaintexts on different rows encrypt
+    # to different ciphertexts (ciphertext equality leaks nothing)
+    same = spark.createDataFrame(
+        [(1, [7.0, 8.0]), (2, [7.0, 8.0])], "id long, v array<double>"
+    )
+    cts = [bytes(r["ct"]) for r in
+           same.select(crypto.encrypt_vector("v", key).alias("ct")).collect()]
+    assert cts[0] != cts[1]
+
+
+def test_crypto_wrong_key_fails(spark):
+    df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    enc = df.select(crypto.encrypt_vector("v", "0123456789abcdef").alias("ct"))
+    with pytest.raises(Exception):
+        enc.select(crypto.decrypt_vector("ct", "feedcafefeedcafe")).collect()
+
+
+def test_text_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, ""), (3, "!!! ??? ...")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        X.token_count("t").alias("n"),
+        F.round(X.punct_ratio("t"), 4).alias("p"),
+        X.quality_score("t").alias("q"),
+    ).collect()}
+    assert rows[1]["n"] == 4
+    assert rows[2]["n"] == 0 and rows[2]["p"] == 0.0
+    assert rows[3]["n"] == 0 and rows[3]["p"] > 0.5
+    assert rows[3]["q"] == 0.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house with food"),
+         (2, "le chat est dans la maison pour le dîner et une pomme"),
+         (3, "der hund ist nicht mit der katze und das haus"),
+         (4, "")],
+        "id long, t string",
+    )
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", X.lang_id("t").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "de"  # zero-marker tie → lexicographically first
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "id long, t string")
+    sh = df.select(H.word_shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert sh == ["one two"]  # fewer words than n → whole text
