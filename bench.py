@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (collect) after a shared
+session warm-up, so the numbers measure plan execution, not JVM start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Queries that define the engine's headline performance story:
+# vector search (brute force + ANN), dedup (LSH + cosine), text
+# analysis, and the relational core.
+HEADLINE = [
+    "knn_topk_cosine",
+    "knn_batch_topk",
+    "ann_lsh_probe_topk",
+    "ann_ivf_search_topk",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_embedding_neardup",
+    "text_profile",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_revenue",
+    "q_window_top_orders_per_cust",
+    "q_events_json_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+    from cyborgdb_encrypted_vector_search_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cyborgdb-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    cat = entries()
+
+    # Warm up the JVM/codegen paths on a trivial job.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = cat[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,70 @@ def l2_normalize(a: Column | str) -> Column:
     )
 
 
+def with_unit_vectors(
+    df,
+    vec_col: str = "embedding",
+    unit_col: str = "unit",
+    norm_col: str = "vnorm",
+):
+    """Add per-row norm and unit-vector columns via two chained
+    projections.
+
+    Pairwise similarity (joins) must NOT call :func:`cosine` directly:
+    the norm subexpressions would be re-evaluated per *pair* (5 array
+    folds per comparison). Materializing ``unit`` and ``vnorm`` once per
+    row first reduces every pairwise cosine to a single fold —
+    the difference between O(pairs·d) and O(pairs·5d + rows·d), and at
+    100 TB the difference between a feasible join and not.
+
+    Zero vectors keep unit = the zero vector; combine with
+    :func:`unit_cosine`'s norm guard for the reference's -1.0 sentinel.
+    """
+    from pyspark.sql import DataFrame  # local import to avoid cycle at module load
+
+    assert isinstance(df, DataFrame)
+    step1 = df.withColumn(norm_col, norm(vec_col))
+    # second projection: norm_col is now a plain attribute, evaluated
+    # once per row, not once per array element inside the lambda
+    nc = F.col(norm_col)
+    return step1.withColumn(
+        unit_col,
+        F.when(nc == F.lit(0.0), as_double_array(vec_col)).otherwise(
+            F.transform(as_double_array(vec_col), lambda x: x / nc)
+        ),
+    )
+
+
+def unit_cosine(
+    unit_a: Column | str,
+    unit_b: Column | str,
+    norm_a: Column | str,
+    norm_b: Column | str,
+) -> Column:
+    """Cosine from pre-normalized vectors: one fold per pair, preserving
+    the -1.0 zero-norm sentinel via the precomputed norms."""
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(-1.0)).otherwise(
+        dot(unit_a, unit_b)
+    )
+
+
+def normalize_py(values) -> list[float]:
+    """Driver-side unit-normalize with a sequential left-to-right fold —
+    bit-identical to the SQL/Spark fold order (numpy pairwise summation
+    would differ in the last bits)."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        acc += float(x) * float(x)
+    n = math.sqrt(acc)
+    if n == 0.0:
+        return [float(x) for x in values]
+    return [float(x) / n for x in values]
+
+
 def dim_check(a: Column | str, expected_dim: int) -> Column:
     """Boolean constraint ``size(a) = D``.
 
@@ -127,6 +191,27 @@ def sql_cosine(a: str, b: str) -> str:
     return (
         f"CASE WHEN {sql_norm(a)} = 0 OR {sql_norm(b)} = 0 THEN -1.0 "
         f"ELSE {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}) END"
+    )
+
+
+def sql_with_unit(table_sql: str, cols: str, vec: str) -> str:
+    """DuckDB twin of :func:`with_unit_vectors`: a subquery exposing
+    ``{cols}, nrm, unit`` with the same two-step evaluation (norm first,
+    then per-element division), so unit values are bit-identical."""
+    return (
+        f"SELECT {cols}, nrm, "
+        f"CASE WHEN nrm = 0 THEN ({vec})::DOUBLE[] "
+        f"ELSE list_transform(({vec})::DOUBLE[], x -> x / nrm) END AS unit "
+        f"FROM (SELECT {cols}, {vec}, sqrt({sql_dot(vec, vec)}) AS nrm "
+        f"FROM {table_sql})"
+    )
+
+
+def sql_unit_cosine(unit_a: str, unit_b: str, norm_a: str, norm_b: str) -> str:
+    """DuckDB twin of :func:`unit_cosine`."""
+    return (
+        f"CASE WHEN {norm_a} = 0 OR {norm_b} = 0 THEN -1.0 "
+        f"ELSE list_dot_product({unit_a}, {unit_b}) END"
     )
 
 

@@ -1,0 +1,182 @@
+"""Approximate nearest-neighbor search: LSH buckets and IVF partitioning.
+
+The reference delegates ANN entirely to ChromaDB's internal HNSW index
+(dependency of src/chromadb_store.py:1 — never configured or seen by its
+code). An HNSW graph is a pointer-chasing, single-node structure; the
+Spark-native equivalents of "index the corpus so queries touch a small
+fraction of it" are:
+
+- **Random-hyperplane LSH** (sign-of-projection bits → integer bucket).
+  Pure column expressions over seeded literal planes: deterministic,
+  shuffle-free to compute, and bucket equality is a join key. At query
+  time only same-bucket (or multiprobe-neighbor-bucket) rows are
+  scored — candidate generation is a hash join, not a scan.
+- **IVF (inverted file)**: coarse-quantize every vector to its nearest
+  centroid; lay the table out partitioned by ``centroid_id``. A query
+  probes the ``nprobe`` nearest centroids and ranks exactly within
+  them — partition pruning does the index work (SURVEY.md §4).
+  Centroids come from MLlib k-means (seeded) or any fixed vector set.
+
+Both turn O(corpus) per query into O(corpus/buckets · probes) and are
+embarrassingly scalable: build is one pass, search is pruned scan +
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+
+# --- random-hyperplane LSH ---------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit hyperplanes (seeded Gaussian, rounded so the
+    exact same literals can be embedded in oracle SQL)."""
+    rng = np.random.RandomState(seed)
+    h = rng.randn(n_planes, dim)
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in h]
+
+
+def lsh_bucket(vec_col: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Integer bucket id: bit i = (vec . plane_i) > 0.
+
+    Column-expression only — at 100 TB this is computed inside the scan
+    projection, no shuffle, and becomes a clusterable/partitionable key.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(
+            V.dot(c, V.literal_vector(p)) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("bigint")
+    return bucket
+
+
+def sql_lsh_bucket(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
+    """DuckDB twin of lsh_bucket over the same literal planes."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(({vec_expr})::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(out_col, lsh_bucket(vec_col, hyperplanes(dim, n_planes, seed)))
+
+
+# --- IVF ----------------------------------------------------------------
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment (coarse quantization).
+
+    centroids is small (k rows) → broadcast; per row we argmin L2 over
+    the k candidates with a min_by aggregation — one narrow shuffle-free
+    projection plus a broadcast join, linear in corpus size.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(centroid_vec_col).alias("__cvec"),
+        )
+    )
+    joined = df.crossJoin(cent).withColumn(
+        "__dist", V.l2_distance(vec_col, "__cvec")
+    )
+    # min_by with deterministic tie-break on centroid id
+    other_cols = [c for c in df.columns]
+    return (
+        joined.groupBy(*other_cols)
+        .agg(
+            F.min_by(
+                F.col("__cid"), F.struct(F.col("__dist"), F.col("__cid"))
+            ).alias(centroid_id_col)
+        )
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Seeded MLlib k-means centroids as (centroid_id, centroid) rows.
+
+    Build-time only; the resulting centroid table is tiny and reusable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    spark = df.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def build_ivf_layout(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: assign + write partitioned by
+    centroid_id. Queries that probe n centroids then read only those
+    directories — Spark's partition pruning IS the inverted file."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_search(
+    corpus_with_centroids: DataFrame,
+    centroids: DataFrame,
+    target: Sequence[float],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids, exact-rank inside them.
+
+    When corpus_with_centroids is a centroid-partitioned table, the
+    centroid_id IN (...) filter prunes partitions before any IO.
+    """
+    t = V.literal_vector(target)
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.withColumn("__d", V.l2_distance("centroid", t))
+        .orderBy(F.asc("__d"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    return (
+        corpus_with_centroids.filter(F.col("centroid_id").isin(probe_ids))
+        .withColumn("score", V.cosine(vec_col, t))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

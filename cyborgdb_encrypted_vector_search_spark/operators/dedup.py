@@ -63,10 +63,20 @@ def minhash_signatures(
     shingle_len: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(id, signature array<string>) per document."""
-    sh = H.word_shingles(F.col(text_col), shingle_len)
-    return df.select(
-        F.col(id_col), H.minhash_md5(sh, num_hashes).alias("signature")
+    """(id, signature array<string>) per document.
+
+    Shingles are materialized as a column in their own projection before
+    the signature projection: the num_hashes array_min expressions all
+    reference the same attribute, so shingling (normalize + split +
+    slice-join per shingle) runs once per row instead of once per hash
+    function — an ~8x saving that Catalyst's CollapseProject correctly
+    declines to undo (non-cheap attribute referenced many times).
+    """
+    shingled = df.select(
+        F.col(id_col), H.word_shingles(F.col(text_col), shingle_len).alias("__sh")
+    )
+    return shingled.select(
+        F.col(id_col), H.minhash_md5(F.col("__sh"), num_hashes).alias("signature")
     )
 
 
@@ -92,6 +102,11 @@ def lsh_candidate_pairs(
             "band"
         ),
     )
+    # Self-join: without persist, the whole shingle+minhash lineage is
+    # recomputed for BOTH join sides. The banded frame is tiny relative
+    # to the corpus (id + band key per band), so materializing it is the
+    # cluster-scale move too (a signature table you'd checkpoint).
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -155,20 +170,31 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity >= threshold.
 
-    Test-scale implementation is the exact self-join; at cluster scale
-    route candidates through LSH/IVF bucketing first (operators.ann) and
-    verify with this same cosine expression.
+    Vectors are unit-normalized once per row BEFORE the self-join, so
+    each pair costs one dot-product fold (not five). Test-scale
+    implementation is the exact self-join; at cluster scale route
+    candidates through LSH/IVF bucketing first (operators.ann) and
+    verify with this same expression.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    un = V.with_unit_vectors(
+        embeddings.select(id_col, vec_col), vec_col, "__unit", "__nrm"
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    a = un.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__unit").alias("__ua"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = un.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__unit").alias("__ub"),
+        F.col("__nrm").alias("__nb"),
     )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(V.cosine("__va", "__vb"), 7))
+        .withColumn(
+            "cos", F.round(V.unit_cosine("__ua", "__ub", "__na", "__nb"), 7)
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

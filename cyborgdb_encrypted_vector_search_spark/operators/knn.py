@@ -85,16 +85,34 @@ def knn_join(
     """
     asc = metric != "cosine"  # cosine: higher is better; distances: lower
     if metric == "cosine":
-        score = V.cosine(F.col(corpus_vec_col), F.col(query_vec_col))
+        # Pre-normalize both sides once per ROW so the pairwise score is
+        # a single array fold (see vector.with_unit_vectors rationale).
+        qn = V.with_unit_vectors(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(query_vec_col).alias("__qvec"),
+            ),
+            "__qvec",
+            unit_col="__qunit",
+            norm_col="__qnorm",
+        ).drop("__qvec")
+        cn = V.with_unit_vectors(
+            corpus, corpus_vec_col, unit_col="__cunit", norm_col="__cnorm"
+        )
+        joined = cn.crossJoin(F.broadcast(qn)).withColumn(
+            score_col,
+            V.unit_cosine("__cunit", "__qunit", "__cnorm", "__qnorm"),
+        ).drop("__cunit", "__cnorm", "__qunit", "__qnorm")
     elif metric == "l2":
-        score = V.l2_distance(F.col(corpus_vec_col), F.col(query_vec_col))
+        q = queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias(query_vec_col),
+        )
+        joined = corpus.crossJoin(F.broadcast(q)).withColumn(
+            score_col, V.l2_distance(F.col(corpus_vec_col), F.col(query_vec_col))
+        )
     else:
         raise ValueError(f"unknown metric {metric!r}")
-
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias(query_vec_col)
-    )
-    joined = corpus.crossJoin(F.broadcast(q)).withColumn(score_col, score)
     order = [
         F.asc(score_col) if asc else F.desc(score_col),
         F.asc(corpus_id_col),

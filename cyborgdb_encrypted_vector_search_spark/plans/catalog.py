@@ -53,17 +53,20 @@ def query(name: str, sql: str | None):
 # Vector-collection queries (reference parity: SURVEY.md §2.1-2.6)
 # ----------------------------------------------------------------------
 
-_COS = V.sql_cosine("e.embedding", "t.t")
+_UNIT_EMB = V.sql_with_unit("embeddings", "vec_id", "embedding")
 
 @query(
     "knn_topk_cosine",
     f"""
-    WITH target AS (
-      SELECT embedding AS t FROM embeddings WHERE vec_id = 42
+    WITH un AS ({_UNIT_EMB}),
+    target AS (
+      SELECT unit AS tu, nrm AS tn FROM un WHERE vec_id = 42
     ),
     scored AS (
-      SELECT e.vec_id AS vec_id, round({_COS}, 7) AS score
-      FROM embeddings e CROSS JOIN target t
+      SELECT e.vec_id AS vec_id,
+             round({V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')}, 7)
+               AS score
+      FROM un e CROSS JOIN target t
     ),
     top AS (
       SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3
@@ -84,12 +87,17 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, "embeddings", sf_dir)
     docs = load(spark, "documents", sf_dir)
-    target = emb.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("__t"))
+    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    target = un.filter(F.col("vec_id") == 42).select(
+        F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn")
+    )
     top = (
-        emb.crossJoin(F.broadcast(target))
+        un.crossJoin(F.broadcast(target))
         .select(
             "vec_id",
-            F.round(V.cosine("embedding", "__t"), 7).alias("score"),
+            F.round(
+                V.unit_cosine("unit", "__tu", "vnorm", "__tn"), 7
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(3)
@@ -147,19 +155,20 @@ def vector_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BCOS = V.sql_cosine("c.embedding", "q.embedding")
+_BUCOS = V.sql_unit_cosine("c.unit", "q.unit", "c.nrm", "q.nrm")
 
 @query(
     "knn_batch_topk",
     f"""
-    WITH scored AS (
+    WITH un AS ({_UNIT_EMB}),
+    scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_BCOS}, 7) AS score,
+             round({_BUCOS}, 7) AS score,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {_BCOS} DESC, c.vec_id ASC
+               ORDER BY {_BUCOS} DESC, c.vec_id ASC
              ) AS rnk
-      FROM embeddings q CROSS JOIN embeddings c
+      FROM un q CROSS JOIN un c
       WHERE q.vec_id < 10
     )
     SELECT query_id, neighbor_id, score
@@ -412,7 +421,15 @@ _CORPUS2X_NEAR_SQL = """
 
 
 def _corpus2x(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
-    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    # The documents table arrives as a single small parquet file (1-2
+    # input partitions); repartition so the md5/shingle-heavy
+    # projections use every core. At cluster scale the input already
+    # has file-count parallelism and this becomes a no-op choice.
+    docs = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     if near:
         copy = docs.select(
             (F.col("doc_id") + 100000).alias("doc_id"),
@@ -549,11 +566,12 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus2x(spark, sf_dir, near=True)
     # LSH over distinct shingles: build candidates from a pre-distinct
-    # shingle frame to mirror the oracle exactly.
+    # shingle frame to mirror the oracle exactly. Persisted: referenced
+    # three times (signature build + both verify sides).
     shingled = corpus.select(
         "doc_id",
         F.array_distinct(H.word_shingles(F.col("text"), 3)).alias("sh"),
-    )
+    ).persist()
     sigs = shingled.select(
         "doc_id", H.minhash_md5(F.col("sh"), 8).alias("signature")
     )
@@ -587,14 +605,17 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIT_EMB_L = V.sql_with_unit("embeddings", "vec_id, label", "embedding")
+
 @query(
     "dedup_embedding_neardup",
     f"""
+    WITH un AS ({_UNIT_EMB_L})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({V.sql_cosine('a.embedding', 'b.embedding')}, 7) AS cos
-    FROM embeddings a JOIN embeddings b
+           round({V.sql_unit_cosine('a.unit', 'b.unit', 'a.nrm', 'b.nrm')}, 7) AS cos
+    FROM un a JOIN un b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round({V.sql_cosine('a.embedding', 'b.embedding')}, 7) >= 0.3
+    WHERE round({V.sql_unit_cosine('a.unit', 'b.unit', 'a.nrm', 'b.nrm')}, 7) >= 0.3
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,19 +624,26 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN module, a k-means centroid id). Turns O(n^2) into
     O(sum bucket^2) — the 100 TB pattern."""
     emb = load(spark, "embeddings", sf_dir)
-    a = emb.select(
+    un = V.with_unit_vectors(
+        emb.select("vec_id", "label", "embedding"), "embedding"
+    )
+    a = un.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("__la"),
-        F.col("embedding").alias("__va"),
+        F.col("unit").alias("__ua"),
+        F.col("vnorm").alias("__na"),
     )
-    b = emb.select(
+    b = un.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("__lb"),
-        F.col("embedding").alias("__vb"),
+        F.col("unit").alias("__ub"),
+        F.col("vnorm").alias("__nb"),
     )
     return (
         a.join(b, (F.col("__la") == F.col("__lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", F.round(V.cosine("__va", "__vb"), 7))
+        .withColumn(
+            "cos", F.round(V.unit_cosine("__ua", "__ub", "__na", "__nb"), 7)
+        )
         .filter(F.col("cos") >= 0.3)
         .select("id_a", "id_b", "cos")
     )
@@ -870,6 +898,164 @@ def crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rt == v).alias("roundtrip_ok"),
         (ct.cast("string") != F.to_json(v)).alias("ciphertext_differs"),
     )
+
+
+# ----------------------------------------------------------------------
+# Approximate NN (LSH buckets + IVF probe — the 100 TB search path)
+# ----------------------------------------------------------------------
+
+from cyborgdb_encrypted_vector_search_spark.operators import ann as _ann
+
+_PLANES = _ann.hyperplanes(dim=64, n_planes=8, seed=7)
+_SQL_BUCKET = _ann.sql_lsh_bucket("embedding", _PLANES)
+
+@query(
+    "ann_lsh_bucket_stats",
+    f"""
+    SELECT {_SQL_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 seeded literal planes → 256
+    buckets. The bucket id is computed inside the scan projection (no
+    shuffle, no UDF); this query profiles the bucket histogram — the
+    load-balance signal you check before trusting LSH at scale."""
+    emb = load(spark, "embeddings", sf_dir)
+    return (
+        _ann.with_lsh_buckets(emb, "embedding", n_planes=8, seed=7, dim=64)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "ann_lsh_probe_topk",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+    ),
+    target AS (
+      SELECT embedding AS t, bucket AS tb FROM bucketed WHERE vec_id = 42
+    )
+    SELECT b.vec_id AS vec_id,
+           round({V.sql_cosine('b.embedding', 't.t')}, 7) AS score
+    FROM bucketed b CROSS JOIN target t
+    WHERE b.bucket = t.tb
+    ORDER BY score DESC, vec_id ASC LIMIT 3
+    """,
+)
+def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search via LSH bucket probe: candidates are only the rows in
+    the target's bucket (a pushed-down equality filter — at scale, a
+    partition/cluster key), then exact cosine rank within. ~256x less
+    scoring than brute force at 8 planes."""
+    emb = load(spark, "embeddings", sf_dir)
+    bucketed = _ann.with_lsh_buckets(emb, "embedding", n_planes=8, seed=7, dim=64)
+    target = bucketed.filter(F.col("vec_id") == 42).select(
+        F.col("embedding").alias("__t"), F.col("bucket").alias("__tb")
+    )
+    return (
+        bucketed.join(F.broadcast(target), F.col("bucket") == F.col("__tb"))
+        .select("vec_id", F.round(V.cosine("embedding", "__t"), 7).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(3)
+    )
+
+
+_SQL_L2 = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> ((a.embedding[i])::DOUBLE - (c.centroid[i])::DOUBLE)"
+    " * ((a.embedding[i])::DOUBLE - (c.centroid[i])::DOUBLE))))"
+)
+
+@query(
+    "ann_ivf_assign",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT a.vec_id AS vec_id, c.centroid_id AS centroid_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+             ) AS rn
+      FROM embeddings a CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+    FROM dists WHERE rn = 1
+    """,
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization with a fixed coarse quantizer (the
+    vectors of ids 0..7 as centroids — deterministic, so the oracle can
+    replicate it; production build uses seeded MLlib k-means via
+    operators.ann.kmeans_centroids). Assignment = broadcast argmin —
+    linear, shuffle-free. Partitioning the table by centroid_id turns
+    every probe into partition pruning."""
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    assigned = _ann.assign_centroids(
+        emb.select("vec_id", "embedding"), cent, "embedding"
+    )
+    return assigned.select("vec_id", F.col("centroid_id").cast("int"))
+
+
+@query(
+    "ann_ivf_search_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    target AS (SELECT embedding AS t FROM embeddings WHERE vec_id = 42),
+    probes AS (
+      SELECT c.centroid_id FROM cent c CROSS JOIN target t
+      ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+          i -> ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE)
+             * ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE)))),
+        c.centroid_id
+      LIMIT 2
+    )
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_cosine('a.embedding', 't.t')}, 7) AS score
+    FROM assigned a CROSS JOIN target t
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+    ORDER BY score DESC, vec_id ASC LIMIT 3
+    """,
+)
+def ann_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: rank only the vectors assigned to the nprobe=2
+    centroids nearest the target, exact cosine within. On a
+    centroid-partitioned table the IN-filter is pure partition pruning
+    (zero IO on unprobed partitions)."""
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    assigned = _ann.assign_centroids(
+        emb.select("vec_id", "embedding"), cent, "embedding"
+    )
+    target = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") == 42).select("embedding").collect()
+    ][0]
+    res = _ann.ivf_search(assigned, cent, target, k=3, nprobe=2)
+    return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
 def entries() -> dict[str, CatalogEntry]:
