@@ -1,0 +1,87 @@
+"""Text embedding interface + deterministic stub embedder.
+
+The reference's central UDF is SentenceTransformer all-MiniLM-L6-v2
+(``model.encode(texts).tolist()``, reference src/embeddings.py:3-6, with
+a pluggable user override hook at src/app.py:30-50). Heavy model
+libraries aren't available here, so the engine ships the same *shape*
+with a deterministic stand-in (FIXTURES.md: "deterministic stub
+embedder"):
+
+- a **bag-of-token hash embedding**: each token hashes (md5) to a seed
+  for a unit Gaussian direction; a text embeds as the L2-normalized sum
+  of its token vectors. Deterministic across processes, cheap, and —
+  critically for the search harness — texts sharing tokens land near
+  each other, so hill-climbing has real signal (unlike a raw text hash,
+  which would have no locality).
+- exposed both as a plain Python function (driver/pandas-side use, the
+  grouped sequential loops of greedy search) and as a ``pandas_udf``
+  (Arrow-batched, model-state cached per executor — mirroring the
+  reference's batched encode call, src/app.py:133).
+
+A real model plugs in by swapping ``embed_texts``; every consumer
+(search harness, collections ingest) goes through this interface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_DIM = 64
+
+# Executor-local token-vector cache: the "model" that loads once per
+# executor (reference loads SentenceTransformer once at import,
+# src/embeddings.py:3).
+_TOKEN_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _token_vector(token: str, dim: int) -> np.ndarray:
+    key = (token, dim)
+    v = _TOKEN_CACHE.get(key)
+    if v is None:
+        seed = int.from_bytes(
+            hashlib.md5(token.encode("utf-8")).digest()[:4], "big"
+        )
+        v = np.random.RandomState(seed).randn(dim)
+        _TOKEN_CACHE[key] = v
+    return v
+
+
+def embed_text(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic 1-text embedding (the greedy loop's single-item
+    call, reference src/app.py:192)."""
+    tokens = text.lower().split()
+    if not tokens:
+        return [0.0] * dim
+    acc = np.zeros(dim)
+    for t in tokens:
+        acc += _token_vector(t, dim)
+    n = float(np.linalg.norm(acc))
+    if n == 0.0:
+        return [0.0] * dim
+    return [float(x) for x in acc / n]
+
+
+def embed_texts(texts: Iterable[str], dim: int = DEFAULT_DIM) -> list[list[float]]:
+    """Batch embedding (the evolutionary loop's per-generation batched
+    call, reference src/app.py:133)."""
+    return [embed_text(t, dim) for t in texts]
+
+
+def make_embed_udf(dim: int = DEFAULT_DIM):
+    """Arrow-batched pandas_udf: text column -> array<double> embedding.
+
+    This is SURVEY.md D1: the one place the engine crosses into Python
+    on purpose, batched per Arrow block, model state cached per
+    executor process.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def embed(col: pd.Series) -> pd.Series:
+        return pd.Series(embed_texts(col.fillna("").tolist(), dim))
+
+    return embed

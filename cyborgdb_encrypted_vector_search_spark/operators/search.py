@@ -1,0 +1,286 @@
+"""Iterative inversion-search harness: evolutionary + greedy hill-climb.
+
+Re-creates the reference's two search dataflows (SURVEY.md §2.9) —
+the loops that, given a target embedding, evolve candidate strings
+toward it by embed → score → rank → mutate:
+
+- **I1 evolutionary** (reference src/app.py:100-171): population of 60,
+  <=120 generations, 20% elitism, crossover p=0.12, early-stop at
+  cosine > 0.995. Here each generation is one declarative batch:
+  candidates DataFrame → Arrow-batched embed UDF → cosine column expr →
+  TakeOrderedAndProject for elites; children are generated
+  distributedly (explode over elites + seeded mutation UDF). The driver
+  only collects one max-score scalar per generation for the early-stop
+  check.
+- **I2 greedy** (reference src/app.py:174-202): 12 restarts x 200
+  sequential accept-if-better iterations with 1% random-jump teleports.
+  The inner loop is inherently sequential, so it runs inside
+  ``applyInPandas`` — one group per restart, restarts parallel across
+  executors (the Spark-correct shape for "embarrassingly parallel
+  sequential loops").
+- **I4 merge** (reference src/app.py:246-255): union both strategies'
+  outputs → keep max score per distinct text → global top-30.
+
+Determinism: every mutation draws from ``random.Random(f"{seed}:...")``
+keyed on (run seed, generation, slot, parent text), so runs replay
+exactly — the discipline SURVEY.md §5.5 prescribes for the
+reference's unseeded RNG.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+# Reference workload constants (BASELINE.md):
+# pop 60 / gens <=120 / elite 0.2 / early-stop 0.995 (src/app.py:102-104,145)
+# char mutation p_ins 0.12, p_del 0.08, p_sub 0.18 (src/app.py:65)
+# crossover p 0.12 (src/app.py:163); greedy 12x200, jump p 0.01
+# (src/app.py:175-176,197); top-30 reporting (src/app.py:171,254).
+ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?;:'-_"
+)
+WORD_SEEDS = [
+    "data", "table", "query", "vector", "search", "index", "batch",
+    "stream", "join", "filter", "group", "sort", "hash", "scan",
+]  # 14 seed words, mirroring the reference's WORD_SEEDS list (src/app.py:63)
+
+
+def mutate_charwise(
+    s: str,
+    rng: random.Random,
+    p_ins: float = 0.12,
+    p_del: float = 0.08,
+    p_sub: float = 0.18,
+) -> str:
+    """Single-pass char-level delete/substitute/insert (reference
+    src/app.py:65-79 semantics: independent per-position coin flips)."""
+    out: list[str] = []
+    for ch in s:
+        r = rng.random()
+        if r < p_del:
+            continue
+        if r < p_del + p_sub:
+            out.append(rng.choice(ALPHABET))
+        else:
+            out.append(ch)
+        if rng.random() < p_ins:
+            out.append(rng.choice(ALPHABET))
+    if not out:
+        out.append(rng.choice(ALPHABET))
+    return "".join(out)
+
+
+def mutate_wordwise(s: str, rng: random.Random, max_words: int = 40) -> str:
+    """Replace/insert/delete one word from the seed list (reference
+    src/app.py:81-97: empty input -> random seed word; insert capped)."""
+    words = s.split()
+    if not words:
+        return rng.choice(WORD_SEEDS)
+    op = rng.random()
+    i = rng.randrange(len(words))
+    if op < 0.4:
+        words[i] = rng.choice(WORD_SEEDS)
+    elif op < 0.7 and len(words) < max_words:
+        words.insert(i, rng.choice(WORD_SEEDS))
+    elif len(words) > 1:
+        del words[i]
+    return " ".join(words)
+
+
+def crossover(a: str, b: str, rng: random.Random) -> str:
+    """Prefix/suffix splice at a random split point (reference
+    src/app.py:162-166)."""
+    if not a or not b:
+        return a or b
+    sa = rng.randrange(1, len(a) + 1)
+    sb = rng.randrange(0, len(b) + 1)
+    return a[:sa] + b[sb:]
+
+
+def _mutate_child(parent: str, mate: str, seed_key: str) -> str:
+    rng = random.Random(seed_key)
+    child = parent
+    if mate and rng.random() < 0.12:
+        child = crossover(child, mate, rng)
+    if rng.random() < 0.5:
+        child = mutate_charwise(child, rng)
+    else:
+        child = mutate_wordwise(child, rng)
+    return child
+
+
+def _score_col(unit_target: Sequence[float]) -> Column:
+    """Cosine vs pre-normalized literal target: one fold per row (the
+    embed UDF already L2-normalizes, so dot == cosine; zero vectors
+    score -1.0, the reference sentinel)."""
+    t = V.literal_vector(unit_target)
+    zero = F.size(F.filter("embedding", lambda x: x != F.lit(0.0))) == 0
+    return F.when(zero, F.lit(-1.0)).otherwise(V.dot("embedding", t))
+
+
+def evolutionary_search(
+    spark: SparkSession,
+    target_emb: Sequence[float],
+    seed_candidates: Sequence[str],
+    pop_size: int = 60,
+    generations: int = 120,
+    elite_frac: float = 0.2,
+    early_stop: float = 0.995,
+    seed: int = 0,
+    dim: int = E.DEFAULT_DIM,
+    top_n: int = 30,
+) -> DataFrame:
+    """I1: returns (text, score) of the final top_n candidates."""
+    unit_target = V.normalize_py(list(target_emb))
+    embed_udf = E.make_embed_udf(dim)
+    n_elite = max(1, int(pop_size * elite_frac))
+
+    # init population: seeds + 1-4 stacked mutations (reference
+    # src/app.py:117-128)
+    rng = random.Random(f"{seed}:init")
+    pop = list(seed_candidates)
+    while len(pop) < pop_size:
+        base = rng.choice(seed_candidates)
+        for _ in range(rng.randint(1, 4)):
+            base = _mutate_child(base, rng.choice(seed_candidates), f"{seed}:init:{rng.random()}")
+        pop.append(base)
+    pop = pop[:pop_size]
+
+    best_rows: list[tuple[str, float]] = []
+    mutate_udf = F.udf(_mutate_child, T.StringType())
+
+    for gen in range(generations):
+        pop_df = spark.createDataFrame([(t,) for t in pop], "text string").coalesce(
+            max(1, min(8, len(pop) // 8))
+        )
+        scored = (
+            pop_df.withColumn("embedding", embed_udf("text"))
+            .withColumn("score", _score_col(unit_target))
+            .select("text", "score")
+        )
+        elites = scored.orderBy(F.desc("score"), F.asc("text")).limit(n_elite).collect()
+        best_rows.extend((r["text"], r["score"]) for r in elites)
+        if elites and elites[0]["score"] > early_stop:
+            break
+        if gen == generations - 1:
+            break
+        # regenerate: keep elites, fill with mutated/crossed children —
+        # distributable shape: explode children slots over elite rows
+        elite_texts = [r["text"] for r in elites]
+        elites_df = spark.createDataFrame(
+            [(t, elite_texts[(i + 1) % len(elite_texts)]) for i, t in enumerate(elite_texts)],
+            "text string, mate string",
+        )
+        n_children = pop_size - len(elite_texts)
+        per_parent = (n_children + len(elite_texts) - 1) // len(elite_texts)
+        children = (
+            elites_df.select(
+                "text",
+                "mate",
+                F.explode(F.sequence(F.lit(1), F.lit(per_parent))).alias("slot"),
+            )
+            .withColumn(
+                "child",
+                mutate_udf(
+                    "text",
+                    "mate",
+                    F.concat_ws(":", F.lit(seed), F.lit(gen), F.col("slot"), F.col("text")),
+                ),
+            )
+            .select("child")
+            .limit(n_children)
+        )
+        pop = elite_texts + [r["child"] for r in children.collect()]
+
+    # I4-style dedup-max over everything seen, final top-n
+    out = spark.createDataFrame(best_rows, "text string, score double")
+    return (
+        out.groupBy("text")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("text"))
+        .limit(top_n)
+    )
+
+
+GREEDY_SCHEMA = T.StructType(
+    [
+        T.StructField("restart", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def greedy_search(
+    spark: SparkSession,
+    target_emb: Sequence[float],
+    seed_candidates: Sequence[str],
+    restarts: int = 12,
+    iters: int = 200,
+    jump_p: float = 0.01,
+    seed: int = 0,
+    dim: int = E.DEFAULT_DIM,
+    top_n: int = 30,
+) -> DataFrame:
+    """I2: restarts fan out as groups; each group runs its sequential
+    accept-if-better climb inside applyInPandas (reference
+    src/app.py:174-202 — single-candidate embed per iteration, 1%
+    teleport probability)."""
+    import numpy as np
+    import pandas as pd
+
+    unit_target = np.array(V.normalize_py(list(target_emb)))
+    seeds_b = spark.sparkContext.broadcast(list(seed_candidates))
+
+    def climb(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = int(pdf["restart"].iloc[0])
+        rng = random.Random(f"{seed}:restart:{r}")
+        seeds = seeds_b.value
+        cur = seeds[r % len(seeds)]
+
+        def score_of(text: str) -> float:
+            v = np.array(E.embed_text(text, dim))
+            if not v.any():
+                return -1.0
+            return float(np.dot(v, unit_target))
+
+        cur_score = score_of(cur)
+        for it in range(iters):
+            if rng.random() < jump_p:  # teleport (src/app.py:197-199)
+                cand = rng.choice(seeds)
+            else:
+                cand = _mutate_child(cur, rng.choice(seeds), f"{seed}:{r}:{it}:{cur}")
+            cand_score = score_of(cand)
+            if cand_score > cur_score:  # accept-if-better (src/app.py:194-195)
+                cur, cur_score = cand, cand_score
+        return pd.DataFrame({"restart": [r], "text": [cur], "score": [cur_score]})
+
+    restarts_df = spark.createDataFrame(
+        [(r,) for r in range(restarts)], "restart int"
+    ).repartition(restarts, "restart")
+    results = restarts_df.groupBy("restart").applyInPandas(climb, GREEDY_SCHEMA)
+    return (
+        results.groupBy("text")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("text"))
+        .limit(top_n)
+    )
+
+
+def merge_results(evo: DataFrame, greedy: DataFrame, top_n: int = 30) -> DataFrame:
+    """I4: union -> dedup-keep-max -> top-n (reference src/app.py:246-255)."""
+    return (
+        evo.unionByName(greedy)
+        .groupBy("text")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("text"))
+        .limit(top_n)
+    )

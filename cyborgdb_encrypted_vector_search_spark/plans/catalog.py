@@ -1058,5 +1058,151 @@ def ann_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
+# ----------------------------------------------------------------------
+# Iterative inversion search (SURVEY.md §2.9 I1/I2/I4 — driver-side
+# loops over batch operators; inherently non-SQL, driver records the
+# rows-only check)
+# ----------------------------------------------------------------------
+
+def _search_target(spark: SparkSession, sf_dir: str):
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as _embed
+
+    docs = load(spark, "documents", sf_dir)
+    target_text = docs.filter(F.col("doc_id") == 7).select("text").collect()[0][0]
+    seeds = [
+        r["text"]
+        for r in docs.filter(F.col("doc_id").isin([1, 2, 3, 4]))
+        .select("text")
+        .orderBy("text")
+        .collect()
+    ]
+    return _embed.embed_text(target_text), seeds
+
+
+@query("search_evolutionary", None)
+def search_evolutionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 evolutionary inversion (reference src/app.py:100-171) with the
+    deterministic stub embedder, reduced budget for the gate (library
+    defaults match the reference constants: pop 60 / gens 120 /
+    elite 0.2 / early-stop 0.995)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import search as S
+
+    target, seeds = _search_target(spark, sf_dir)
+    return S.evolutionary_search(
+        spark, target, seeds, pop_size=16, generations=4, seed=0, top_n=10
+    )
+
+
+@query("search_greedy", None)
+def search_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 greedy hill-climb with parallel restarts via applyInPandas
+    (reference src/app.py:174-202), reduced budget for the gate."""
+    from cyborgdb_encrypted_vector_search_spark.operators import search as S
+
+    target, seeds = _search_target(spark, sf_dir)
+    return S.greedy_search(
+        spark, target, seeds, restarts=4, iters=25, seed=0, top_n=10
+    )
+
+
+# ----------------------------------------------------------------------
+# Structured Streaming (north-star generalization; SURVEY.md §2.10) —
+# the streaming result over finite input must equal the batch oracle.
+# ----------------------------------------------------------------------
+
+@query(
+    "streaming_hourly_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ACTUAL Structured Streaming query: readStream over the events
+    parquet → watermark → tumbling 1h windowed agg → availableNow
+    trigger → memory sink. Differential claim: streaming over finite
+    input == the batch SQL oracle (Dataflow-model correctness)."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    return S.run_stream_to_batch(spark, S.hourly_event_counts(stream))
+
+
+@query(
+    "q_events_sessionization",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    per AS (
+      SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the built-in
+    session_window aggregation; the oracle derives identical sessions
+    from first principles (lag → new-session flag → running sum). Works
+    unchanged on a stream (state-store sessions + watermark)."""
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    ev = load(spark, "events", sf_dir)
+    per_session = S.sessionize(ev, "30 minutes")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing (binary payload columns + Arrow-batched extract)
+# ----------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (Arrow batch
+    in, Arrow batch out) — the plumbing an image/audio featurizer uses,
+    with a deterministic byte-profile extractor standing in for the
+    model (decode itself is stubbed: operators.multimodal.decode_image).
+    Oracle checks byte length + digest computed from the same payloads.
+    """
+    from cyborgdb_encrypted_vector_search_spark.operators import multimodal as M
+
+    docs = (
+        load(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = M.documents_as_media(docs)
+    return M.extract_features(media).select("media_id", "n_bytes", "digest")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

@@ -1,0 +1,142 @@
+"""Structured Streaming ingest for event-shaped data.
+
+The reference is pure batch (SURVEY.md §2.10 — no streaming anywhere);
+this is the north-star generalization: micro-batch ingest of the
+``events`` table shape with watermarked windowed aggregation and
+session windows. The transformation functions are shared between batch
+and streaming DataFrames — the Dataflow-model promise that a streaming
+query over finite input equals the batch query — and the correctness
+gate exploits exactly that (streaming result == DuckDB batch oracle).
+
+Scale notes: windowed counts are partial-aggregated per micro-batch and
+stored in the state store keyed by (window, event_type) — state size is
+O(open windows x types), not O(events). The watermark bounds state
+eviction and late-data acceptance.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores TIMESTAMP(NANOS); a streaming read needs the
+# nanosAsLong conf + an explicit schema with ts as LONG, converted after.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see registry.load)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (file source —
+    production swaps in Kafka with the same downstream lineage)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    # The file source requires a directory; a single-file path becomes
+    # parent dir + glob filter.
+    if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(src_dir)
+        )
+        src_dir = os.path.dirname(src_dir)
+    raw = reader.load(src_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed counts per event_type; works identically
+    on batch and streaming inputs (streaming adds the watermark)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming aggregation over the finite source with an
+    availableNow trigger into a memory sink; return the final result as
+    a batch DataFrame. This is the bridge the correctness gate uses to
+    compare streaming semantics against the batch oracle."""
+    name = f"stream_result_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_append_to_collection(
+    spark: SparkSession,
+    src_dir: str,
+    dest_path: str,
+    checkpoint: str,
+) -> None:
+    """Micro-batch ingest: stream events into a Parquet collection via
+    foreachBatch append (SURVEY.md §7 step 9 — the readStream →
+    foreachBatch append pattern)."""
+    stream = read_events_stream(spark, src_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest_path)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based), batch or streaming.
+
+    Returns one row per (user_id, session) with event count and span.
+    Uses the built-in session_window aggregation — state-store-backed
+    when streaming, plain aggregation in batch.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", gap)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", F.col("w.start").alias("session_start"))
+    )
