@@ -121,6 +121,62 @@ def sql_minhash_bands(sig_expr: str, num_bands: int, rows_per_band: int) -> str:
     return f"[{parts}]"
 
 
+def simhash32(hashed_tokens: Column) -> Column:
+    """32-bit SimHash from per-token md5 hex strings.
+
+    Bit j of the fingerprint is the sign of sum over tokens of
+    (+1 if bit j of md5(token) else -1). Near-identical token bags give
+    near-identical fingerprints (small Hamming distance) — the
+    complementary dedup signal to MinHash (which keys on shingle sets,
+    not weighted token distributions).
+
+    Input must be a *materialized* column of md5 hex strings
+    (``transform(tokens, md5)``) so the 32 per-bit folds share one hash
+    computation per token.
+    """
+    def _bit_sum(p: int, b: int):
+        # closure factory (NOT default-arg lambdas — PySpark would read
+        # extra params as the index argument)
+        def merge(acc, h):
+            val = F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+            return acc + (F.shiftright(val, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return F.aggregate(hashed_tokens, F.lit(0), merge)
+
+    fingerprint = F.lit(0).cast("bigint")
+    for j in range(32):
+        s = _bit_sum(j // 4 + 1, j % 4)
+        fingerprint = fingerprint + F.when(s > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+    return fingerprint
+
+
+def sql_simhash32(hashed_expr: str) -> str:
+    """DuckDB twin of :func:`simhash32` over a list-of-md5-hex expr."""
+    terms = []
+    for j in range(32):
+        p, b = j // 4 + 1, j % 4
+        contrib = (
+            f"((((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1) >> {b})"
+            f" & 1) * 2 - 1)"
+        )
+        s = f"list_sum(list_transform({hashed_expr}, h -> {contrib}))"
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hamming32(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between 32-bit fingerprints."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def sql_hamming32(a: str, b: str) -> str:
+    return f"bit_count(xor({a}, {b}))"
+
+
 def fingerprint_xxhash(col: Column | str) -> Column:
     """Fast-path 64-bit fingerprint (cluster-scale; not oracle-portable)."""
     return F.xxhash64(normalize_text(col))

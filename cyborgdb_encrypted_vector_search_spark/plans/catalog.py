@@ -1204,5 +1204,392 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select("media_id", "n_bytes", "digest")
 
 
+# ----------------------------------------------------------------------
+# Coverage sweep: SimHash, prompt assembly (F6), JSON vector round-trip
+# (S3/F7), semi/as-of joins, range-frame windows, part/supplier tables,
+# collection lifecycle (K1/K2/K5/S5/S6)
+# ----------------------------------------------------------------------
+
+_HASHED_TOKENS = f"list_transform({X.sql_tokens('text')}, t -> md5(t))"
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_CORPUS2X_NEAR_SQL}),
+    hashed AS (
+      SELECT doc_id, {_HASHED_TOKENS} AS ht FROM corpus
+    ),
+    fps AS (
+      SELECT doc_id, {H.sql_simhash32('ht')} AS simhash FROM hashed
+    ),
+    blocked AS (
+      SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS blk FROM fps
+    ),
+    keyed AS (
+      SELECT doc_id, simhash, blk,
+             (simhash >> (blk * 8)) & 255 AS blk_key
+      FROM blocked
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           {H.sql_hamming32('l.simhash', 'r.simhash')} AS hamming
+    FROM keyed l JOIN keyed r
+      ON l.blk = r.blk AND l.blk_key = r.blk_key AND l.doc_id < r.doc_id
+    WHERE {H.sql_hamming32('l.simhash', 'r.simhash')} <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit weighted-token fingerprint, byte-block
+    LSH blocking (docs sharing any of the 4 fingerprint bytes are
+    candidates — a near-dup within Hamming<=6 must agree on >=1 block by
+    pigeonhole when blocks are 8 bits... candidates verified by exact
+    Hamming <= 3). Complements MinHash: keys on token multiset, not shingle
+    order."""
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    hashed = corpus.select(
+        "doc_id",
+        F.transform(X.tokens(F.col("text")), lambda t: F.md5(t)).alias("__ht"),
+    )
+    fps = hashed.select(
+        "doc_id", H.simhash32(F.col("__ht")).alias("simhash")
+    ).persist()
+    blocked = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("blk"),
+    ).withColumn("blk_key", F.expr("shiftright(simhash, blk * 8) & 255"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_key") == F.col("r.blk_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            H.hamming32(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query(
+    "knn_prompt_reconstruction",
+    f"""
+    WITH un AS ({_UNIT_EMB}),
+    target AS (SELECT unit AS tu, nrm AS tn FROM un WHERE vec_id = 42),
+    top AS (
+      SELECT e.vec_id,
+             round({V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')}, 7)
+               AS score
+      FROM un e CROSS JOIN target t
+      WHERE e.vec_id <> 42
+      ORDER BY score DESC, e.vec_id ASC LIMIT 3
+    ),
+    nb AS (
+      SELECT top.vec_id, top.score, d.text,
+             row_number() OVER (ORDER BY top.score DESC, top.vec_id ASC) AS rnk
+      FROM top JOIN documents d ON top.vec_id = d.doc_id
+    )
+    SELECT 42 AS target_id,
+           'Reconstruct the original text from these related snippets: '
+             || string_agg(rnk || '. ' || text, ' ' ORDER BY rnk) AS prompt,
+           CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM nb
+    """,
+)
+def knn_prompt_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's kNN->LLM reconstruction flow (src/cod.py:144-159):
+    top-3 neighbors (excluding the target itself) assembled into an
+    enumerated prompt via concat + ordered collect_list. The LLM call
+    itself stays stubbed (it is commented out in the reference too,
+    src/cod.py:161-173); prompt construction is the F6 operator."""
+    emb = load(spark, "embeddings", sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    target = un.filter(F.col("vec_id") == 42).select(
+        F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn")
+    )
+    top = (
+        un.filter(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.round(V.unit_cosine("unit", "__tu", "vnorm", "__tn"), 7).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(3)
+    )
+    nb = (
+        top.join(F.broadcast(docs), top["vec_id"] == docs["doc_id"])
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("vec_id"))
+            ),
+        )
+    )
+    return nb.agg(
+        F.lit(42).cast("int").alias("target_id"),
+        F.concat(
+            F.lit("Reconstruct the original text from these related snippets: "),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "text"))
+                    ),
+                    lambda s: F.concat(
+                        s["rnk"].cast("string"), F.lit(". "), s["text"]
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("prompt"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+
+
+@query(
+    "json_vector_roundtrip",
+    """
+    SELECT vec_id, true AS parse_ok, CAST(64 AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def json_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F7: vectors serialized to JSON and parsed back (the reference
+    loads a target embedding from a JSON file with a list-type check,
+    src/app.py:204-209). Differential claim: parse(serialize(v)) == v
+    and the dim constraint holds for every row."""
+    emb = load(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    parsed = F.from_json(F.to_json(v), "array<double>")
+    return emb.select(
+        "vec_id",
+        (parsed == v).alias("parse_ok"),
+        F.size(parsed).cast("bigint").alias("dim"),
+    )
+
+
+@query(
+    "q_part_brand_stats",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(min(p_retailprice), 4) AS min_price,
+           round(max(p_retailprice), 4) AS max_price,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_price
+    FROM part WHERE p_size >= 10 GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg aggregate coverage on the part dimension (avg via
+    decimal-sum / count for bit-stable results)."""
+    p = load(spark, "part", sf_dir)
+    return (
+        p.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.min("p_retailprice"), 4).alias("min_price"),
+            F.round(F.max("p_retailprice"), 4).alias("max_price"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_supplier_nation",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-dimension coverage: broadcast dim join + aggregate."""
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS order_seq,
+           lead(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS next_orderkey
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame coverage: running sum (rows frame), sequence
+    numbering, and lead — one window spec, one shuffle."""
+    o = load(spark, "orders", sf_dir).filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "q_semi_join_active",
+    """
+    SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_active
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY n.n_name
+    """,
+)
+def q_semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi coverage: customers with >=1 finished order, by nation."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    n = load(spark, "nation", sf_dir)
+    active = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    return (
+        active.join(F.broadcast(n), active["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "q_events_asof_signup",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN last_signup_us IS NULL THEN -1
+                ELSE (ts_us - last_signup_us) END AS BIGINT) AS us_since_signup
+    FROM (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_us
+      FROM events
+    )
+    WHERE event_id < 500
+    """,
+)
+def q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running conditional max: each event
+    carries the timestamp of the user's most recent signup at-or-before
+    it (-1 if none yet). The classic as-of-join semantics without a
+    range join: one window shuffle on user_id, no point-in-time probe
+    per row."""
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            F.unix_micros("ts").alias("__ts_us"),
+            last_signup.alias("__ls_us"),
+        )
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.when(F.col("__ls_us").isNull(), F.lit(-1))
+            .otherwise(F.col("__ts_us") - F.col("__ls_us"))
+            .cast("bigint")
+            .alias("us_since_signup"),
+        )
+    )
+
+
+@query(
+    "collection_lifecycle",
+    """
+    SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           'src:' || d.source AS src_meta
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.doc_id IN (7, 42)
+    """,
+)
+def collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end collection CRUD (K1/K2/K5 + S5/S6): create a Parquet
+    collection, batch-append documents+embeddings with metadata, then
+    point-get two records back. The oracle reads the same records
+    straight from the source tables — proving the store/extract cycle
+    is lossless (the reference's store->extract flow, src/main.py:11-19).
+    """
+    import tempfile
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import Collection
+
+    docs = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id"),
+        F.col("text").alias("document"),
+        F.col("embedding"),
+        F.create_map(F.lit("src"), F.concat(F.lit("src:"), F.col("source"))).alias(
+            "meta"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="cyborgdb_coll_")
+    coll = Collection.create(spark, "lifecycle", tmp, dim=64)
+    coll.add(
+        joined,
+        id_col="doc_id",
+        document_col="document",
+        embedding_col="embedding",
+        metadata_col="meta",
+    )
+    got = coll.get(["7", "42"])
+    return got.select(
+        "id",
+        "document",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.col("metadata")["src"].alias("src_meta"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
