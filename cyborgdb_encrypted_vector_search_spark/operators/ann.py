@@ -83,6 +83,55 @@ def with_lsh_buckets(
     return df.withColumn(out_col, lsh_bucket(vec_col, hyperplanes(dim, n_planes, seed)))
 
 
+def multiprobe_buckets(bucket: Column | str, n_planes: int) -> Column:
+    """The probe set for a query bucket: itself + every 1-bit-flip
+    neighbor (n_planes+1 buckets). Single-bucket LSH probes miss
+    near-boundary neighbors; probing Hamming-1 buckets recovers most of
+    that recall for (n_planes+1)/2^n_planes of the corpus scanned —
+    at 8 planes, ~3.5% of the data instead of 0.4%, still ~28x less
+    than brute force."""
+    c = F.col(bucket) if isinstance(bucket, str) else bucket
+    return F.array(c, *[c.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+
+
+def sql_multiprobe_buckets(bucket_expr: str, n_planes: int) -> str:
+    parts = ", ".join(
+        [bucket_expr] + [f"xor({bucket_expr}, {1 << i})" for i in range(n_planes)]
+    )
+    return f"[{parts}]"
+
+
+def lsh_probe_search(
+    corpus_bucketed: DataFrame,
+    target_unit,
+    target_bucket_df: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    unit_col: str = "unit",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Multiprobe LSH search: candidates = rows whose bucket is within
+    Hamming-1 of the target's bucket, ranked by exact cosine. On a
+    bucket-partitioned layout the semi-join on probe buckets is pure
+    partition pruning."""
+    probes = target_bucket_df.select(
+        F.explode(multiprobe_buckets("bucket", n_planes)).alias("bucket")
+    ).distinct()
+    cand = corpus_bucketed.join(F.broadcast(probes), "bucket")
+    t = V.literal_vector(target_unit)
+    return (
+        cand.withColumn(
+            "score",
+            F.when(F.col(norm_col) == 0, F.lit(-1.0)).otherwise(
+                V.dot(unit_col, t)
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- IVF ----------------------------------------------------------------
 
 def assign_centroids(

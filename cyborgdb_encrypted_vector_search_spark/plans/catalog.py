@@ -963,6 +963,61 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_lsh_multiprobe_topk",
+    f"""
+    WITH un AS ({_UNIT_EMB}),
+    bucketed AS (
+      SELECT un.vec_id, un.unit, un.nrm,
+             {_ann.sql_lsh_bucket('e.embedding', _PLANES)} AS bucket
+      FROM un JOIN embeddings e ON un.vec_id = e.vec_id
+    ),
+    target AS (
+      SELECT unit AS tu, nrm AS tn, bucket AS tb FROM bucketed WHERE vec_id = 42
+    ),
+    probes AS (
+      SELECT DISTINCT unnest({_ann.sql_multiprobe_buckets('tb', 8)}) AS bucket
+      FROM target
+    )
+    SELECT b.vec_id AS vec_id,
+           round({V.sql_unit_cosine('b.unit', 't.tu', 'b.nrm', 't.tn')}, 7) AS score
+    FROM bucketed b JOIN probes p ON b.bucket = p.bucket CROSS JOIN target t
+    ORDER BY score DESC, vec_id ASC LIMIT 3
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH search: candidates come from the target's bucket
+    plus all Hamming-1 neighbor buckets (9 of 256 at 8 planes — ~28x
+    candidate reduction vs brute force with far better recall than a
+    single-bucket probe). On a bucket-partitioned layout the probe join
+    is partition pruning."""
+    emb = load(spark, "embeddings", sf_dir)
+    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    bucketed = un.withColumn(
+        "bucket", _ann.lsh_bucket("embedding", _PLANES)
+    ).select("vec_id", "unit", "vnorm", "bucket")
+    target = bucketed.filter(F.col("vec_id") == 42).select(
+        F.col("unit").alias("__tu"),
+        F.col("vnorm").alias("__tn"),
+        F.col("bucket").alias("__tb"),
+    )
+    probes = target.select(
+        F.explode(_ann.multiprobe_buckets("__tb", 8)).alias("bucket")
+    ).distinct()
+    return (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.round(
+                V.unit_cosine("unit", "__tu", "vnorm", "__tn"), 7
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(3)
+    )
+
+
 _SQL_L2 = (
     "sqrt(list_sum(list_transform(range(1, 65), "
     "i -> ((a.embedding[i])::DOUBLE - (c.centroid[i])::DOUBLE)"

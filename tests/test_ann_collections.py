@@ -1,0 +1,145 @@
+"""ANN layout/recall tests + collection CRUD incl. encrypted variant."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+from cyborgdb_encrypted_vector_search_spark.operators import ann, knn
+from cyborgdb_encrypted_vector_search_spark.sources.collections import Collection
+from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, "embeddings", sf_dir)
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark, emb):
+    b = ann.with_lsh_buckets(emb, n_planes=8, seed=7, dim=64)
+    stats = b.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert 0 <= stats[0] and stats[1] < 256
+    again = ann.with_lsh_buckets(emb, n_planes=8, seed=7, dim=64)
+    assert b.select("vec_id", "bucket").collect() == again.select("vec_id", "bucket").collect()
+
+
+def test_multiprobe_recall_beats_single_bucket(spark, emb):
+    # recall@3 over 20 query vectors: multiprobe >= single bucket
+    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    bucketed = un.withColumn(
+        "bucket", ann.lsh_bucket("embedding", ann.hyperplanes(64, 8, 7))
+    ).cache()
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(20).collect()]
+    single_hits = multi_hits = 0
+    for qid in qids:
+        t = bucketed.filter(F.col("vec_id") == qid).select(
+            F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn"),
+            F.col("bucket").alias("__tb"),
+        )
+        scored = bucketed.crossJoin(F.broadcast(t)).withColumn(
+            "score", V.unit_cosine("unit", "__tu", "vnorm", "__tn")
+        )
+        truth = {r["vec_id"] for r in scored.orderBy(F.desc("score"), "vec_id").limit(3).collect()}
+        sb = {r["vec_id"] for r in scored.filter(F.col("bucket") == F.col("__tb"))
+              .orderBy(F.desc("score"), "vec_id").limit(3).collect()}
+        probes = t.select(F.explode(ann.multiprobe_buckets("__tb", 8)).alias("bucket")).distinct()
+        mp = {r["vec_id"] for r in scored.join(F.broadcast(probes), "bucket")
+              .orderBy(F.desc("score"), "vec_id").limit(3).collect()}
+        single_hits += len(truth & sb)
+        multi_hits += len(truth & mp)
+    assert multi_hits >= single_hits
+    assert multi_hits >= 20  # at least the query vector itself + some
+
+
+def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    path = str(tmp_path / "ivf")
+    ann.build_ivf_layout(emb, cent, path)
+    # layout materialized as centroid_id=N directories
+    parts = sorted(p for p in os.listdir(path) if p.startswith("centroid_id="))
+    assert len(parts) >= 2
+    table = spark.read.parquet(path)
+    probe = table.filter(F.col("centroid_id").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune; scanned partition count < total
+    assert "PartitionFilters" in plan
+    target = [r["embedding"] for r in emb.filter("vec_id = 5").collect()][0]
+    res = ann.ivf_search(table, cent, target, k=3, nprobe=2).collect()
+    assert len(res) == 3
+    assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    assigned = ann.assign_centroids(emb.select("vec_id", "embedding"), cent)
+    hits = 0
+    for qid in [3, 57, 201]:
+        target = [r["embedding"] for r in emb.filter(F.col("vec_id") == qid).collect()][0]
+        truth = {r["vec_id"] for r in knn.topk_against_target(
+            emb, target, k=3, id_col="vec_id").collect()}
+        approx = {r["vec_id"] for r in ann.ivf_search(
+            assigned, cent, target, k=3, nprobe=4).collect()}
+        hits += len(truth & approx)
+    assert hits >= 6  # >=2/3 average recall at nprobe=4 of 8
+
+
+def test_collection_create_add_get(spark, tmp_path):
+    coll = Collection.create(spark, "c1", str(tmp_path), dim=4)
+    df = spark.createDataFrame(
+        [("a", "doc a", [1.0, 0.0, 0.0, 0.0]), ("b", "doc b", [0.0, 1.0, 0.0, 0.0])],
+        "k string, d string, e array<float>",
+    )
+    coll.add(df, id_col="k", document_col="d", embedding_col="e")
+    assert coll.scan().count() == 2
+    got = coll.get(["a"]).collect()
+    assert len(got) == 1 and got[0]["document"] == "doc a"
+    # create-or-get: second create with exist_ok returns same collection
+    again = Collection.create(spark, "c1", str(tmp_path))
+    assert again.scan().count() == 2
+    with pytest.raises(FileExistsError):
+        Collection.create(spark, "c1", str(tmp_path), exist_ok=False)
+
+
+def test_collection_dim_check_rejects_bad_rows(spark, tmp_path):
+    coll = Collection.create(spark, "c2", str(tmp_path), dim=4)
+    df = spark.createDataFrame(
+        [("a", "ok", [1.0, 0.0, 0.0, 0.0]), ("b", "bad", [1.0, 0.0])],
+        "k string, d string, e array<float>",
+    )
+    coll.add(df, id_col="k", document_col="d", embedding_col="e")
+    rows = coll.scan().collect()
+    assert {r["id"] for r in rows} == {"a"}  # wrong-dim row filtered
+
+
+def test_collection_uuid_ids_generated(spark, tmp_path):
+    coll = Collection.create(spark, "c3", str(tmp_path))
+    df = spark.createDataFrame(
+        [("x", [1.0]), ("y", [2.0])], "document string, embedding array<float>"
+    )
+    coll.add(df)
+    ids = [r["id"] for r in coll.scan().select("id").collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2
+    assert all(len(i) == 36 for i in ids)  # uuid format
+
+
+def test_encrypted_collection_scan_reveals_nothing(spark, tmp_path):
+    key = "0123456789abcdef"
+    coll = Collection.create(spark, "sec", str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "secret text", [1.5, 2.5])],
+        "doc_id long, document string, embedding array<float>",
+    )
+    coll.add_encrypted(df, key, id_col="doc_id")
+    leaked = coll.extract_encrypted().collect()
+    assert len(leaked) == 1
+    ct = leaked[0]["embedding_ct"]
+    assert ct is not None and "1.5" not in ct and "secret" not in ct
+    stored_doc = coll.scan().select("document").collect()[0][0]
+    assert "secret" not in stored_doc  # document ciphertext, base64
+    dec = coll.decrypt(key).collect()[0]
+    assert dec["document"] == "secret text"
+    assert dec["embedding"] == [1.5, 2.5]
