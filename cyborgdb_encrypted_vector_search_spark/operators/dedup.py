@@ -162,6 +162,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_duplicates_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via per-block BLAS: group by the blocking key
+    (IVF centroid / LSH bucket / label), compute the full within-block
+    cosine matrix with one numpy matmul per block inside applyInPandas,
+    emit pairs >= threshold.
+
+    Why not the pure-expression join: Spark's higher-order-function
+    folds are interpreted (excluded from whole-stage codegen), so at
+    ~200k pairs the JVM fold loses to one Arrow transfer + BLAS. Blocks
+    are bounded by construction (that's what the blocking key is for),
+    so per-task memory is bounded too — this is the 100 TB shape.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        safe = np.where(norms == 0, 1.0, norms)
+        unit = mat / safe[:, None]
+        sims = unit @ unit.T
+        zero = norms == 0
+        sims[zero, :] = -1.0
+        sims[:, zero] = -1.0
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cs = np.round(sims[iu, ju], 7)
+        keep = cs >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos": cs[keep]})
+
+    return (
+        embeddings.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, out_schema)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

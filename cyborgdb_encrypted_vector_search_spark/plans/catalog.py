@@ -624,28 +624,8 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN module, a k-means centroid id). Turns O(n^2) into
     O(sum bucket^2) — the 100 TB pattern."""
     emb = load(spark, "embeddings", sf_dir)
-    un = V.with_unit_vectors(
-        emb.select("vec_id", "label", "embedding"), "embedding"
-    )
-    a = un.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("__la"),
-        F.col("unit").alias("__ua"),
-        F.col("vnorm").alias("__na"),
-    )
-    b = un.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("__lb"),
-        F.col("unit").alias("__ub"),
-        F.col("vnorm").alias("__nb"),
-    )
-    return (
-        a.join(b, (F.col("__la") == F.col("__lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn(
-            "cos", F.round(V.unit_cosine("__ua", "__ub", "__na", "__nb"), 7)
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", "cos")
+    return dedup.embedding_near_duplicates_blocked(
+        emb, block_col="label", threshold=0.3
     )
 
 
