@@ -1626,5 +1626,105 @@ def collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# OLAP breadth: percentiles, LIKE/regex predicates, CUBE, k-means build
+# ----------------------------------------------------------------------
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median / p90 / p99) per group —
+    both engines use linear interpolation over the sorted values, so
+    results agree bit-for-bit at 6dp. At cluster scale swap
+    percentile_approx (t-digest) for the exact sort."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    )
+
+
+@query(
+    "q_like_regex_filter",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%red%'
+      AND regexp_matches(p_type, '(ECONOMY|SMALL)')
+      AND p_brand NOT LIKE 'Brand#1%'
+    """,
+)
+def q_like_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE / regex predicate coverage (absent from the
+    reference, SURVEY.md §2.2; built-in when generalizing). String
+    predicates evaluate inside the scan filter — pushed where the
+    source supports it, codegen'd otherwise."""
+    p = load(spark, "part", sf_dir)
+    return p.filter(
+        F.col("p_name").like("%red%")
+        & F.col("p_type").rlike("(ECONOMY|SMALL)")
+        & ~F.col("p_brand").like("Brand#1%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "q_cube_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set coverage: all 2^2 grouping combinations in one
+    pass (Catalyst expands to a single Expand + hash aggregate)."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query("ann_ivf_kmeans_build", None)
+def ann_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF build path: seeded MLlib k-means centroids +
+    corpus assignment histogram. Deterministic per Spark version (seeded)
+    but not SQL-replicable — rows-only check; recall vs exact kNN is
+    pinned in tests/test_ann_collections.py."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = A.kmeans_centroids(emb, k=8, seed=42)
+    assigned = A.assign_centroids(emb.select("vec_id", "embedding"), cent)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

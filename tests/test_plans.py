@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale-critical physical properties
+(SURVEY.md §4) must survive refactors. These assert on .explain output,
+so a change that silently de-optimizes a plan fails here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return entries()
+
+
+def test_flagship_is_topk_with_broadcast_target(spark, sf_dir, cat):
+    df = cat["knn_topk_cosine"].fn(spark, sf_dir)
+    X.assert_in_plan(df, "TakeOrderedAndProject", "BroadcastNestedLoopJoin")
+    # no wide exchange: corpus side never shuffles
+    X.assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_batch_knn_rank_limit_is_partial(spark, sf_dir, cat):
+    df = cat["knn_batch_topk"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    partial = plan.index("Partial")
+    assert "WindowGroupLimit" in plan
+    # partial window-group-limit must appear below (after, in tree print
+    # order) the exchange — per-partition top-k before the shuffle
+    assert "Exchange" in plan[: plan.rindex("WindowGroupLimit")]
+    assert partial > 0
+
+
+def test_point_get_pushes_filter_to_scan(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    df = emb.filter(F.col("vec_id") == 42).select("vec_id")
+    plan = X.physical_plan(df)
+    assert "PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,42)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    df = li.groupBy("l_returnflag").count()
+    cols = X.scan_columns(df)
+    assert cols == ["l_returnflag"]  # 1 of 11 columns read
+
+
+def test_dim_joins_broadcast(spark, sf_dir, cat):
+    df = cat["q5_nation_revenue"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_global_topk_never_full_sorts(spark, sf_dir, cat):
+    df = cat["q3_top_unshipped_orders"].fn(spark, sf_dir)
+    X.assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_filter_evaluates_before_join(spark, sf_dir):
+    # selective dim filter must sit under the join, not above it
+    c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, "orders", sf_dir)
+    df = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select("o_orderkey")
+    plan = X.physical_plan(df)
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
