@@ -96,9 +96,16 @@ def knn_join(
             unit_col="__qunit",
             norm_col="__qnorm",
         ).drop("__qvec")
-        cn = V.with_unit_vectors(
-            corpus, corpus_vec_col, unit_col="__cunit", norm_col="__cnorm"
-        )
+        if {"unit", "vnorm"} <= set(corpus.columns):
+            # corpus already carries the materialized unit projection
+            # (registry.unit_embeddings) — reuse, don't recompute
+            cn = corpus.withColumnRenamed("unit", "__cunit").withColumnRenamed(
+                "vnorm", "__cnorm"
+            )
+        else:
+            cn = V.with_unit_vectors(
+                corpus, corpus_vec_col, unit_col="__cunit", norm_col="__cnorm"
+            )
         joined = cn.crossJoin(F.broadcast(qn)).withColumn(
             score_col,
             V.unit_cosine("__cunit", "__qunit", "__cnorm", "__qnorm"),

@@ -85,9 +85,10 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject(3) → broadcast join to documents. No wide
     shuffle at any corpus size.
     """
-    emb = load(spark, "embeddings", sf_dir)
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+
     docs = load(spark, "documents", sf_dir)
-    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    un = unit_embeddings(spark, sf_dir)
     target = un.filter(F.col("vec_id") == 42).select(
         F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn")
     )
@@ -179,13 +180,15 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General kNN join: 10 query vectors x corpus, top-3 each
     (reference src/cod.py:124-129 generalized to a query batch).
     Broadcast the query side; WindowGroupLimit keeps the rank partial."""
-    emb = load(spark, "embeddings", sf_dir)
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+
+    emb = unit_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     res = knn.knn_join(
         queries,
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "unit", "vnorm"),
         k=3,
         query_id_col="query_id",
         query_vec_col="query_vec",
@@ -912,14 +915,17 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_probe_topk",
     f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+    WITH un AS ({_UNIT_EMB}),
+    bucketed AS (
+      SELECT un.vec_id, un.unit, un.nrm,
+             {_ann.sql_lsh_bucket('e.embedding', _PLANES)} AS bucket
+      FROM un JOIN embeddings e ON un.vec_id = e.vec_id
     ),
     target AS (
-      SELECT embedding AS t, bucket AS tb FROM bucketed WHERE vec_id = 42
+      SELECT unit AS tu, nrm AS tn, bucket AS tb FROM bucketed WHERE vec_id = 42
     )
     SELECT b.vec_id AS vec_id,
-           round({V.sql_cosine('b.embedding', 't.t')}, 7) AS score
+           round({V.sql_unit_cosine('b.unit', 't.tu', 'b.nrm', 't.tn')}, 7) AS score
     FROM bucketed b CROSS JOIN target t
     WHERE b.bucket = t.tb
     ORDER BY score DESC, vec_id ASC LIMIT 3
@@ -930,14 +936,20 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target's bucket (a pushed-down equality filter — at scale, a
     partition/cluster key), then exact cosine rank within. ~256x less
     scoring than brute force at 8 planes."""
-    emb = load(spark, "embeddings", sf_dir)
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+
+    emb = unit_embeddings(spark, sf_dir)
     bucketed = _ann.with_lsh_buckets(emb, "embedding", n_planes=8, seed=7, dim=64)
     target = bucketed.filter(F.col("vec_id") == 42).select(
-        F.col("embedding").alias("__t"), F.col("bucket").alias("__tb")
+        F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn"),
+        F.col("bucket").alias("__tb"),
     )
     return (
         bucketed.join(F.broadcast(target), F.col("bucket") == F.col("__tb"))
-        .select("vec_id", F.round(V.cosine("embedding", "__t"), 7).alias("score"))
+        .select(
+            "vec_id",
+            F.round(V.unit_cosine("unit", "__tu", "vnorm", "__tn"), 7).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(3)
     )
@@ -971,8 +983,9 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate reduction vs brute force with far better recall than a
     single-bucket probe). On a bucket-partitioned layout the probe join
     is partition pruning."""
-    emb = load(spark, "embeddings", sf_dir)
-    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+
+    un = unit_embeddings(spark, sf_dir)
     bucketed = un.withColumn(
         "bucket", _ann.lsh_bucket("embedding", _PLANES)
     ).select("vec_id", "unit", "vnorm", "bucket")
@@ -1341,9 +1354,10 @@ def knn_prompt_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerated prompt via concat + ordered collect_list. The LLM call
     itself stays stubbed (it is commented out in the reference too,
     src/cod.py:161-173); prompt construction is the F6 operator."""
-    emb = load(spark, "embeddings", sf_dir)
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+
     docs = load(spark, "documents", sf_dir)
-    un = V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding")
+    un = unit_embeddings(spark, sf_dir)
     target = un.filter(F.col("vec_id") == 42).select(
         F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn")
     )
@@ -1723,6 +1737,120 @@ def ann_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("centroid_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# Sources (S1 text-line reader), stateful streaming, skew-salted join,
+# approximate sketches
+# ----------------------------------------------------------------------
+
+@query(
+    "source_text_lines",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           min({H.sql_fingerprint_md5('text')}) AS min_fp,
+           max({H.sql_fingerprint_md5('text')}) AS max_fp
+    FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: newline-delimited text-file source (the reference's corpus
+    reader, src/main.py:6-9: open → readlines → strip). The documents
+    table round-trips through an actual text file under /tmp, then
+    spark.read.text + trim re-ingests it; the oracle profiles the same
+    corpus straight from the table — proving the file reader is
+    lossless."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    rows = [r["text"] for r in docs.orderBy("doc_id").collect()]
+    tag = _hl.md5(("\n".join(rows) + sf_dir).encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"corpus_{tag}.txt")
+    if not _os.path.exists(path):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(f"  {t}  " for t in rows) + "\n")
+    lines = spark.read.text(path).select(
+        F.trim(F.col("value")).alias("text")
+    )
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min(H.fingerprint_md5(F.col("text"))).alias("min_fp"),
+        F.max(H.fingerprint_md5(F.col("text"))).alias("max_fp"),
+    )
+
+
+@query(
+    "streaming_stateful_user_counts",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    via applyInPandasWithState (arbitrary state, not a built-in agg).
+    Final state over the finite stream must equal the batch GROUP BY —
+    the same differential claim as the windowed-count query, now for
+    user-managed state."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    counts = S.stateful_user_counts(stream)
+    # update-mode memory sink: last emitted row per user is the final count
+    result = S.run_stream_to_batch(spark, counts, output_mode="update")
+    return (
+        result.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@query(
+    "q_skew_salted_join",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: the fact side is salted (key, salt) and
+    the dim side replicated across all salts, so one hot key spreads
+    over N tasks instead of one straggler. Differential claim: the
+    salted join computes exactly the plain join's result. (AQE skew-join
+    handles this adaptively; explicit salting is the belt-and-braces
+    version for deterministic layouts.)"""
+    from cyborgdb_encrypted_vector_search_spark.operators import skew
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    joined = skew.salted_join(
+        o, c, left_key="o_custkey", right_key="c_custkey", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query("q_approx_sketches", None)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch path: approx_count_distinct (HLL++) and
+    percentile_approx (t-digest like) per event_type. Sketch outputs are
+    implementation-specific → rows-only check; the exact twins
+    (q_events_json_agg n_users, q_percentiles) are oracle-gated."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50_value"),
     )
 
 

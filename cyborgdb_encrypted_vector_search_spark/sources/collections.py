@@ -127,6 +127,28 @@ class Collection:
             cols = ["id", *cols]
         return self.scan().select(*cols).filter(F.col("id").isin(ids))
 
+    # -- layouts ---------------------------------------------------------
+    def save_bucketed(
+        self, table_name: str, n_buckets: int = 16, df: DataFrame | None = None
+    ) -> None:
+        """Materialize the collection as a bucketed catalog table
+        (bucketBy id, sorted within buckets).
+
+        Two collections bucketed the same way join on id with NO
+        shuffle on either side (SortMergeJoin over pre-bucketed files) —
+        the layout you give a 100 TB collection that serves id-joins and
+        point-gets. Verified by tests/test_ann_collections.py asserting
+        the join plan has no Exchange.
+        """
+        src = df if df is not None else self.scan()
+        (
+            src.write.mode("overwrite")
+            .bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+
     # -- encrypted variant (reference src/cyborgdb_store.py) -------------
     def add_encrypted(self, df: DataFrame, key: str, **kwargs) -> None:
         """Store with AES-GCM-encrypted embedding + document columns."""

@@ -61,3 +61,30 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for t, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+def unit_embeddings(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The embeddings table with per-row unit vector + norm, cached.
+
+    Every vector query needs (vec_id, embedding, unit, vnorm); this is
+    the engine's materialized 'index column' — computed once per
+    session per sf_dir, shared across queries via a cached temp view.
+    At cluster scale this is a maintained projection/materialized view
+    next to the base table, not a per-query recompute.
+    """
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = "unit_embeddings_" + "".join(
+        c if c.isalnum() else "_" for c in d
+    )
+    existing = [t.name for t in spark.catalog.listTables() if t.name == view]
+    if existing:
+        return spark.table(view)
+    un = V.with_unit_vectors(
+        load(spark, "embeddings", d).select("vec_id", "label", "embedding"),
+        "embedding",
+    )
+    un.createOrReplaceTempView(view)
+    spark.catalog.cacheTable(view)
+    return spark.table(view)

@@ -125,6 +125,43 @@ def stream_append_to_collection(
     q.awaitTermination()
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState — the 'arbitrary user-managed state' API
+    (the shape a custom online aggregate / dedup-by-key / CEP operator
+    takes when the built-in aggregations can't express it).
+
+    Emits (user_id, n_events) on every update; over a finite stream the
+    max per user equals the batch GROUP BY count (the gate's claim).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        new = sum(len(pdf) for pdf in pdfs)
+        (count,) = state.get if state.exists else (0,)
+        count += new
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (gap-based), batch or streaming.
 

@@ -126,6 +126,45 @@ def test_collection_uuid_ids_generated(spark, tmp_path):
     assert all(len(i) == 36 for i in ids)  # uuid format
 
 
+def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    coll = Collection.create(spark, "cb", str(tmp_path), dim=2)
+    df = spark.createDataFrame(
+        [(str(i), f"doc {i}", [float(i), 0.0]) for i in range(50)],
+        "k string, d string, e array<float>",
+    )
+    coll.add(df, id_col="k", document_col="d", embedding_col="e")
+    import uuid
+
+    ta, tb = f"cb_a_{uuid.uuid4().hex[:8]}", f"cb_b_{uuid.uuid4().hex[:8]}"
+    coll.save_bucketed(ta, n_buckets=4)
+    coll.save_bucketed(tb, n_buckets=4)
+    a, b = spark.table(ta), spark.table(tb)
+    # force the shuffle-join path (AQE would broadcast 50 rows) so the
+    # bucketing property is what's under test
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "id").select(a["id"])
+        plan = X.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing co-locates
+        assert joined.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.operators import skew
+
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    plain = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    salted = skew.salted_join(o, c, "o_custkey", "c_custkey", n_salts=5).count()
+    assert plain == salted
+
+
 def test_encrypted_collection_scan_reveals_nothing(spark, tmp_path):
     key = "0123456789abcdef"
     coll = Collection.create(spark, "sec", str(tmp_path))
