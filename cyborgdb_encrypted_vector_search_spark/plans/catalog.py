@@ -1854,5 +1854,69 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vector_dim_stats",
+    """
+    SELECT dim_idx,
+           round(avg(v), 7) AS avg_v,
+           round(min(v), 7) AS min_v,
+           round(max(v), 7) AS max_v
+    FROM (
+      SELECT CAST(t.i AS INT) - 1 AS dim_idx,
+             (embedding[t.i])::DOUBLE AS v
+      FROM embeddings, range(1, 9) t(i)
+    )
+    GROUP BY dim_idx
+    """,
+)
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 positional zip/explode: posexplode flattens (position, value)
+    pairs out of the embedding array — the index-aligned join the
+    reference does with Python zip (src/chromadb_store.py:7) done
+    relationally. Per-dimension profile of the first 8 dims.
+
+    avg is computed as decimal-sum/count for bit-stable parity (float32
+    values are exact in decimal(18,10))."""
+    emb = load(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim_idx", "v")
+    ).filter(F.col("dim_idx") < 8)
+    return exploded.groupBy("dim_idx").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,10)")).cast("double")
+            / F.count(F.lit(1)),
+            7,
+        ).alias("avg_v"),
+        F.round(F.min(F.col("v").cast("double")), 7).alias("min_v"),
+        F.round(F.max(F.col("v").cast("double")), 7).alias("max_v"),
+    )
+
+
+@query(
+    "q_argmax_order",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           round(max(o_totalprice), 4) AS biggest_total
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY o_custkey
+    """,
+)
+def q_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 argmax: max_by — the 'best row per group' primitive the
+    reference implements as sort-then-[0] (src/app.py:136-139). One hash
+    aggregate, no sort, no window."""
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 4).alias("biggest_total"),
+        )
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
