@@ -28,16 +28,23 @@ HEADLINE = [
     "knn_topk_cosine",
     "knn_batch_topk",
     "ann_lsh_probe_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_search_topk",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_simhash",
     "dedup_embedding_neardup",
     "text_profile",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
     "q_window_top_orders_per_cust",
+    "q_window_running_total",
     "q_events_json_agg",
+    "q_events_sessionization",
+    "q_percentiles",
+    "q_cube_lineitem",
+    "multimodal_features",
 ]
 
 

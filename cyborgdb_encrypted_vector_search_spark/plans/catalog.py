@@ -1660,10 +1660,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     results agree bit-for-bit at 6dp. At cluster scale swap
     percentile_approx (t-digest) for the exact sort."""
     li = load(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    # both price percentiles from ONE percentile() call (one sort of the
+    # price column per group instead of two)
+    pp = F.percentile("l_extendedprice", F.array(F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+            pp.alias("__pp"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_qty",
+            F.round(F.col("__pp")[0], 6).alias("p90_price"),
+            F.round(F.col("__pp")[1], 6).alias("p99_price"),
+        )
     )
 
 
@@ -1914,6 +1925,118 @@ def q_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
             F.round(F.max("o_totalprice"), 4).alias("biggest_total"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a left-semi join against the
+    fact table, then a small aggregate. The semi join shuffles once on
+    orderkey; lineitem never materializes beyond the join keys."""
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus AS l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation over a fact-fact
+    join — pivot-style counting without a pivot operator."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share — broadcast dim join +
+    two conditional decimal sums divided in double."""
+    l = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct")
         )
     )
 
