@@ -38,6 +38,8 @@ from cyborgdb_encrypted_vector_search_spark.functions import vector as V
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic unit hyperplanes (seeded Gaussian, rounded so the
     exact same literals can be embedded in oracle SQL)."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62] for a bigint bucket, got {n_planes}")
     rng = np.random.RandomState(seed)
     h = rng.randn(n_planes, dim)
     h /= np.linalg.norm(h, axis=1, keepdims=True)

@@ -94,6 +94,10 @@ def lsh_candidate_pairs(
     The join key is the band hash, so co-bucketed docs collide without
     any pairwise scan. Returns (doc_a, doc_b).
     """
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands})"
+        )
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(df, id_col, text_col, shingle_len, num_hashes)
     banded = sig.select(
@@ -160,6 +164,47 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) via explode → codegen projection → hash aggregate.
+
+    Equivalent to functions.hashing.simhash32 but restructured for
+    scale: instead of 32 *interpreted* array folds per row (higher-order
+    functions don't codegen), each token becomes a row with 32 cheap
+    bit-contribution columns (whole-stage codegen'd int ops), then one
+    map-side-partial aggregation per document sums them and packs the
+    sign bits. Integer sums are order-independent, so results are
+    bit-identical to the fold formulation and the SQL oracle.
+    """
+    from cyborgdb_encrypted_vector_search_spark.functions import text as X
+
+    # explode_outer: token-less documents keep one null row -> null
+    # contributions -> all-zero sums -> simhash 0, matching the fold
+    # formulation (list_sum over empty -> NULL -> bit 0) row-for-row.
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(X.tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__h", F.md5("__tok"))
+    contribs = []
+    for j in range(32):
+        p, b = j // 4 + 1, j % 4
+        val = F.instr(F.lit("0123456789abcdef"), F.substring("__h", p, 1)) - 1
+        contribs.append(
+            (F.shiftright(val, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")
+        )
+    contrib_df = toks.select(F.col(id_col), *contribs)
+    agg = contrib_df.groupBy(id_col).agg(
+        *[F.sum(f"__b{j}").alias(f"__s{j}") for j in range(32)]
+    )
+    fingerprint = F.lit(0).cast("bigint")
+    for j in range(32):
+        fingerprint = fingerprint + F.when(
+            F.col(f"__s{j}") > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0)).cast("bigint")
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def embedding_near_duplicates_blocked(

@@ -56,6 +56,8 @@ def topk_against_target(
     Plans as TakeOrderedAndProject (per-partition heap of k, merge on
     driver) — no global sort even over a 100 TB corpus.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     scored = score_against_target(corpus, target, embedding_col, score_col)
     return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
 
@@ -83,6 +85,8 @@ def knn_join(
     per-partition partial, so the shuffle carries only candidate
     survivors, not the full cross product.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     asc = metric != "cosine"  # cosine: higher is better; distances: lower
     if metric == "cosine":
         # Pre-normalize both sides once per ROW so the pairwise score is

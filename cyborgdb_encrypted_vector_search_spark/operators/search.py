@@ -284,3 +284,39 @@ def merge_results(evo: DataFrame, greedy: DataFrame, top_n: int = 30) -> DataFra
         .orderBy(F.desc("score"), F.asc("text"))
         .limit(top_n)
     )
+
+
+def invert_embedding(
+    spark: SparkSession,
+    target_emb: Sequence[float],
+    seed_candidates: Sequence[str],
+    mode: str = "both",
+    seed: int = 0,
+    top_n: int = 30,
+    evo_kwargs: dict | None = None,
+    greedy_kwargs: dict | None = None,
+) -> DataFrame:
+    """The reference's full inversion entry point (src/app.py:231-255):
+    run evolutionary and/or greedy search against a target embedding and
+    merge the result sets (``--mode evo|greedy|both``, default both).
+    """
+    if mode not in ("evo", "greedy", "both"):
+        raise ValueError(f"mode must be evo|greedy|both, got {mode!r}")
+    parts = []
+    if mode in ("evo", "both"):
+        parts.append(
+            evolutionary_search(
+                spark, target_emb, seed_candidates, seed=seed, top_n=top_n,
+                **(evo_kwargs or {}),
+            )
+        )
+    if mode in ("greedy", "both"):
+        parts.append(
+            greedy_search(
+                spark, target_emb, seed_candidates, seed=seed, top_n=top_n,
+                **(greedy_kwargs or {}),
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return merge_results(parts[0], parts[1], top_n)

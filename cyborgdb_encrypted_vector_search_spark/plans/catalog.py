@@ -1293,13 +1293,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming <= 3). Complements MinHash: keys on token multiset, not shingle
     order."""
     corpus = _corpus2x(spark, sf_dir, near=True)
-    hashed = corpus.select(
-        "doc_id",
-        F.transform(X.tokens(F.col("text")), lambda t: F.md5(t)).alias("__ht"),
-    )
-    fps = hashed.select(
-        "doc_id", H.simhash32(F.col("__ht")).alias("simhash")
-    ).persist()
+    # explode->codegen->aggregate formulation (dedup.simhash_fingerprints):
+    # bit-identical to the fold version, ~3x faster (no interpreted HOFs)
+    fps = dedup.simhash_fingerprints(corpus, "doc_id", "text").persist()
     blocked = fps.select(
         "doc_id",
         "simhash",
@@ -2039,6 +2035,90 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct")
         )
     )
+
+
+@query("search_invert_both", None)
+def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full --mode both inversion flow (src/app.py:
+    231-255): evolutionary + greedy against the same target, merged via
+    union -> keep-max -> top-n (I3+I4). Reduced budgets for the gate."""
+    from cyborgdb_encrypted_vector_search_spark.operators import search as S
+
+    target, seeds = _search_target(spark, sf_dir)
+    return S.invert_embedding(
+        spark,
+        target,
+        seeds,
+        mode="both",
+        seed=0,
+        top_n=10,
+        evo_kwargs={"pop_size": 12, "generations": 3},
+        greedy_kwargs={"restarts": 3, "iters": 15},
+    )
+
+
+@query(
+    "ann_ivf_layout_search",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    target AS (SELECT embedding AS t FROM embeddings WHERE vec_id = 42),
+    probes AS (
+      SELECT c.centroid_id FROM cent c CROSS JOIN target t
+      ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+          i -> ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE)
+             * ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE)))),
+        c.centroid_id
+      LIMIT 2
+    )
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_cosine('a.embedding', 't.t')}, 7) AS score
+    FROM assigned a CROSS JOIN target t
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+    ORDER BY score DESC, vec_id ASC LIMIT 3
+    """,
+)
+def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a MATERIALIZED centroid-partitioned Parquet
+    layout: the assignment is written once per sf as
+    ``centroid_id=N/`` partition directories (build_ivf_layout), and the
+    probe query reads the partitioned table — the centroid IN-filter is
+    satisfied by partition pruning before any file IO (PartitionFilters
+    in the scan; zero bytes read from unprobed partitions). Same
+    semantics as ann_ivf_assign + ann_ivf_search_topk, so the oracle is
+    shared."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"ivf_layout_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        A.build_ivf_layout(emb.select("vec_id", "embedding"), cent, path)
+    table = spark.read.parquet(path)
+    target = [
+        r["embedding"] for r in emb.filter(F.col("vec_id") == 42).collect()
+    ][0]
+    res = A.ivf_search(table, cent, target, k=3, nprobe=2)
+    return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
 def entries() -> dict[str, CatalogEntry]:

@@ -83,13 +83,19 @@ def run_stream_to_batch(
     spark: SparkSession,
     streaming_df: DataFrame,
     output_mode: str = "complete",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming aggregation over the finite source with an
     availableNow trigger into a memory sink; return the final result as
     a batch DataFrame. This is the bridge the correctness gate uses to
-    compare streaming semantics against the batch oracle."""
+    compare streaming semantics against the batch oracle.
+
+    Pass an explicit ``checkpoint`` to resume across calls — watermark
+    and state persist, so a second run sees only NEW files with the
+    prior run's watermark active (how the late-data test works).
+    """
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)

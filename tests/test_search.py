@@ -98,6 +98,40 @@ def test_greedy_replays_and_beats_seed(spark, target_and_seeds):
     assert len(r1) >= 1
 
 
+def test_invert_embedding_modes(spark, target_and_seeds):
+    target, seeds = target_and_seeds
+    small = {"pop_size": 8, "generations": 2}
+    gsmall = {"restarts": 2, "iters": 8}
+    both = S.invert_embedding(
+        spark, target, seeds, mode="both", seed=5, top_n=5,
+        evo_kwargs=small, greedy_kwargs=gsmall,
+    ).collect()
+    evo = S.invert_embedding(
+        spark, target, seeds, mode="evo", seed=5, top_n=5, evo_kwargs=small
+    ).collect()
+    assert len(both) >= 1 and len(evo) >= 1
+    with pytest.raises(ValueError):
+        S.invert_embedding(spark, target, seeds, mode="bogus")
+
+
+def test_operator_validations(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import ann, dedup, knn
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        knn.topk_against_target(df, [1.0, 0.0], k=0)
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        knn.knn_join(q, df, k=-1)
+    with pytest.raises(ValueError, match="metric"):
+        knn.knn_join(q, df, k=1, metric="manhattan")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(docs, num_hashes=8, num_bands=3)
+    with pytest.raises(ValueError, match="n_planes"):
+        ann.hyperplanes(64, 63)
+
+
 def test_merge_keeps_max_per_text(spark):
     evo = spark.createDataFrame([("a", 0.5), ("b", 0.9)], "text string, score double")
     gr = spark.createDataFrame([("a", 0.7), ("c", 0.1)], "text string, score double")
