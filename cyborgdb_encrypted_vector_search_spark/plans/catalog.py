@@ -2121,5 +2121,67 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
+@query(
+    "q_pivot_status_priority",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priorities become columns per status row. Explicit pivot
+    values keep the plan a single pass (no distinct-values pre-query)."""
+    o = load(spark, "orders", sf_dir)
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).cast("bigint").alias("urgent"),
+        F.coalesce(F.col("2-HIGH"), F.lit(0)).cast("bigint").alias("high"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).cast("bigint").alias("medium"),
+        F.coalesce(F.col("4-NOT SPECIFIED"), F.lit(0)).cast("bigint").alias("notspec"),
+        F.coalesce(F.col("5-LOW"), F.lit(0)).cast("bigint").alias("low"),
+    )
+
+
+@query(
+    "streaming_dedup_count",
+    """
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the stream is deliberately doubled
+    (every event arrives twice) and dropDuplicates('event_id') must
+    restore exactly the batch distinct counts. State is one key per
+    event_id bounded by the watermark — the streaming-ingest dedup every
+    at-least-once pipeline needs."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    doubled = stream.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return S.run_stream_to_batch(spark, counts, output_mode="complete")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

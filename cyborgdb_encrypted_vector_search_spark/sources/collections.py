@@ -127,6 +127,51 @@ class Collection:
             cols = ["id", *cols]
         return self.scan().select(*cols).filter(F.col("id").isin(ids))
 
+    # -- batch maintenance (append/compact model; online CRUD is an
+    #    explicit non-goal — SURVEY.md §7 hard parts (d)) ---------------
+    def compact(self, target_partitions: int = 8) -> int:
+        """Rewrite the collection into ``target_partitions`` files.
+
+        Batch appends accumulate small files (each ``add`` writes >=1);
+        periodic compaction restores scan efficiency. Write-then-swap:
+        the new layout lands in a staging dir and replaces the old one
+        only after a successful write, so readers never see a partial
+        table. Returns the row count."""
+        import shutil
+
+        staged = self.path + ".compacting"
+        df = self.scan().repartition(target_partitions)
+        n = df.count()
+        df.write.mode("overwrite").parquet(staged)
+        old = self.path + ".old"
+        shutil.move(self.path, old)
+        shutil.move(staged, self.path)
+        shutil.rmtree(old)
+        return n
+
+    def delete(self, ids: list[str]) -> int:
+        """Batch delete by id: rewrite-without (anti-join), swap in.
+
+        The batch model's delete — a filter-and-rewrite job, not an
+        in-place mutation. Returns rows remaining."""
+        import shutil
+
+        keep = self.scan().filter(~F.col("id").isin(ids))
+        staged = self.path + ".deleting"
+        n = keep.count()
+        keep.write.mode("overwrite").parquet(staged)
+        old = self.path + ".old"
+        shutil.move(self.path, old)
+        shutil.move(staged, self.path)
+        shutil.rmtree(old)
+        return n
+
+    def upsert(self, df: DataFrame, id_col: str = "id", **kwargs) -> None:
+        """Batch upsert: delete incoming ids, then append the new rows."""
+        ids = [r[0] for r in df.select(F.col(id_col).cast("string")).collect()]
+        self.delete(ids)
+        self.add(df, id_col=id_col, **kwargs)
+
     # -- layouts ---------------------------------------------------------
     def save_bucketed(
         self, table_name: str, n_buckets: int = 16, df: DataFrame | None = None

@@ -126,6 +126,35 @@ def test_collection_uuid_ids_generated(spark, tmp_path):
     assert all(len(i) == 36 for i in ids)  # uuid format
 
 
+def test_collection_compact_delete_upsert(spark, tmp_path):
+    import os
+
+    coll = Collection.create(spark, "cm", str(tmp_path), dim=2)
+    for i in range(4):  # 4 separate appends -> >=4 files
+        df = spark.createDataFrame(
+            [(str(i), f"doc {i}", [float(i), 0.0])],
+            "k string, d string, e array<float>",
+        )
+        coll.add(df, id_col="k", document_col="d", embedding_col="e")
+    files_before = len([f for f in os.listdir(coll.path) if f.endswith(".parquet")])
+    n = coll.compact(target_partitions=1)
+    files_after = len([f for f in os.listdir(coll.path) if f.endswith(".parquet")])
+    assert n == 4 and files_after < files_before
+    assert coll.scan().count() == 4
+
+    remaining = coll.delete(["0", "2"])
+    assert remaining == 2
+    assert {r["id"] for r in coll.scan().collect()} == {"1", "3"}
+
+    up = spark.createDataFrame(
+        [("1", "doc 1 v2", [9.0, 9.0]), ("5", "doc 5", [5.0, 0.0])],
+        "id string, d string, e array<float>",
+    )
+    coll.upsert(up, id_col="id", document_col="d", embedding_col="e")
+    rows = {r["id"]: r["document"] for r in coll.scan().collect()}
+    assert rows == {"1": "doc 1 v2", "3": "doc 3", "5": "doc 5"}
+
+
 def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
     from cyborgdb_encrypted_vector_search_spark.plans import explain as X
 
