@@ -32,12 +32,15 @@ HEADLINE = [
     "ann_ivf_search_topk",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
-    "dedup_simhash",
+    "dedup_simhash_groups",
     "dedup_embedding_neardup",
     "text_profile",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "q_window_top_orders_per_cust",
     "q_window_running_total",
     "q_events_json_agg",

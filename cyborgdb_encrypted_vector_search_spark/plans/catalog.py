@@ -1292,6 +1292,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole when blocks are 8 bits... candidates verified by exact
     Hamming <= 3). Complements MinHash: keys on token multiset, not shingle
     order."""
+    return _simhash_pairs(spark, sf_dir)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup candidate pairs, verified."""
     corpus = _corpus2x(spark, sf_dir, near=True)
     # explode->codegen->aggregate formulation (dedup.simhash_fingerprints):
     # bit-identical to the fold version, ~3x faster (no interpreted HOFs)
@@ -1316,6 +1321,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+      WITH corpus AS ({_CORPUS2X_NEAR_SQL}),
+      hashed AS (
+        SELECT doc_id, {_HASHED_TOKENS} AS ht FROM corpus
+      ),
+      fps AS (
+        SELECT doc_id, {{simhash}} AS simhash FROM hashed
+      ),
+      blocked AS (
+        SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS blk FROM fps
+      ),
+      keyed AS (
+        SELECT doc_id, simhash, blk,
+               (simhash >> (blk * 8)) & 255 AS blk_key
+        FROM blocked
+      ),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM keyed l JOIN keyed r
+          ON l.blk = r.blk AND l.blk_key = r.blk_key AND l.doc_id < r.doc_id
+        WHERE {{hamming}} <= 3
+      )
+"""
+
+
+@query(
+    "dedup_simhash_groups",
+    _SIMHASH_PAIRS_SQL.format(
+        simhash=H.sql_simhash32("ht"),
+        hamming=H.sql_hamming32("l.simhash", "r.simhash"),
+    )
+    + """
+    , cand AS (
+      SELECT doc_b AS doc, min(doc_a) AS mn FROM pairs GROUP BY doc_b
+    ),
+    reps AS (
+      SELECT c.doc_id AS doc, coalesce(k.mn, c.doc_id) AS rep
+      FROM corpus c LEFT JOIN cand k ON c.doc_id = k.doc
+    )
+    SELECT rep, CAST(count(*) AS BIGINT) AS n_docs
+    FROM reps GROUP BY rep HAVING count(*) > 1
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group formation over the SimHash pair graph: each doc's
+    representative is its smallest verified neighbor (one step of
+    min-label propagation — doc_a < doc_b makes min(doc_a) the stable
+    choice), then groups of size > 1 are the duplicate clusters. Same
+    fingerprint + blocking + Hamming-verify compute as dedup_simhash,
+    but emits the pipeline's actual deliverable (cluster reps + sizes,
+    O(groups) rows) instead of the O(pairs) intermediate — at 100 TB the
+    pair set is far too large to hand back to a driver."""
+    pairs = _simhash_pairs(spark, sf_dir)
+    cand = (
+        pairs.groupBy("doc_b")
+        .agg(F.min("doc_a").alias("mn"))
+        .withColumnRenamed("doc_b", "doc")
+    )
+    ids = _corpus2x(spark, sf_dir, near=True).select("doc_id")
+    reps = ids.join(cand, ids["doc_id"] == cand["doc"], "left").select(
+        F.coalesce(cand["mn"], ids["doc_id"]).alias("rep")
+    )
+    return (
+        reps.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
     )
 
 
@@ -2033,6 +2107,239 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev).cast("double"),
                 6,
             ).alias("promo_share_pct")
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate pushes to
+    the parquet reader (range on shipdate/discount/quantity), no
+    shuffle beyond the single-row final agg. The canonical test that
+    pushdown + whole-stage codegen are working; dates shifted to the
+    testdata's 1995-2001 span."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue in a quarter.
+    Fact-fact join orders⋈lineitem shuffles on orderkey; customer and
+    nation are broadcast dims; global top-20 plans as
+    TakeOrderedAndProject, never a full sort. Deterministic tiebreak on
+    c_custkey so the LIMIT is stable across engines."""
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders per customer including
+    zero-order customers — LEFT join with a compound on-clause (the
+    filter must live in the join condition, not WHERE, to keep the
+    unmatched rows), count(nullable) then a second small agg over the
+    counts. The filter-in-ON vs filter-in-WHERE distinction is the
+    semantic point pinned here."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+           o.o_orderkey AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice AS o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via an IN-subquery that is
+    itself an aggregate — planned as a semi-join against the
+    grouped-and-filtered lineitem. The qualifying-key set is tiny
+    (p99 of per-order qty is ~260), so it broadcasts; the outer
+    aggregation then only touches the surviving orders."""
+    l = load(spark, "lineitem", sf_dir)
+    qualifying = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, "orders", sf_dir).join(
+        F.broadcast(qualifying),
+        F.col("o_orderkey") == qualifying["l_orderkey"],
+        "left_semi",
+    )
+    c = load(spark, "customer", sf_dir)
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicate. The
+    single-table conjuncts Catalyst can factor out (brand IN (...),
+    size <= 15, quantity <= 30) push to each scan; the cross-table
+    residual evaluates after the broadcast join. Container/shipmode
+    columns don't exist in the testdata, so the brand/size/quantity
+    core of the predicate carries the shape."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
