@@ -299,3 +299,54 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowed document fingerprints: (id, fp) pairs.
+
+    Rolling-hash fingerprinting as used in plagiarism/copy detection
+    (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003): hash every character
+    ``k``-gram of the normalized text, then keep the minimum hash of
+    each window of ``w`` consecutive grams. Any shared substring of
+    length >= k + w - 1 is guaranteed to contribute at least one shared
+    fingerprint, so containment of the fingerprint sets lower-bounds
+    substring overlap.
+
+    Everything stays JVM-side: sequence+explode generates gram
+    positions (whole-stage codegen), md5 hashes the gram, and the
+    rolling min is a rows-frame window partitioned by document — one
+    shuffle on the document id. Hashes are kept as 8-hex-char strings
+    so lexicographic MIN agrees bit-for-bit with the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    norm = df.select(
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= k)
+    grams = norm.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(__t) - {k - 1}), "
+                   f"p -> substring(__t, p, {k}))")
+        ).alias("__p", "__g"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p") + 1).alias("__p"),
+        F.substring(F.md5("__g"), 1, 8).alias("__fp8"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("__p").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.select(
+            F.col(id_col), F.min("__fp8").over(win).alias("fp")
+        )
+        .distinct()
+    )

@@ -1393,6 +1393,108 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowed rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+# SIGMOD 2003): k=8 char grams, window w=4, hashes as 8-hex-char
+# strings so lexicographic MIN matches across engines.
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def _winnow_sql(corpus_sql: str) -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+      WITH corpus AS ({corpus_sql}),
+      norm AS (
+        SELECT doc_id, {H.sql_normalize_text('text')} AS t FROM corpus
+      ),
+      flt AS (SELECT * FROM norm WHERE len(t) >= {k}),
+      grams AS (
+        SELECT doc_id, p,
+               substr(md5(substr(t, CAST(p AS INTEGER), {k})), 1, 8) AS fp8
+        FROM flt, unnest(range(1, len(t) - {k - 2})) AS u(p)
+      ),
+      wm AS (
+        SELECT doc_id,
+               min(fp8) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                 AS fp
+        FROM grams
+      ),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wm)
+"""
+
+
+@query(
+    "text_winnow_profile",
+    _winnow_sql("SELECT doc_id, text FROM documents")
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM fps
+    """,
+)
+def text_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level profile of winnowed rolling-hash fingerprints
+    (document fingerprinting for copy detection). The fingerprint set
+    is ~1/w of the k-gram stream per document, computed with one
+    shuffle (window by doc_id); the profile is a single global agg."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fps = dedup.winnow_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+    return fps.agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.countDistinct("fp").alias("n_distinct_fps"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "dedup_winnow_overlap",
+    _winnow_sql(_CORPUS2X_NEAR_SQL)
+    + """
+    , docfreq AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+    rare AS (
+      SELECT f.doc_id, f.fp FROM fps f
+      JOIN docfreq d ON f.fp = d.fp WHERE d.c <= 10
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 20
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy detection via winnowed-fingerprint inverted index: docs
+    sharing >= 20 rare fingerprints (document frequency <= 10 — the
+    stop-fingerprint filter that keeps template boilerplate from
+    exploding the index join, standard winnowing practice). A shared
+    substring of length >= k+w-1 guarantees a shared fingerprint, so
+    this finds contiguous-copy near-dups that token-multiset methods
+    (SimHash) miss."""
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    fps = dedup.winnow_fingerprints(
+        corpus, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).persist()
+    docfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
+    rare = fps.join(
+        F.broadcast(docfreq.filter(F.col("__c") <= 10)), "fp"
+    ).select("doc_id", "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
+    )
+
+
 @query(
     "knn_prompt_reconstruction",
     f"""
@@ -2340,6 +2442,276 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year. One fact-fact
+    shuffle join (lineitem⋈orders on orderkey); supplier, customer and
+    both nation legs broadcast. The disjunctive nation-pair predicate
+    can't push below the joins — it needs both sides — so it runs as a
+    post-join filter, exactly where Catalyst places it."""
+    l = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n1 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT ship_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                         THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 7) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS ship_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    )
+    GROUP BY ship_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part volume
+    sold into EUROPE, per year — conditional-sum-over-sum after a
+    seven-table join. All dimension legs broadcast; the only shuffle is
+    lineitem⋈orders and the final small agg on year."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n1 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    n1_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("ship_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("ship_year").agg(
+        F.round(
+            F.sum(n1_vol).cast("double") / F.sum("volume").cast("double"), 7
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           rev.total_revenue AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the view-then-max pattern — quarterly revenue
+    per supplier, keep the supplier(s) at the global max. The revenue
+    frame is computed once and reused for both the max (scalar
+    aggregate, broadcast back) and the final equality filter; Spark
+    expresses the reuse as a cached-free double reference the optimizer
+    dedups into one shuffle at this size."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["__mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part average
+    quantity) decorrelated into a groupBy + broadcast join — the
+    classic rewrite Spark's planner applies to correlated scalar
+    subqueries, written out explicitly here: per-part thresholds are a
+    tiny aggregate frame joined back to the brand-filtered fact."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    # per-part threshold over ALL lineitems of that part (not only the
+    # brand-filtered ones) — matches the correlated subquery's scope
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(thresholds), l["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_nationkey AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, summarized per nation. Scalar aggregate subquery (global
+    average) broadcast into the filter + NOT EXISTS planned as a
+    left-anti join against the urgent-order keys. The testdata carries
+    no phone column, so nationkey stands in for the country-code
+    grouping."""
+    c = load(spark, "customer", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    urgent = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("totacctbal"),
         )
     )
 

@@ -151,3 +151,37 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "id long, t string")
     sh = df.select(H.word_shingles("t", 3).alias("s")).collect()[0]["s"]
     assert sh == ["one two"]  # fewer words than n → whole text
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Winnowing guarantee (SIGMOD 2003): a shared substring of length
+    # >= k + w - 1 must contribute at least one shared fingerprint.
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "abcdefghijklmnopqrstuvwxyz"  # len 26 >= k+w-1 = 11
+    df = spark.createDataFrame(
+        [(1, f"prefix one {shared} suffix one"),
+         (2, f"totally different start {shared} and end"),
+         (3, "no overlap with the others at all zzz")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    by_doc = {
+        r["doc_id"]: set(r["s"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("s"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+
+
+def test_winnow_short_doc_filtered(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "long enough to fingerprint")],
+        "doc_id long, text string",
+    )
+    got = winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    assert {r["doc_id"] for r in got.select("doc_id").distinct().collect()} == {2}
