@@ -2716,6 +2716,108 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_events_range_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    per_purchase AS (
+      SELECT p.event_id, count(c.event_id) AS n_recent_clicks
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      GROUP BY p.event_id
+    )
+    SELECT CAST(n_recent_clicks AS BIGINT) AS n_recent_clicks,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM per_purchase GROUP BY 1
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: clicks within the hour before each purchase
+    by the same user. The equi-key (user_id) carries the shuffle — the
+    range predicate evaluates inside each sort-merge group, so cost is
+    O(per-user events), never a cross product. Summarized into a
+    clicks-before-purchase histogram."""
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    per = (
+        p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+            & (c["c_ts"] < p["p_ts"]),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(F.count("c_id").alias("n_recent_clicks"))
+    )
+    return per.groupBy("n_recent_clicks").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+@query(
+    "q_sample_hash",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: keep rows whose key-hash prefix falls
+    under the threshold (26/256). No RNG state — the sample is a pure
+    function of the key, so it is identical across reruns, engines,
+    partitionings, and cluster sizes, and it composes (the same doc is
+    in or out everywhere). This is how reproducible holdouts are cut
+    from 100 TB corpora; rand()-based sampling can't give any of that."""
+    d = load(spark, "documents", sf_dir)
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_sample_stratified",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: fixed quota per stratum (20 per
+    language), selected by hash order so the draw is unbiased w.r.t.
+    the natural data order but fully reproducible. Window top-n per
+    group — Spark >= 3.5 prunes with WindowGroupLimit, so each
+    partition only keeps 20 candidates before the shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
 @query("search_invert_both", None)
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:
