@@ -2818,6 +2818,137 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - 0.6 * p.p_retailprice * l.l_quantity
+                  AS DECIMAL(18,4))) AS DOUBLE), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    matching a name pattern. The testdata has no partsupp, so supply
+    cost is modeled as 60% of p_retailprice — the join/agg shape (LIKE
+    filter on a broadcast dim, fact-fact shuffle, two-level group) is
+    what's exercised."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%ring%"))
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"))
+    )
+
+
+@query(
+    "q16_supplier_breadth",
+    """
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) bucket — distinct-count after a dim filter with
+    an IN-list. partsupp doesn't exist in the testdata, so the
+    supplier-part relation is derived from lineitem, which is the same
+    distinct-agg shape at fact-table scale (two-phase: local distinct
+    sets, then merged)."""
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = load(spark, "lineitem", sf_dir)
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_sole_late_shipper",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+      SELECT l_orderkey, max(sd) AS mx, count(*) AS nsupp
+      FROM per GROUP BY l_orderkey
+    ),
+    atmax AS (
+      SELECT per.l_orderkey, per.l_suppkey, ord.nsupp
+      FROM per JOIN ord
+        ON per.l_orderkey = ord.l_orderkey AND per.sd = ord.mx
+    ),
+    cnt AS (
+      SELECT l_orderkey, count(*) AS n_at_max FROM atmax GROUP BY l_orderkey
+    ),
+    sole AS (
+      SELECT atmax.l_suppkey
+      FROM atmax JOIN cnt ON atmax.l_orderkey = cnt.l_orderkey
+      WHERE atmax.nsupp >= 2 AND cnt.n_at_max = 1
+    )
+    SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole GROUP BY l_suppkey
+    """,
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped last on
+    multi-supplier orders (the testdata lacks commit/receipt dates, so
+    'kept the order waiting' = sole holder of the order's latest ship
+    date). Two-level aggregation replaces Q21's EXISTS/NOT EXISTS
+    pair: per-(order,supplier) max, then per-order stats, then a semi
+    filter — no correlated re-scan of lineitem."""
+    l = load(spark, "lineitem", sf_dir)
+    per = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sd")
+    )
+    w_ord = per.groupBy("l_orderkey").agg(
+        F.max("sd").alias("mx"), F.count(F.lit(1)).alias("nsupp")
+    )
+    joined = per.join(w_ord, "l_orderkey")
+    at_max = joined.filter(F.col("sd") == F.col("mx"))
+    n_at_max = at_max.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_at_max")
+    )
+    sole = (
+        at_max.join(n_at_max, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("n_at_max") == 1))
+    )
+    return sole.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
 @query("search_invert_both", None)
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:

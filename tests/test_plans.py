@@ -67,3 +67,40 @@ def test_filter_evaluates_before_join(spark, sf_dir):
     df = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select("o_orderkey")
     plan = X.physical_plan(df)
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q6_forecast_revenue"].fn(spark, sf_dir))
+    # all three range predicates reach the parquet reader
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_q18_semi_join_broadcasts(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q18_large_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir, cat):
+    X.assert_in_plan(
+        cat["q10_returned_items"].fn(spark, sf_dir), "TakeOrderedAndProject"
+    )
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q_sample_stratified"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q22_anti_join_in_plan(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q22_idle_rich_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_q7_nation_pair_filter_above_broadcast_joins(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q7_nation_volume"].fn(spark, sf_dir))
+    # four dimension legs broadcast; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
