@@ -2949,6 +2949,27 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_search_topk", None)
+def ann_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (Jégou et al., TPAMI 2011): train
+    m=8 x 16-centroid codebooks on a deterministic hash-sample, encode
+    the corpus to 8 small codes/vector (64x compression), ADC-score
+    with a broadcast lookup table entirely JVM-side, re-rank the top
+    candidates by exact cosine. Approximate by construction → rows-only
+    gate; recall floors are pinned by tests/test_ann_collections.py."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    books = pq.train_codebooks(
+        emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
+    )
+    codes = pq.encode(emb.filter(F.col("vec_id") != 42), books)
+    return pq.search_adc(
+        codes, books, target, k=3, rerank_df=emb, rerank_factor=8
+    )
+
+
 @query("search_invert_both", None)
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:

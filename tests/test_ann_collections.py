@@ -211,3 +211,89 @@ def test_encrypted_collection_scan_reveals_nothing(spark, tmp_path):
     dec = coll.decrypt(key).collect()[0]
     assert dec["document"] == "secret text"
     assert dec["embedding"] == [1.5, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_setup(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    books = pq.train_codebooks(emb, m=8, nbits=4, seed=42, iters=5)
+    return pq, emb, target, books
+
+
+def test_pq_encode_deterministic_and_in_range(spark, sf_dir):
+    pq, emb, _, books = _pq_setup(spark, sf_dir)
+    codes = pq.encode(emb, books).orderBy("vec_id").limit(20)
+    a = [tuple(r["codes"]) for r in codes.collect()]
+    b = [tuple(r["codes"]) for r in codes.collect()]
+    assert a == b  # deterministic across runs
+    assert all(len(c) == 8 for c in a)
+    assert all(0 <= x < 16 for c in a for x in c)
+
+
+def test_pq_adc_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    pq, emb, target, books = _pq_setup(spark, sf_dir)
+    codes = pq.encode(emb, books)
+    table = pq.adc_table(target, books)
+    got = {
+        r["vec_id"]: r["d"]
+        for r in codes.select(
+            "vec_id", F.round(pq.adc_score("codes", table), 6).alias("d")
+        )
+        .orderBy("vec_id")
+        .limit(10)
+        .collect()
+    }
+    raw = {r["vec_id"]: r["codes"] for r in codes.orderBy("vec_id").limit(10).collect()}
+    for vid, cs in raw.items():
+        expect = round(sum(table[j][cs[j]] for j in range(8)), 6)
+        assert abs(got[vid] - expect) < 1e-6
+
+
+def test_pq_adc_scan_stays_jvm_side(spark, sf_dir):
+    pq, emb, target, books = _pq_setup(spark, sf_dir)
+    codes = pq.encode(emb, books).persist()
+    codes.count()
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    scored = pq.search_adc(codes, books, target, k=3)
+    plan = X.physical_plan(scored)
+    # scoring + top-k over the materialized code table: pure JVM
+    assert "TakeOrderedAndProject" in plan
+    # everything executed at query time (above the cached code table —
+    # the text below InMemoryTableScan is the cached relation's build
+    # lineage, which ran once at index time) is Python-free
+    query_time = plan[: plan.index("InMemoryTableScan")]
+    assert "EvalPython" not in query_time
+    codes.unpersist()
+
+
+def test_pq_rerank_returns_true_scores_and_recalls(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+    pq, emb, target, books = _pq_setup(spark, sf_dir)
+    codes = pq.encode(emb.filter(F.col("vec_id") != 42), books)
+    got = pq.search_adc(
+        codes, books, target, k=3, rerank_df=emb, rerank_factor=8
+    ).collect()
+    t = V.literal_vector([float(x) for x in target])
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in emb.filter(F.col("vec_id") != 42)
+        .withColumn("score", F.round(V.cosine("embedding", t), 7))
+        .collect()
+    }
+    # re-ranked scores are TRUE cosines, not ADC approximations
+    for r in got:
+        assert abs(r["score"] - exact[r["vec_id"]]) < 1e-6
+    # recall floor: at least 1 of the exact top-3 survives PQ+rerank
+    top3 = sorted(exact, key=lambda v: (-exact[v], v))[:3]
+    assert len({r["vec_id"] for r in got} & set(top3)) >= 1
