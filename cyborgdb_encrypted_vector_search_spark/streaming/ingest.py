@@ -183,3 +183,43 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "n_events", F.col("w.start").alias("session_start"))
     )
+
+
+def stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` window.
+
+    Both sides are watermarked so the state store can evict: a click
+    can only match purchases up to ``within`` later, so once the
+    purchase-side watermark passes ``click.ts + within`` the click's
+    state is droppable — the time-bound in the join condition is what
+    makes unbounded stream-stream state finite. Works identically on
+    batch inputs (watermarks are no-ops there), which is how the test
+    pins stream==batch semantics.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (p["p_user"] == c["c_user"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {within}"))
+        & (c["c_ts"] < p["p_ts"]),
+        "inner",
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")

@@ -146,3 +146,23 @@ def test_media_schema_roundtrip(spark, sf_dir):
     ]
     assert media.schema["payload"].dataType.typeName() == "binary"
     assert M.extract_features(media).count() == 20
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def split(ev):
+        return (
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+        )
+
+    sp, sc = split(S.read_events_stream(spark, src))
+    got = S.run_stream_to_batch(
+        spark, S.stream_interval_join(sp, sc), output_mode="append"
+    )
+    bp, bc = split(load(spark, "events", sf_dir))
+    batch = S.stream_interval_join(bp, bc)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
