@@ -3116,5 +3116,214 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_stream_to_batch(spark, counts, output_mode="complete")
 
 
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.supplycost
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT l_partkey, min(supplycost) AS mc FROM eligible GROUP BY 1
+    )
+    SELECT round(s.s_acctbal, 4) AS s_acctbal, s.s_name AS s_name,
+           n.n_name AS n_name, p.p_partkey AS p_partkey,
+           round(e.supplycost, 6) AS supplycost
+    FROM eligible e
+    JOIN minc m ON m.l_partkey = e.l_partkey AND e.supplycost = m.mc
+    JOIN part p ON p.p_partkey = e.l_partkey
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum supply cost (correlated min subquery →
+    decorrelated per-part min joined back on float equality). The
+    testdata has no partsupp, so supply cost is derived as the average
+    unit price each supplier actually charged for the part in lineitem
+    — summed through DECIMAL so Spark and the oracle agree bit-exactly
+    before the min-equality filter. Region/nation/supplier are all tiny
+    dims: every join below the per-(part,supplier) aggregate is a
+    broadcast, so the only shuffle is the cost groupBy itself."""
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("supplycost")
+    )
+    eligible = (
+        cost.join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("l_partkey", "l_suppkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    minc = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("mc")
+    )
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    return (
+        eligible.join(
+            F.broadcast(minc),
+            (eligible["l_partkey"] == F.col("m_partkey"))
+            & (eligible["supplycost"] == F.col("mc")),
+        )
+        .join(F.broadcast(p), eligible["l_partkey"] == p["p_partkey"])
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_part_value",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS p_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1
+    )
+    SELECT p_partkey, round(CAST(v AS DOUBLE), 4) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value restricted to two
+    nations' suppliers, keeping parts whose value exceeds a fraction of
+    the grand total — the scalar-subquery-in-HAVING pattern. The value
+    frame is aggregated once; the global total is a one-row aggregate
+    of that same frame broadcast back into the filter, so the plan is
+    one shuffle (the partkey groupBy) + a broadcast nested-loop of a
+    single row. Sums stay DECIMAL-exact until the final comparison."""
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("v")
+        )
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("__thr"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("__thr"))
+        .select(
+            "p_partkey", F.round(F.col("v").cast("double"), 4).alias("part_value")
+        )
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    avail AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty
+      FROM shipped GROUP BY 1
+    ),
+    big AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      JOIN avail a ON a.a_partkey = sh.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND CAST(sh.qty AS DOUBLE) > 1.5 * a.avg_qty
+    )
+    SELECT s.s_name AS s_name, round(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM big)
+    ORDER BY s_name
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN semi-join chain — suppliers in
+    one nation who shipped disproportionate volume of a part family in
+    1995. The original's partsupp.availqty threshold becomes a per-part
+    average-shipped proxy (same correlated-threshold structure as the
+    real query, partsupp being absent from the testdata). Spark plans
+    the IN as a left-semi join; the shipped aggregate is the only fact
+    shuffle and the date filter is pushed to the parquet scan."""
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
+    )
+    avail = shipped.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    big = (
+        shipped.join(F.broadcast(p), shipped["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(avail), shipped["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("qty").cast("double") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(big, s["s_suppkey"] == big["l_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

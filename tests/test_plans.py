@@ -104,3 +104,19 @@ def test_q7_nation_pair_filter_above_broadcast_joins(spark, sf_dir, cat):
     plan = X.physical_plan(cat["q7_nation_volume"].fn(spark, sf_dir))
     # four dimension legs broadcast; only lineitem⋈orders may shuffle
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q2_only_shuffles_cost_aggregate(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q2_min_cost_supplier"].fn(spark, sf_dir))
+    # all dim legs + the per-part min frame broadcast; no sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    X.assert_in_plan(
+        cat["q2_min_cost_supplier"].fn(spark, sf_dir), "TakeOrderedAndProject"
+    )
+
+
+def test_q20_semi_join_and_pushed_dates(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q20_heavy_shippers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
