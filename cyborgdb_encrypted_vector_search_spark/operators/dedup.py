@@ -184,16 +184,26 @@ def simhash_fingerprints(
     # explode_outer: token-less documents keep one null row -> null
     # contributions -> all-zero sums -> simhash 0, matching the fold
     # formulation (list_sum over empty -> NULL -> bit 0) row-for-row.
+    # One string op per token (hex -> bigint via conv), then pure integer
+    # bit extraction. Hex char p (1-indexed, most significant first)
+    # occupies bits (8-p)*4..(8-p)*4+3 of the converted int, so the
+    # fold formulation's "bit b of hex digit p" is bit (8-p)*4 + b here
+    # - bit-identical to the per-nibble instr/substring formulation but
+    # ~32x less string work per token row.
     toks = df.select(
         F.col(id_col),
         F.explode_outer(X.tokens(F.col(text_col))).alias("__tok"),
-    ).withColumn("__h", F.md5("__tok"))
+    ).withColumn(
+        "__h32", F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint")
+    )
     contribs = []
     for j in range(32):
         p, b = j // 4 + 1, j % 4
-        val = F.instr(F.lit("0123456789abcdef"), F.substring("__h", p, 1)) - 1
+        bit = (8 - p) * 4 + b
         contribs.append(
-            (F.shiftright(val, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")
+            (
+                F.shiftright(F.col("__h32"), bit).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__b{j}")
         )
     contrib_df = toks.select(F.col(id_col), *contribs)
     agg = contrib_df.groupBy(id_col).agg(

@@ -1295,8 +1295,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(spark, sf_dir)
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, hamming) near-dup candidate pairs, verified."""
+def _simhash_pairs(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup candidate pairs, verified.
+
+    A pair whose fingerprints agree on several 8-bit blocks is emitted
+    once per agreeing block; `distinct=False` skips the dedup shuffle
+    for consumers whose downstream aggregate is duplicate-insensitive
+    (e.g. min-label group formation)."""
     corpus = _corpus2x(spark, sf_dir, near=True)
     # explode->codegen->aggregate formulation (dedup.simhash_fingerprints):
     # bit-identical to the fold version, ~3x faster (no interpreted HOFs)
@@ -1307,7 +1314,7 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("blk"),
     ).withColumn("blk_key", F.expr("shiftright(simhash, blk * 8) & 255"))
     l, r = blocked.alias("l"), blocked.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
@@ -1320,8 +1327,8 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.hamming32(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 _SIMHASH_PAIRS_SQL = f"""
@@ -1376,7 +1383,9 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     but emits the pipeline's actual deliverable (cluster reps + sizes,
     O(groups) rows) instead of the O(pairs) intermediate — at 100 TB the
     pair set is far too large to hand back to a driver."""
-    pairs = _simhash_pairs(spark, sf_dir)
+    # distinct=False: min(doc_a) is duplicate-insensitive, so the pair
+    # stream feeds the aggregate without the dedup shuffle.
+    pairs = _simhash_pairs(spark, sf_dir, distinct=False)
     cand = (
         pairs.groupBy("doc_b")
         .agg(F.min("doc_a").alias("mn"))
