@@ -3334,5 +3334,150 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): three chosen
+    grouping combinations in one shuffle, disambiguated by the standard
+    grouping_id bitmask (bit set = column aggregated away). Spark
+    expands the sets map-side (one Expand node feeding a single hash
+    aggregate) — the same one-pass plan a hand-written union of three
+    groupBys would need three scans for."""
+    o = load(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "streaming_sliding_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                      - k * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (2 h windows every 30 min):
+    each event lands in exactly 4 overlapping windows, which the oracle
+    reproduces by unnesting k in 0..3 over epoch-aligned 30-minute
+    buckets. State per key is bounded by duration/slide × groups and
+    evicted by the watermark; differential claim as for the tumbling
+    version: streaming over finite input == batch SQL."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return S.run_stream_to_batch(spark, agg, output_mode="complete")
+
+
+_TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("error", 0.0),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("view", 1.0),
+]
+
+
+@query(
+    "streaming_static_join",
+    """
+    SELECT e.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value * w.weight AS DECIMAL(18,4))) AS DOUBLE)
+             AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('error', 0.0), ('purchase', 10.0),
+                 ('signup', 5.0), ('view', 1.0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY 1
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a small
+    static dimension (event-type weights) broadcast to every task — no
+    stream-side state, no shuffle of the stream — then a global
+    weighted aggregate in complete mode. The canonical "enrich events
+    with a dim table" micro-batch shape; at scale the dim refreshes
+    per-batch while the stream lineage is untouched."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    dim = spark.createDataFrame(
+        _TYPE_WEIGHTS, "event_type string, weight double"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    return S.run_stream_to_batch(spark, agg, output_mode="complete")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

@@ -120,3 +120,10 @@ def test_q20_semi_join_and_pushed_dates(spark, sf_dir, cat):
     plan = X.physical_plan(cat["q20_heavy_shippers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_grouping_sets_single_expand_one_shuffle(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["q_grouping_sets_orders"].fn(spark, sf_dir))
+    # three grouping sets = one Expand feeding one agg, not three scans
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
