@@ -200,3 +200,54 @@ def search_adc(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[np.ndarray],
+    target: Sequence[float],
+    k: int = 3,
+    nprobe: int = 2,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse probe pruning, then ADC, then exact re-rank.
+
+    ``codes_df`` is the built index — (id, centroid_id, codes) — ideally
+    materialized partitioned by centroid_id (ann.build_ivf_layout shape)
+    so the probe IN-filter is partition pruning. The scan that remains
+    touches nprobe/k_coarse of the data and reads only the code column
+    (m bytes/row, 64x smaller than the vectors); the full-precision
+    table is consulted only for the k*rerank_factor survivors. This is
+    the FAISS IVFADC composition (Jégou et al., TPAMI 2011 §IV) — at
+    100 TB the only full-corpus costs are build-time one-pass assign
+    and encode.
+    """
+    t = V.literal_vector([float(x) for x in target])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.withColumn("__d", V.l2_distance("centroid", t))
+        .orderBy(F.asc("__d"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    pruned = codes_df.filter(F.col("centroid_id").isin(probe_ids))
+    scored = pruned.select(
+        F.col(id_col),
+        adc_score("codes", adc_table(target, codebooks)).alias("adc_dist"),
+    )
+    if rerank_df is None:
+        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
+        k * rerank_factor
+    )
+    return (
+        rerank_df.join(F.broadcast(cand), id_col)
+        .withColumn("score", F.round(V.cosine(vec_col, t), 7))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )

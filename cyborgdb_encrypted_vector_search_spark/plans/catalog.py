@@ -2979,6 +2979,38 @@ def ann_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_search_topk", None)
+def ann_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape): coarse centroids prune to nprobe
+    inverted lists, PQ/ADC scores only the survivors JVM-side, exact
+    cosine re-ranks the short candidate list. The 100 TB search path:
+    partition pruning x 64x-compressed codes x bounded re-rank.
+    Approximate by construction → rows-only gate; recall floor pinned
+    by tests/test_ann_collections.py."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as _ann
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 42).select("vec_id", "embedding")
+    books = pq.train_codebooks(
+        emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
+    )
+    codes = pq.encode(corpus, books)
+    assigned = _ann.assign_centroids(corpus, cent, "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    index = codes.join(assigned, "vec_id")
+    return pq.ivfpq_search(
+        index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    )
+
+
 @query("search_invert_both", None)
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:

@@ -297,3 +297,29 @@ def test_pq_rerank_returns_true_scores_and_recalls(spark, sf_dir):
     # recall floor: at least 1 of the exact top-3 survives PQ+rerank
     top3 = sorted(exact, key=lambda v: (-exact[v], v))[:3]
     assert len({r["vec_id"] for r in got} & set(top3)) >= 1
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    pq, emb, target, books = _pq_setup(spark, sf_dir)
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    corpus = emb.filter(F.col("vec_id") != 42).select("vec_id", "embedding")
+    codes = pq.encode(corpus, books)
+    assigned = ann.assign_centroids(corpus, cent).select(
+        "vec_id", "centroid_id"
+    )
+    index = codes.join(assigned, "vec_id")
+    got = pq.ivfpq_search(
+        index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    ).collect()
+    assert len(got) == 3
+    truth = {
+        r["vec_id"]
+        for r in knn.topk_against_target(
+            corpus, target, k=3, id_col="vec_id"
+        ).collect()
+    }
+    # coarse pruning (4 of 8 lists) stacked on PQ: >=1 of exact top-3
+    assert len({r["vec_id"] for r in got} & truth) >= 1
+    # returned scores are true cosines in descending order
+    assert got[0]["score"] >= got[1]["score"] >= got[2]["score"]
