@@ -121,6 +121,44 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_matches(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an EXISTING corpus.
+
+    The incremental-ingest shape: the corpus side is banded once (in
+    production a persisted signature index, re-read per batch — never
+    re-shingled), the small batch side is banded and BROADCAST, so each
+    ingest costs one scan of the corpus signatures and zero shuffles of
+    corpus data — not the O(corpus^2) a naive re-run of pairwise dedup
+    would imply. Returns distinct (batch_id, base_id) candidate pairs;
+    chase with ngram_jaccard_pairs on the candidates to verify.
+    """
+    rows_per_band = num_hashes // num_bands
+
+    def _banded(df: DataFrame, out: str) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, shingle_len, num_hashes)
+        return sig.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                H.minhash_bands(F.col("signature"), num_bands, rows_per_band)
+            ).alias("band"),
+        )
+
+    return (
+        _banded(base, "base_id")
+        .join(F.broadcast(_banded(batch, "batch_id")), on="band")
+        .select("batch_id", "base_id")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,

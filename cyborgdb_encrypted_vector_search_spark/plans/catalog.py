@@ -3511,5 +3511,53 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_stream_to_batch(spark, agg, output_mode="complete")
 
 
+@query(
+    "dedup_incremental_minhash",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text || ' zz qq ww' AS text
+      FROM documents
+    ),
+    base_sh AS (SELECT doc_id, {_SH} AS sh FROM base),
+    batch_sh AS (SELECT doc_id, {_SH} AS sh FROM batch),
+    base_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM base_sh
+    ),
+    batch_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM batch_sh
+    )
+    SELECT DISTINCT n.doc_id AS batch_id, b.doc_id AS base_id
+    FROM base_b b JOIN batch_b n ON b.band = n.band
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new ingest batch (near-dup copies) matched
+    against the existing corpus by MinHash band join — the batch side
+    broadcast, the corpus side scanned once. The per-batch cost at
+    100 TB is O(batch + corpus-signature scan), not O(corpus^2): the
+    corpus's banded signatures are an index you persist, and re-running
+    the full pairwise dedup per ingest is exactly what this avoids."""
+    dp = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(dp)
+    )
+    batch = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    pairs = dedup.incremental_lsh_matches(
+        base, batch, "doc_id", "text", shingle_len=3, num_hashes=8,
+        num_bands=4,
+    )
+    return pairs.select(
+        F.col("batch_id").cast("bigint"), F.col("base_id").cast("bigint")
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

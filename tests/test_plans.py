@@ -127,3 +127,10 @@ def test_grouping_sets_single_expand_one_shuffle(spark, sf_dir, cat):
     # three grouping sets = one Expand feeding one agg, not three scans
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["dedup_incremental_minhash"].fn(spark, sf_dir))
+    # corpus signatures never shuffle: the batch side is broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
