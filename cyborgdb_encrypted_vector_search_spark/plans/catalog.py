@@ -3559,5 +3559,64 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_session_windows",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows (F.session_window, gap 30 min):
+    state merges adjacent events per user until a gap >= the timeout,
+    window end = last event + gap. The oracle derives the identical
+    sessions relationally (lag -> gap flags -> running session id) —
+    the batch formulation q_events_sessionization aggregates further;
+    this one checks the raw per-session frame, including Spark's
+    dynamic-gap window bounds, against SQL."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return S.run_stream_to_batch(spark, agg, output_mode="complete")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
