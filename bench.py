@@ -34,7 +34,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_groups",
     "dedup_embedding_neardup",
+    "dedup_incremental_minhash",
     "text_profile",
+    "text_vocabulary_topk",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
@@ -47,6 +49,7 @@ HEADLINE = [
     "q_events_sessionization",
     "q_percentiles",
     "q_cube_lineitem",
+    "q_grouping_sets_orders",
     "multimodal_features",
 ]
 

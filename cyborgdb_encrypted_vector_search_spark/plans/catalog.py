@@ -3618,5 +3618,46 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_stream_to_batch(spark, agg, output_mode="complete")
 
 
+@query(
+    "text_vocabulary_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({X.sql_tokens('text')}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks
+    GROUP BY token
+    ORDER BY term_freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (tokenizer/BPE prep): corpus-wide term and
+    document frequencies, top-100 by term frequency. One explode + one
+    groupBy: the term count partial-aggregates map-side, the distinct
+    doc count rides the same shuffle as a two-phase distinct aggregate,
+    and the top-100 plans as TakeOrderedAndProject — at 100 TB this is
+    the canonical one-pass vocab job, no driver-side counting."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
