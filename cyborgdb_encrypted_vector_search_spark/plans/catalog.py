@@ -3659,5 +3659,79 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAC = (
+    "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 "
+    "/ len(list_distinct(list_concat(a.sh, b.sh))) END"
+)
+
+
+@query(
+    "dedup_incremental_verified",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text || ' zz qq ww' AS text
+      FROM documents
+    ),
+    base_sh AS (SELECT doc_id, {_SH} AS sh FROM base),
+    batch_sh AS (SELECT doc_id, {_SH} AS sh FROM batch),
+    base_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM base_sh
+    ),
+    batch_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM batch_sh
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM base_b b JOIN batch_b n ON b.band = n.band
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+    shingled AS (
+      SELECT doc_id, list_distinct({_SH}) AS sh FROM corpus
+    )
+    SELECT c.doc_a AS batch_id, c.doc_b AS base_id,
+           round({_JAC}, 7) AS jaccard
+    FROM cand c
+    JOIN shingled a ON c.doc_a = a.doc_id
+    JOIN shingled b ON c.doc_b = b.doc_id
+    WHERE {_JAC} >= 0.5
+    """,
+)
+def dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-ingest dedup pipeline: MinHash band join of
+    the new batch against the corpus signature index (blocking), then
+    n-gram Jaccard >= 0.5 verification over the candidates only. Per
+    ingest at 100 TB: one corpus-signature scan + shingling of just the
+    docs that appear in candidate pairs — never corpus x corpus."""
+    dp = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(dp)
+    )
+    batch = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    cand = dedup.incremental_lsh_matches(
+        base, batch, "doc_id", "text", shingle_len=3, num_hashes=8,
+        num_bands=4,
+    ).select(
+        F.col("batch_id").alias("doc_a"), F.col("base_id").alias("doc_b")
+    )
+    corpus = base.unionByName(batch)
+    verified = dedup.ngram_jaccard_pairs(
+        corpus, pairs=cand, shingle_len=3, threshold=0.5
+    )
+    return verified.select(
+        F.col("doc_a").cast("bigint").alias("batch_id"),
+        F.col("doc_b").cast("bigint").alias("base_id"),
+        "jaccard",
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
