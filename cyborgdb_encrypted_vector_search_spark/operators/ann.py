@@ -203,6 +203,74 @@ def build_ivf_layout(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def adaptive_probe_ids(
+    centroids_with_counts: DataFrame,
+    target: Sequence[float],
+    k: int = 3,
+    factor: int = 4,
+    count_col: str = "n",
+) -> list[int]:
+    """Adaptive nprobe: probe centroids in distance order, stopping once
+    the accumulated inverted-list size reaches ``k * factor``.
+
+    A fixed nprobe wastes IO on dense regions and starves sparse ones;
+    sizing the probe set by candidate count keeps re-rank cost constant.
+    ``centroids_with_counts`` is the (tiny) centroid table joined with
+    per-list row counts — maintained at build time, so this is a
+    driver-side sort over k_coarse rows, no corpus scan. A centroid is
+    probed iff the candidate total BEFORE it is still short of the
+    target, so the result is the minimal prefix reaching k*factor.
+    """
+    tvec = V.literal_vector([float(x) for x in target])
+    rows = (
+        centroids_with_counts.withColumn(
+            "__d", V.l2_distance("centroid", tvec)
+        )
+        .orderBy(F.asc("__d"), F.asc("centroid_id"))
+        .select("centroid_id", count_col)
+        .collect()
+    )
+    need = k * factor
+    probe, cum = [], 0
+    for r in rows:
+        if cum >= need:
+            break
+        probe.append(r["centroid_id"])
+        cum += r[count_col]
+    return probe
+
+
+def ivf_search_adaptive(
+    corpus_with_centroids: DataFrame,
+    centroids: DataFrame,
+    target: Sequence[float],
+    k: int = 3,
+    factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """IVF probe search with candidate-count-adaptive probe depth.
+
+    ``counts`` (centroid_id, n) comes from the build step; if omitted
+    it is computed with one count-per-list aggregation (fine at test
+    scale; at 100 TB persist it next to the layout).
+    """
+    if counts is None:
+        counts = corpus_with_centroids.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    cw = centroids.join(F.broadcast(counts), "centroid_id")
+    probe_ids = adaptive_probe_ids(cw, target, k=k, factor=factor)
+    t = V.literal_vector([float(x) for x in target])
+    return (
+        corpus_with_centroids.filter(F.col("centroid_id").isin(probe_ids))
+        .withColumn("score", V.cosine(vec_col, t))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_search(
     corpus_with_centroids: DataFrame,
     centroids: DataFrame,

@@ -99,6 +99,7 @@ def encode(
     codebooks: Sequence[np.ndarray],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """(id, codes array<int>) — one Arrow-batched pass at build time.
 
@@ -123,7 +124,11 @@ def encode(
             out[:, j] = d.argmin(axis=1)
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _enc(F.col(vec_col)).alias("codes"),
+    )
 
 
 def adc_table(
@@ -196,6 +201,110 @@ def search_adc(
     return (
         rerank_df.join(F.broadcast(cand), id_col)
         .withColumn("score", F.round(V.cosine(vec_col, t), 7))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def residual_frame(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, residual) — each vector minus its assigned
+    coarse centroid, computed JVM-side with ``zip_with``.
+
+    Classic IVFADC (Jégou et al., TPAMI 2011 §IV-A) quantizes the
+    RESIDUAL ``x - q1(x)`` rather than the raw vector: residuals of a
+    list cluster near the origin, so the same m x 2^nbits codebook
+    budget yields a tighter quantizer. One broadcast join + one narrow
+    projection — linear, shuffle-free at any corpus size.
+    """
+    from cyborgdb_encrypted_vector_search_spark.operators import ann
+
+    assigned = ann.assign_centroids(
+        df.select(id_col, vec_col), centroids, vec_col
+    )
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"),
+            F.col("centroid").cast("array<double>").alias("__cvec"),
+        )
+    )
+    return assigned.join(cent, "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cvec"),
+            lambda x, y: x - y,
+        ).alias("residual"),
+    )
+
+
+def ivfadc_search(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[np.ndarray],
+    target: Sequence[float],
+    k: int = 3,
+    nprobe: int = 2,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with residual codes: per-probe query-residual ADC tables.
+
+    ``codes_df`` is (id, centroid_id, codes) where the codes encode
+    residuals (``encode`` over ``residual_frame``). Because stored codes
+    are relative to their list's centroid, the query side must be too:
+    for each probed centroid c the driver builds the ADC table from the
+    query residual ``target - centroid_c`` (nprobe tiny numpy ops), and
+    the scan picks the right table per row with a chained CASE on
+    centroid_id — still one codegen'd pass over only the probed
+    partitions, no Python in the hot path.
+    """
+    t = np.asarray(target, dtype=np.float64)
+    probe = (
+        centroids.withColumn(
+            "__d", V.l2_distance("centroid", V.literal_vector([float(x) for x in target]))
+        )
+        .orderBy(F.asc("__d"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "centroid")
+        .collect()
+    )
+    tables = {
+        r["centroid_id"]: adc_table(
+            (t - np.asarray(r["centroid"], dtype=np.float64)).tolist(),
+            codebooks,
+        )
+        for r in probe
+    }
+    pruned = codes_df.filter(
+        F.col("centroid_id").isin(list(tables.keys()))
+    )
+    expr = None
+    for cid, table in tables.items():
+        branch = adc_score("codes", table)
+        expr = (
+            F.when(F.col("centroid_id") == cid, branch)
+            if expr is None
+            else expr.when(F.col("centroid_id") == cid, branch)
+        )
+    scored = pruned.select(F.col(id_col), expr.alias("adc_dist"))
+    if rerank_df is None:
+        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
+        k * rerank_factor
+    )
+    tl = V.literal_vector([float(x) for x in target])
+    return (
+        rerank_df.join(F.broadcast(cand), id_col)
+        .withColumn("score", F.round(V.cosine(vec_col, tl), 7))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
         .select(id_col, "score")

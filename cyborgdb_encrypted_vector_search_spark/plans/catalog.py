@@ -3733,5 +3733,104 @@ def dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CT_L2 = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE)"
+    " * ((c.centroid[i])::DOUBLE - (t.t[i])::DOUBLE))))"
+)
+
+
+@query(
+    "ann_ivf_adaptive_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT centroid_id, count(*)::BIGINT AS n
+      FROM assigned GROUP BY centroid_id
+    ),
+    target AS (SELECT embedding AS t FROM embeddings WHERE vec_id = 42),
+    ordered AS (
+      SELECT c.centroid_id,
+             coalesce(sum(s.n) OVER (
+               ORDER BY {_SQL_CT_L2}, c.centroid_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM cent c JOIN sizes s USING (centroid_id) CROSS JOIN target t
+    ),
+    probes AS (SELECT centroid_id FROM ordered WHERE cum_before < 12)
+    SELECT a.vec_id AS vec_id,
+           round({V.sql_cosine('a.embedding', 't.t')}, 7) AS score
+    FROM assigned a CROSS JOIN target t
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+    ORDER BY score DESC, vec_id ASC LIMIT 3
+    """,
+)
+def ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with candidate-count-adaptive probe depth: probe
+    centroids in distance order until the accumulated inverted-list
+    size reaches k*factor (=12), then exact-rank inside the probed
+    lists. A fixed nprobe over-reads dense regions and under-reads
+    sparse ones; sizing by list counts keeps per-query scan cost
+    constant. List sizes come from the build step — the probe decision
+    is a driver-side sort over k_coarse rows, never a corpus scan."""
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    assigned = _ann.assign_centroids(
+        emb.select("vec_id", "embedding"), cent, "embedding"
+    )
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    res = _ann.ivf_search_adaptive(assigned, cent, target, k=3, factor=4)
+    return res.select("vec_id", F.round("score", 7).alias("score"))
+
+
+@query("ann_ivfadc_search_topk", None)
+def ann_ivfadc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IVFADC (Jégou et al., TPAMI 2011 §IV-A): codebooks are
+    trained on and codes encode RESIDUALS vs the assigned coarse
+    centroid, so the same bit budget quantizes a tighter distribution
+    than raw-vector IVF-PQ; at search each probed list is ADC-scanned
+    against the query residual for that list's centroid (per-probe
+    lookup tables, chained CASE, one codegen'd pass). Approximate by
+    construction → rows-only gate; recall floor pinned by
+    tests/test_ann_collections.py."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 42).select("vec_id", "embedding")
+    residuals = pq.residual_frame(corpus, cent).persist()
+    books = pq.train_codebooks(
+        residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=10,
+        sample_mod=3,
+    )
+    index = pq.encode(
+        residuals, books, vec_col="residual", keep_cols=("centroid_id",)
+    )
+    out = pq.ivfadc_search(
+        index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    )
+    return out
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

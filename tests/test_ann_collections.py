@@ -323,3 +323,81 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     assert len({r["vec_id"] for r in got} & truth) >= 1
     # returned scores are true cosines in descending order
     assert got[0]["score"] >= got[1]["score"] >= got[2]["score"]
+
+
+def test_ivfadc_residual_recall_vs_exact(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    corpus = emb.filter(F.col("vec_id") != 42).select("vec_id", "embedding")
+    residuals = pq.residual_frame(corpus, cent).persist()
+    books = pq.train_codebooks(
+        residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=5
+    )
+    index = pq.encode(
+        residuals, books, vec_col="residual", keep_cols=("centroid_id",)
+    )
+    got = pq.ivfadc_search(
+        index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    ).collect()
+    residuals.unpersist()
+    assert len(got) == 3
+    truth = {
+        r["vec_id"]
+        for r in knn.topk_against_target(
+            corpus, target, k=3, id_col="vec_id"
+        ).collect()
+    }
+    assert len({r["vec_id"] for r in got} & truth) >= 1
+    assert got[0]["score"] >= got[1]["score"] >= got[2]["score"]
+
+
+def test_residual_frame_reconstructs_vector(spark, sf_dir):
+    # centroid + residual == original vector, row for row
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir).limit(50)
+    cent = ann.kmeans_centroids(emb, k=4, seed=1)
+    res = pq.residual_frame(emb, cent)
+    back = (
+        res.join(
+            F.broadcast(cent.withColumnRenamed("centroid", "cvec")),
+            "centroid_id",
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.max(
+                F.array_max(
+                    F.zip_with(
+                        F.zip_with(
+                            "residual", "cvec", lambda r, c: r + c
+                        ),
+                        F.col("embedding").cast("array<double>"),
+                        lambda s, e: F.abs(s - e),
+                    )
+                )
+            ).alias("err")
+        )
+        .collect()[0]["err"]
+    )
+    assert back < 1e-9
+
+
+def test_adaptive_probe_minimal_prefix(spark):
+    # lists sized 5,5,5,5 at increasing distance; k=3 factor=4 -> need 12
+    # -> exactly the 3 nearest centroids probed
+    rows = [(i, [float(i)] * 4, 5) for i in range(6)]
+    cw = spark.createDataFrame(
+        rows, "centroid_id int, centroid array<double>, n long"
+    )
+    probe = ann.adaptive_probe_ids(cw, [0.0] * 4, k=3, factor=4)
+    assert probe == [0, 1, 2]
+    # huge first list -> single probe
+    rows2 = [(0, [0.0] * 4, 1000), (1, [1.0] * 4, 1000)]
+    cw2 = spark.createDataFrame(
+        rows2, "centroid_id int, centroid array<double>, n long"
+    )
+    assert ann.adaptive_probe_ids(cw2, [0.0] * 4, k=3, factor=4) == [0]
