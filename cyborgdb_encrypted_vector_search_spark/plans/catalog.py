@@ -3832,5 +3832,108 @@ def ann_ivfadc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT count(*)::BIGINT AS n,
+           count(DISTINCT vec_id)::BIGINT AS n_ids,
+           sum(length(label::VARCHAR))::BIGINT AS doc_len,
+           sum(len(embedding))::BIGINT AS dim_sum,
+           min(round(embedding[1]::DOUBLE, 5)) AS min_e0,
+           max(round(embedding[1]::DOUBLE, 5)) AS max_e0
+    FROM embeddings
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange (reference S1/S3 read flat files — SURVEY.md
+    §2.1): embeddings → collection → headered-CSV export (nested
+    columns as JSON strings) → schema'd re-read. The fidelity aggregate
+    over the ROUND-TRIPPED frame must match the oracle computed on the
+    ORIGINAL parquet — catching any lossy float formatting, dropped
+    rows, or array truncation in the CSV path. All JVM-side
+    (to_json/from_json), distributed writes, no schema inference."""
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    src = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("label").alias("document"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    base = _tf.mkdtemp(prefix="csv_rt_")
+    coll = Collection.create(spark, "csv_rt", base, dim=64)
+    coll.add(src, id_col="id")
+    out = _os.path.join(base, "export_csv")
+    coll.export_csv(out)
+    back = Collection.read_csv_export(spark, out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+        F.sum(F.length("document")).cast("bigint").alias("doc_len"),
+        F.sum(F.size("embedding")).cast("bigint").alias("dim_sum"),
+        F.min(
+            F.round(F.element_at("embedding", 1).cast("double"), 5)
+        ).alias("min_e0"),
+        F.max(
+            F.round(F.element_at("embedding", 1).cast("double"), 5)
+        ).alias("max_e0"),
+    )
+
+
+@query(
+    "source_json_collection",
+    """
+    SELECT count(*)::BIGINT AS n,
+           sum(length(text))::BIGINT AS doc_len,
+           count(DISTINCT lang)::BIGINT AS langs,
+           count(DISTINCT source)::BIGINT AS srcs,
+           count(*)::BIGINT AS null_emb
+    FROM documents
+    """,
+)
+def source_json_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange with metadata maps: documents → collection
+    (metadata = {lang, source}, no embeddings) → JSON export →
+    declared-schema re-read → fidelity aggregate vs the original
+    parquet. null_emb asserts absent JSON fields rehydrate as NULL
+    arrays, not empty or garbage."""
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("document"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+    )
+    base = _tf.mkdtemp(prefix="json_rt_")
+    coll = Collection.create(spark, "json_rt", base)
+    coll.add(src, id_col="id", metadata_col="metadata")
+    out = _os.path.join(base, "export_json")
+    coll.export_json(out)
+    back = Collection.read_json_export(spark, out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.length("document")).cast("bigint").alias("doc_len"),
+        F.countDistinct(F.col("metadata")["lang"]).cast("bigint").alias("langs"),
+        F.countDistinct(F.col("metadata")["source"]).cast("bigint").alias("srcs"),
+        F.sum(
+            F.when(F.col("embedding").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("null_emb"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

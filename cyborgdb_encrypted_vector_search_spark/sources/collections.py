@@ -194,6 +194,73 @@ class Collection:
             .saveAsTable(table_name)
         )
 
+    # -- interchange formats (reference S1/S3 read text/JSON files;
+    #    SURVEY.md §2.1 S1-S3) ---------------------------------------------
+    def export_json(self, path: str) -> None:
+        """Write the collection as JSON lines — arrays and the metadata
+        map serialize natively; a distributed write, one file per
+        partition (the portable interchange dump)."""
+        self.scan().write.mode("overwrite").json(path)
+
+    def export_csv(self, path: str) -> None:
+        """Write as headered CSV. CSV has no nested types, so the
+        embedding and metadata columns travel as JSON strings — the
+        standard flat-file escape hatch."""
+        self.scan().select(
+            "id",
+            "document",
+            F.to_json("embedding").alias("embedding_json"),
+            F.to_json("metadata").alias("metadata_json"),
+        ).write.mode("overwrite").option("header", True).csv(path)
+
+    @staticmethod
+    def read_json_export(spark: SparkSession, path: str) -> DataFrame:
+        """Read a JSON export back with the declared collection schema
+        (never inferred — schema inference is a full extra pass and can
+        drift on sparse nulls)."""
+        return spark.read.schema(COLLECTION_SCHEMA).json(path)
+
+    @staticmethod
+    def read_csv_export(spark: SparkSession, path: str) -> DataFrame:
+        """Read a CSV export back, rehydrating the nested columns with
+        from_json — JVM-side parsing, no Python in the pipeline."""
+        return (
+            spark.read.option("header", True)
+            .csv(path)
+            .select(
+                F.col("id").cast("string"),
+                F.col("document").cast("string"),
+                F.from_json(
+                    "embedding_json", T.ArrayType(T.FloatType())
+                ).alias("embedding"),
+                F.from_json(
+                    "metadata_json",
+                    T.MapType(T.StringType(), T.StringType()),
+                ).alias("metadata"),
+            )
+        )
+
+    @classmethod
+    def import_file(
+        cls,
+        spark: SparkSession,
+        name: str,
+        base_dir: str,
+        src_path: str,
+        fmt: str = "json",
+        dim: int | None = None,
+    ) -> "Collection":
+        """Create a collection from a JSON/CSV export (batch import)."""
+        if fmt == "json":
+            df = cls.read_json_export(spark, src_path)
+        elif fmt == "csv":
+            df = cls.read_csv_export(spark, src_path)
+        else:
+            raise ValueError(f"unsupported import format: {fmt!r}")
+        coll = cls.create(spark, name, base_dir, dim=dim)
+        coll.add(df, id_col="id", metadata_col="metadata")
+        return coll
+
     # -- encrypted variant (reference src/cyborgdb_store.py) -------------
     def add_encrypted(self, df: DataFrame, key: str, **kwargs) -> None:
         """Store with AES-GCM-encrypted embedding + document columns."""

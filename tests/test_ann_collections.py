@@ -401,3 +401,34 @@ def test_adaptive_probe_minimal_prefix(spark):
         rows2, "centroid_id int, centroid array<double>, n long"
     )
     assert ann.adaptive_probe_ids(cw2, [0.0] * 4, k=3, factor=4) == [0]
+
+
+def test_import_file_roundtrip(spark, tmp_path):
+    # collection -> JSON and CSV exports -> import_file recreates the
+    # same rows, nested metadata and float vectors intact
+    rows = [
+        ("a", "alpha doc", [1.0, 2.0, 3.5, -0.25], {"k": "v1"}),
+        ("b", "beta doc", [0.0, -1.5, 2.25, 9.0], {"k": "v2"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, document string, embedding array<float>, "
+        "metadata map<string,string>",
+    )
+    src = Collection.create(spark, "src", str(tmp_path), dim=4)
+    src.add(df, id_col="id", metadata_col="metadata")
+
+    for fmt in ("json", "csv"):
+        out = str(tmp_path / f"export_{fmt}")
+        getattr(src, f"export_{fmt}")(out)
+        back = Collection.import_file(
+            spark, f"back_{fmt}", str(tmp_path), out, fmt=fmt, dim=4
+        )
+        got = {
+            r["id"]: r
+            for r in back.scan().orderBy("id").collect()
+        }
+        assert set(got) == {"a", "b"}
+        assert got["a"]["document"] == "alpha doc"
+        assert got["b"]["embedding"] == [0.0, -1.5, 2.25, 9.0]
+        assert got["a"]["metadata"] == {"k": "v1"}
