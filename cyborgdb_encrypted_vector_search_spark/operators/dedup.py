@@ -129,6 +129,7 @@ def incremental_lsh_matches(
     shingle_len: int = 3,
     num_hashes: int = 8,
     num_bands: int = 4,
+    base_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an EXISTING corpus.
 
@@ -137,8 +138,11 @@ def incremental_lsh_matches(
     re-shingled), the small batch side is banded and BROADCAST, so each
     ingest costs one scan of the corpus signatures and zero shuffles of
     corpus data — not the O(corpus^2) a naive re-run of pairwise dedup
-    would imply. Returns distinct (batch_id, base_id) candidate pairs;
-    chase with ngram_jaccard_pairs on the candidates to verify.
+    would imply. Pass ``base_banded`` (base_id, band — e.g. from
+    ``band_index``) to reuse the persisted corpus index; otherwise the
+    base side is banded inline. Returns distinct (batch_id, base_id)
+    candidate pairs; chase with ngram_jaccard_pairs on the candidates
+    to verify.
     """
     rows_per_band = num_hashes // num_bands
 
@@ -151,11 +155,37 @@ def incremental_lsh_matches(
             ).alias("band"),
         )
 
+    base_side = (
+        base_banded.select(F.col(id_col).alias("base_id"), "band")
+        if base_banded is not None
+        else _banded(base, "base_id")
+    )
     return (
-        _banded(base, "base_id")
+        base_side
         .join(F.broadcast(_banded(batch, "batch_id")), on="band")
         .select("batch_id", "base_id")
         .distinct()
+    )
+
+
+def band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """The corpus MinHash band index: (id, band) — the structure a
+    100 TB dedup pipeline persists at build time and re-reads on every
+    ingest batch instead of re-shingling the corpus."""
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(df, id_col, text_col, shingle_len, num_hashes)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            H.minhash_bands(F.col("signature"), num_bands, rows_per_band)
+        ).alias("band"),
     )
 
 

@@ -904,9 +904,10 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. The bucket id is computed inside the scan projection (no
     shuffle, no UDF); this query profiles the bucket histogram — the
     load-balance signal you check before trusting LSH at scale."""
-    emb = load(spark, "embeddings", sf_dir)
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import lsh_index
+
     return (
-        _ann.with_lsh_buckets(emb, "embedding", n_planes=8, seed=7, dim=64)
+        lsh_index(spark, sf_dir)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -936,10 +937,9 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target's bucket (a pushed-down equality filter — at scale, a
     partition/cluster key), then exact cosine rank within. ~256x less
     scoring than brute force at 8 planes."""
-    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import lsh_index
 
-    emb = unit_embeddings(spark, sf_dir)
-    bucketed = _ann.with_lsh_buckets(emb, "embedding", n_planes=8, seed=7, dim=64)
+    bucketed = lsh_index(spark, sf_dir)
     target = bucketed.filter(F.col("vec_id") == 42).select(
         F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn"),
         F.col("bucket").alias("__tb"),
@@ -983,12 +983,11 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate reduction vs brute force with far better recall than a
     single-bucket probe). On a bucket-partitioned layout the probe join
     is partition pruning."""
-    from cyborgdb_encrypted_vector_search_spark.sources.registry import unit_embeddings
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import lsh_index
 
-    un = unit_embeddings(spark, sf_dir)
-    bucketed = un.withColumn(
-        "bucket", _ann.lsh_bucket("embedding", _PLANES)
-    ).select("vec_id", "unit", "vnorm", "bucket")
+    bucketed = lsh_index(spark, sf_dir).select(
+        "vec_id", "unit", "vnorm", "bucket"
+    )
     target = bucketed.filter(F.col("vec_id") == 42).select(
         F.col("unit").alias("__tu"),
         F.col("vnorm").alias("__tn"),
@@ -1042,14 +1041,9 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.ann.kmeans_centroids). Assignment = broadcast argmin —
     linear, shuffle-free. Partitioning the table by centroid_id turns
     every probe into partition pruning."""
-    emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
-    assigned = _ann.assign_centroids(
-        emb.select("vec_id", "embedding"), cent, "embedding"
-    )
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
+
+    assigned = ivf_index(spark, sf_dir)
     return assigned.select("vec_id", F.col("centroid_id").cast("int"))
 
 
@@ -1090,14 +1084,14 @@ def ann_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids nearest the target, exact cosine within. On a
     centroid-partitioned table the IN-filter is pure partition pruning
     (zero IO on unprobed partitions)."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
+
     emb = load(spark, "embeddings", sf_dir)
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    assigned = _ann.assign_centroids(
-        emb.select("vec_id", "embedding"), cent, "embedding"
-    )
+    assigned = ivf_index(spark, sf_dir)
     target = [
         r["embedding"]
         for r in emb.filter(F.col("vec_id") == 42).select("embedding").collect()
@@ -3071,7 +3065,8 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfied by partition pruning before any file IO (PartitionFilters
     in the scan; zero bytes read from unprobed partitions). Same
     semantics as ann_ivf_assign + ann_ivf_search_topk, so the oracle is
-    shared."""
+    shared. Kept reading from disk (not the cached ivf_index view) on
+    purpose — this query IS the materialized-layout path."""
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
@@ -3539,7 +3534,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, the corpus side scanned once. The per-batch cost at
     100 TB is O(batch + corpus-signature scan), not O(corpus^2): the
     corpus's banded signatures are an index you persist, and re-running
-    the full pairwise dedup per ingest is exactly what this avoids."""
+    the full pairwise dedup per ingest is exactly what this avoids.
+    Here the corpus index comes from the session-cached
+    registry.minhash_band_index, the same way production re-reads the
+    persisted signature table per batch."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        minhash_band_index,
+    )
+
     dp = spark.sparkContext.defaultParallelism
     base = (
         load(spark, "documents", sf_dir)
@@ -3552,7 +3554,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.incremental_lsh_matches(
         base, batch, "doc_id", "text", shingle_len=3, num_hashes=8,
-        num_bands=4,
+        num_bands=4, base_banded=minhash_band_index(spark, sf_dir),
     )
     return pairs.select(
         F.col("batch_id").cast("bigint"), F.col("base_id").cast("bigint")
@@ -3716,9 +3718,13 @@ def dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
     )
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        minhash_band_index,
+    )
+
     cand = dedup.incremental_lsh_matches(
         base, batch, "doc_id", "text", shingle_len=3, num_hashes=8,
-        num_bands=4,
+        num_bands=4, base_banded=minhash_band_index(spark, sf_dir),
     ).select(
         F.col("batch_id").alias("doc_a"), F.col("base_id").alias("doc_b")
     )
@@ -3785,14 +3791,14 @@ def ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse ones; sizing by list counts keeps per-query scan cost
     constant. List sizes come from the build step — the probe decision
     is a driver-side sort over k_coarse rows, never a corpus scan."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
+
     emb = load(spark, "embeddings", sf_dir)
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    assigned = _ann.assign_centroids(
-        emb.select("vec_id", "embedding"), cent, "embedding"
-    )
+    assigned = ivf_index(spark, sf_dir)
     target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
     res = _ann.ivf_search_adaptive(assigned, cent, target, k=3, factor=4)
     return res.select("vec_id", F.round("score", 7).alias("score"))

@@ -63,6 +63,97 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
         df.createOrReplaceTempView(t)
 
 
+def _cached_view(spark: SparkSession, name: str, build) -> DataFrame:
+    """Session-scoped materialized view: build once, cache, reuse."""
+    existing = [t.name for t in spark.catalog.listTables() if t.name == name]
+    if existing:
+        return spark.table(name)
+    df = build()
+    df.createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    return spark.table(name)
+
+
+def _tag(d: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in d)
+
+
+def lsh_index(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """unit_embeddings + the LSH bucket column, cached per session.
+
+    Bucket assignment is a BUILD-time artifact (at 100 TB: a column
+    written next to the vectors, doubling as the cluster/partition
+    key), not per-query work — probe queries reuse this index frame the
+    way they'd read the materialized layout."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = f"lsh_index_{n_planes}_{seed}_{_tag(d)}"
+    return _cached_view(
+        spark,
+        view,
+        lambda: ann.with_lsh_buckets(
+            unit_embeddings(spark, d), "embedding", n_planes=n_planes,
+            seed=seed, dim=EMBEDDING_DIM,
+        ),
+    )
+
+
+def ivf_index(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """embeddings + nearest-centroid assignment (centroids = vectors of
+    ids 0..7, the deterministic oracle-replicable choice), cached per
+    session — the in-memory stand-in for the centroid-partitioned
+    layout that build_ivf_layout materializes on disk."""
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ann
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = f"ivf_index_{_tag(d)}"
+
+    def build() -> DataFrame:
+        emb = load(spark, "embeddings", d)
+        cent = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+        return ann.assign_centroids(
+            emb.select("vec_id", "embedding"), cent, "embedding"
+        )
+
+    return _cached_view(spark, view, build)
+
+
+def minhash_band_index(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Cached MinHash band index over documents — the persisted corpus
+    signature structure every incremental-dedup batch probes (built
+    once per corpus version, never re-shingled per query)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = f"mh_band_index_{shingle_len}_{num_hashes}_{num_bands}_{_tag(d)}"
+
+    def build() -> DataFrame:
+        docs = load(spark, "documents", d).select("doc_id", "text")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return dedup.band_index(
+            docs, "doc_id", "text", shingle_len, num_hashes, num_bands
+        )
+
+    return _cached_view(spark, view, build)
+
+
 def unit_embeddings(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """The embeddings table with per-row unit vector + norm, cached.
 
