@@ -229,11 +229,20 @@ def greedy_search(
     seed: int = 0,
     dim: int = E.DEFAULT_DIM,
     top_n: int = 30,
+    batch_size: int = 1,
 ) -> DataFrame:
     """I2: restarts fan out as groups; each group runs its sequential
     accept-if-better climb inside applyInPandas (reference
     src/app.py:174-202 — single-candidate embed per iteration, 1%
-    teleport probability)."""
+    teleport probability).
+
+    ``batch_size=1`` reproduces the reference exactly (one embed call
+    per iteration — its stated anti-pattern, src/app.py:192).
+    ``batch_size>1`` speculatively derives that many candidates from
+    the current state per iteration, embeds them in ONE ``embed_texts``
+    call (one model/matrix invocation), and accepts the best improving
+    one — same hill-climb semantics, 1/batch_size the per-call
+    overhead when a real encoder backs the embedder."""
     import numpy as np
     import pandas as pd
 
@@ -253,14 +262,33 @@ def greedy_search(
             return float(np.dot(v, unit_target))
 
         cur_score = score_of(cur)
-        for it in range(iters):
-            if rng.random() < jump_p:  # teleport (src/app.py:197-199)
-                cand = rng.choice(seeds)
-            else:
-                cand = _mutate_child(cur, rng.choice(seeds), f"{seed}:{r}:{it}:{cur}")
-            cand_score = score_of(cand)
-            if cand_score > cur_score:  # accept-if-better (src/app.py:194-195)
-                cur, cur_score = cand, cand_score
+        if batch_size <= 1:
+            for it in range(iters):
+                if rng.random() < jump_p:  # teleport (src/app.py:197-199)
+                    cand = rng.choice(seeds)
+                else:
+                    cand = _mutate_child(cur, rng.choice(seeds), f"{seed}:{r}:{it}:{cur}")
+                cand_score = score_of(cand)
+                if cand_score > cur_score:  # accept-if-better (src/app.py:194-195)
+                    cur, cur_score = cand, cand_score
+        else:
+            for it in range(iters):
+                cands = []
+                for b in range(batch_size):
+                    if rng.random() < jump_p:
+                        cands.append(rng.choice(seeds))
+                    else:
+                        cands.append(
+                            _mutate_child(
+                                cur, rng.choice(seeds), f"{seed}:{r}:{it}:{b}:{cur}"
+                            )
+                        )
+                mat = np.array(E.embed_texts(cands, dim))  # one batched call
+                scores = mat @ unit_target
+                scores[~mat.any(axis=1)] = -1.0
+                j = int(np.argmax(scores))
+                if scores[j] > cur_score:
+                    cur, cur_score = cands[j], float(scores[j])
         return pd.DataFrame({"restart": [r], "text": [cur], "score": [cur_score]})
 
     restarts_df = spark.createDataFrame(

@@ -98,6 +98,24 @@ def test_greedy_replays_and_beats_seed(spark, target_and_seeds):
     assert len(r1) >= 1
 
 
+def test_greedy_batched_replays_and_beats_seed(spark, target_and_seeds):
+    # batch_size>1 embeds all speculative candidates in one call per
+    # iteration; still deterministic and still a hill climb.
+    target, seeds = target_and_seeds
+    kw = dict(restarts=2, iters=15, seed=3, top_n=5, batch_size=4)
+    r1 = S.greedy_search(spark, target, seeds, **kw).collect()
+    r2 = S.greedy_search(spark, target, seeds, **kw).collect()
+    assert [(r["text"], r["score"]) for r in r1] == [(r["text"], r["score"]) for r in r2]
+    # the climb never ends below its best seed's starting score
+    import numpy as np
+
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+    ut = np.array(V.normalize_py(list(target)))
+    seed_best = max(float(np.array(E.embed_text(s)) @ ut) for s in seeds[:2])
+    assert max(r["score"] for r in r1) >= seed_best
+
+
 def test_invert_embedding_modes(spark, target_and_seeds):
     target, seeds = target_and_seeds
     small = {"pop_size": 8, "generations": 2}
