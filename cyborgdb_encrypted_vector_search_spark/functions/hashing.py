@@ -184,13 +184,75 @@ def fingerprint_xxhash(col: Column | str) -> Column:
 
 def minhash_xxhash(shingles: Column, num_hashes: int = 16) -> Column:
     """Fast-path MinHash: array<long> via seeded xxhash64 — the variant to
-    run at 100 TB (8 bytes/element vs 32-char hex strings)."""
+    run at 100 TB (8 bytes/element vs 32-char hex strings).
+
+    Per-function seeds are splitmix-spread (golden-ratio multiples)
+    rather than 0..n-1: with sequential small seeds the n families are
+    one avalanche apart, and on small shingle vocabularies (like the
+    synthetic corpus) adjacent families occasionally share a globally
+    common argmin shingle, which turns a band into one giant candidate
+    bucket. Spread seeds make the family draws independent."""
     def _h(i):
-        return lambda s: F.xxhash64(s, F.lit(i))
+        seed = (i * 0x9E3779B97F4A7C15 + 0x9E3779B9) % (1 << 63)
+        return lambda s: F.xxhash64(s, F.lit(seed))
 
     return F.array(
         *[
             F.array_min(F.transform(shingles, _h(i)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_bands_xxhash(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Fast-path LSH band keys as array<long>: each band is the xxhash64
+    of its signature slice (seeded by band index), so the band-join key
+    is 8 bytes instead of a ``b:h1|h2`` string — smaller shuffle, faster
+    hash-join probe at cluster scale."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                F.lit(b),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def simhash64_xxhash(tokens: Column) -> Column:
+    """Fast-path 64-bit SimHash: ONE xxhash64 per token (vs an md5 hex
+    string + 32 nibble extractions in :func:`simhash32`).
+
+    Single fold with an array<int> accumulator: per token, add ±1 to all
+    64 bit-counters via zip_with; then collapse sign bits into a bigint.
+    Hamming distance via :func:`hamming32` (bit_count(xor) works on any
+    width). Not oracle-portable (DuckDB has no xxhash64) — statistically
+    equivalent grouping behavior to the md5 variant, double the bits.
+    """
+    def _contrib(h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ),
+        )
+
+    zeros = F.array_repeat(F.lit(0), 64)
+    counts = F.aggregate(
+        tokens,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc, _contrib(F.xxhash64(t)), lambda a, c: a + c
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j))
+            .otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )

@@ -285,6 +285,82 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def lsh_candidate_pairs_xxhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Fast-path twin of :func:`lsh_candidate_pairs`: xxhash64 minhashes
+    (array<long> signature) and 8-byte band keys instead of md5 hex
+    strings — the variant to run at cluster scale (smaller rows, no hex
+    materialization, cheaper shuffle + join probe). Not oracle-portable;
+    recall behavior is statistically identical (same banding math over a
+    different uniform hash family)."""
+    rows_per_band = num_hashes // num_bands
+    shingled = df.select(
+        F.col(id_col), H.word_shingles(F.col(text_col), shingle_len).alias("__sh")
+    )
+    sig = shingled.select(
+        F.col(id_col), H.minhash_xxhash(F.col("__sh"), num_hashes).alias("signature")
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            H.minhash_bands_xxhash(F.col("signature"), num_bands, rows_per_band)
+        ).alias("band"),
+    ).persist()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="band")
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints_xxhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+) -> DataFrame:
+    """Fast-path twin of :func:`simhash_fingerprints`: SimHash bits come
+    from ONE xxhash64 call per token row — no md5 hex string, no conv().
+
+    Same explode → codegen'd bit-contribution columns → one map-side
+    partial aggregation shape. ``num_bits`` ≤ 64; the aggregation cost
+    scales with bit width (it's one SUM column per bit), so 32 matches
+    the md5 variant's cost profile while 64 halves random collisions at
+    the same Hamming threshold. Pair with ``hamming32``
+    (bit_count(xor) is width-agnostic)."""
+    from cyborgdb_encrypted_vector_search_spark.functions import text as X
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(X.tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    contribs = [
+        (
+            F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"__b{j}")
+        for j in range(num_bits)
+    ]
+    contrib_df = toks.select(F.col(id_col), *contribs)
+    agg = contrib_df.groupBy(id_col).agg(
+        *[F.sum(f"__b{j}").alias(f"__s{j}") for j in range(num_bits)]
+    )
+    fingerprint = F.lit(0).cast("bigint")
+    for j in range(num_bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"__s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
 def embedding_near_duplicates_blocked(
     embeddings: DataFrame,
     block_col: str,

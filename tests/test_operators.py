@@ -185,3 +185,54 @@ def test_winnow_short_doc_filtered(spark):
     )
     got = winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
     assert {r["doc_id"] for r in got.select("doc_id").distinct().collect()} == {2}
+
+
+def test_fastpath_xxhash_minhash_and_bands(spark):
+    # Fast-path (xxhash64) twins: same LSH behavior as the md5 family —
+    # identical docs collide, unrelated docs don't; long-typed keys.
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now today friend")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.lsh_candidate_pairs_xxhash(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    sh = df.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+    sig = sh.select("doc_id", H.minhash_xxhash(F.col("sh"), 8).alias("sig"))
+    row = sig.filter(F.col("doc_id") == 1).collect()[0]
+    assert len(row["sig"]) == 8 and all(isinstance(v, int) for v in row["sig"])
+    # spread seeds: the 8 family draws must not all agree on one shingle
+    assert len(set(row["sig"])) > 1
+    banded = sig.select(
+        F.explode(H.minhash_bands_xxhash(F.col("sig"), 4, 2)).alias("band")
+    )
+    assert banded.schema["band"].dataType.typeName() == "long"
+
+
+def test_fastpath_simhash_xxhash_near_and_far(spark):
+    # Near-identical token bags -> small Hamming distance; disjoint
+    # vocabularies -> large. Deterministic across runs (seedless
+    # xxhash64 is a fixed function).
+    df = spark.createDataFrame(
+        [(1, "spark query engine plan optimizer shuffle join scan"),
+         (2, "spark query engine plan optimizer shuffle join merge"),
+         (3, "zebra yak wombat xerus vole urchin tapir serval")],
+        "doc_id long, text string",
+    )
+    mask = (1 << 64) - 1  # fingerprints are SIGNED bigints (bit 63 =
+    # sign); mask before Python-side XOR popcounts. Spark-side
+    # hamming32 (bit_count(xor)) needs no masking.
+    for bits in (32, 64):
+        fps = {r["doc_id"]: r["simhash"] for r in
+               dedup.simhash_fingerprints_xxhash(df, num_bits=bits).collect()}
+        d_near = bin((fps[1] ^ fps[2]) & mask).count("1")
+        d_far = bin((fps[1] ^ fps[3]) & mask).count("1")
+        assert d_near < d_far
+        assert fps[1] != fps[3]
+        rerun = {r["doc_id"]: r["simhash"] for r in
+                 dedup.simhash_fingerprints_xxhash(df, num_bits=bits).collect()}
+        assert rerun == fps
