@@ -361,6 +361,58 @@ def simhash_fingerprints_xxhash(
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_block_candidates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    num_blocks: int = 4,
+    bits_per_block: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Width-generic pigeonhole blocking over SimHash fingerprints:
+    verified (doc_a, doc_b, hamming) pairs from any fingerprint width.
+
+    Recall is exact by pigeonhole as long as ``num_blocks >
+    max_hamming``: at most ``max_hamming`` blocks can differ, so two
+    fingerprints within the threshold share >= 1 identical block and
+    meet in the equi-join. Join fan-out per (blk, key) bucket is ~
+    N / 2^bits_per_block — this is THE scale knob: the oracle-gated
+    32-bit pipeline uses 4x8-bit keys (256 buckets/block); at 100 TB
+    pair :func:`simhash_fingerprints_xxhash` (64-bit) with 4x16-bit
+    keys for 65536 buckets/block, a 256x candidate-set cut at equal
+    recall. Hamming verification (bit_count of xor) is width-agnostic.
+    """
+    if num_blocks <= max_hamming:
+        raise ValueError(
+            f"num_blocks ({num_blocks}) must exceed max_hamming "
+            f"({max_hamming}) for exact pigeonhole recall"
+        )
+    mask = (1 << bits_per_block) - 1
+    blocked = fps.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__fp"),
+        F.explode(F.array(*[F.lit(i) for i in range(num_blocks)])).alias("blk"),
+    ).withColumn(
+        "blk_key", F.expr(f"shiftright(__fp, blk * {bits_per_block}) & {mask}")
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_key") == F.col("r.blk_key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("doc_a"),
+            F.col("r.__id").alias("doc_b"),
+            H.hamming32(F.col("l.__fp"), F.col("r.__fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates_blocked(
     embeddings: DataFrame,
     block_col: str,

@@ -236,3 +236,52 @@ def test_fastpath_simhash_xxhash_near_and_far(spark):
         rerun = {r["doc_id"]: r["simhash"] for r in
                  dedup.simhash_fingerprints_xxhash(df, num_bits=bits).collect()}
         assert rerun == fps
+
+
+def test_simhash_block_candidates_pigeonhole_recall(spark):
+    # Crafted 64-bit fingerprints: pairs within the Hamming threshold
+    # MUST be found regardless of which blocks the differing bits land
+    # in (pigeonhole: 4 blocks > 3 flipped bits). Beyond-threshold
+    # pairs are verified away even when they share a block.
+    def signed(v):  # wrap to the signed-long range Spark stores
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, signed(base)),
+        (2, signed(base ^ (1 << 0) ^ (1 << 17) ^ (1 << 63))),  # 3 bits, 3 blocks
+        (3, signed(base ^ 0x7)),                               # 3 bits, one block
+        (4, signed(base ^ 0x3FF)),                             # 10 bits: too far
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_block_candidates(
+            fps, num_blocks=4, bits_per_block=16, max_hamming=3
+        ).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 3
+    assert (1, 4) not in got and (2, 4) not in got
+    with pytest.raises(ValueError):
+        dedup.simhash_block_candidates(fps, num_blocks=3, max_hamming=3)
+
+
+def test_simhash_block_candidates_xxhash64_end_to_end(spark):
+    # The documented 100 TB path: 64-bit xxhash fingerprints + 4x16-bit
+    # pigeonhole blocks. Near-identical docs pair up; disjoint-vocab
+    # docs don't.
+    df = spark.createDataFrame(
+        [(1, "spark query engine plan optimizer shuffle join scan"),
+         (2, "spark query engine plan optimizer shuffle join scan"),
+         (3, "zebra yak wombat xerus vole urchin tapir serval")],
+        "doc_id long, text string",
+    )
+    fps = dedup.simhash_fingerprints_xxhash(df, num_bits=64)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_block_candidates(
+            fps, num_blocks=4, bits_per_block=16, max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
