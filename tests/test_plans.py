@@ -134,3 +134,39 @@ def test_incremental_dedup_broadcasts_batch_side(spark, sf_dir, cat):
     # corpus signatures never shuffle: the batch side is broadcast
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
+    # At cluster scale, big-big joins run as SMJ and Spark's runtime
+    # bloom filter (InjectRuntimeFilter) builds a bloom from the
+    # selective build side and prunes the probe side MAP-SIDE, before
+    # the shuffle. Local data is below the default creation thresholds,
+    # so pin the behavior by widening them — the plan shape is the one
+    # a 100 TB join gets with stock confs.
+    tuned = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load(spark, "lineitem", sf_dir)
+        orders = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        X.assert_in_plan(joined, "might_contain", "bloom_filter_agg", "SortMergeJoin")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
