@@ -72,3 +72,35 @@ def test_minhash_identical_iff_same_shingles(spark, text):
     )
     sigs = {r["doc_id"]: tuple(r["signature"]) for r in dedup.minhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]  # same text -> same signature, always
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_simhash_blocking_recall_matches_brute_force(spark, fps):
+    # Pigeonhole recall is EXACT: the blocked candidate join must return
+    # precisely the pairs brute-force Hamming says are within threshold
+    # (no false negatives from blocking; false positives are verified
+    # away). Holds for any fingerprints, any bit pattern.
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup
+
+    rows = list(enumerate(fps))
+    expected = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3:
+                expected.add((i, j))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_block_candidates(
+            df, num_blocks=4, bits_per_block=16, max_hamming=3
+        ).collect()
+    }
+    assert got == expected
