@@ -1,0 +1,104 @@
+"""Scale-curve measurement: same queries, 1x / 4x / 16x the data.
+
+The correctness gate runs at sf0.01 and bench at sf0.1 — both small
+enough that fixed local-mode overhead (~0.3-0.8 s/query: scheduling,
+codegen, driver round-trips) dominates. This tool materializes
+id-offset blowups of the scan-heavy tables (lineitem, documents,
+embeddings; other tables copied) under $TMPDIR and re-times
+representative queries, so the DATA-dependent term is observable:
+a scalable plan shows t ≈ fixed + slope * rows with the same plan
+shape at every size, and slope * rows growing ~linearly.
+
+Ids are offset per replica (doc_id/vec_id/l_orderkey + i * 10^9) so
+key-based semantics (point-get of vec_id 42, dedup fingerprint groups)
+keep one canonical hit and the blowup adds *distinct* rows, not
+key collisions.
+
+Prints one JSON line per (scale, query). Usage:
+  python tools/scale_curve.py [base_sf_dir] [scales e.g. 1,4,16]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BLOWUP = {"lineitem": "l_orderkey", "documents": "doc_id", "embeddings": "vec_id"}
+COPY = ["region", "nation", "customer", "supplier", "part", "orders", "events"]
+QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "dedup_exact_groups",
+    "knn_topk_cosine",
+    "text_profile",
+]
+
+
+def materialize(spark, base: str, scale: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPY:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(base, f"{t}.parquet"), dst)
+    for t, key in BLOWUP.items():
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        reps = [
+            df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            for i in range(scale)
+        ]
+        full = reps[0]
+        for r in reps[1:]:
+            full = full.unionByName(r)
+        full.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scales = [int(s) for s in (sys.argv[2] if len(sys.argv) > 2 else "1,4,16").split(",")]
+    tmp = os.environ.get("TMPDIR", "/tmp")
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+    from cyborgdb_encrypted_vector_search_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cyborgdb-scale-curve",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+    cat = entries()
+
+    for scale in scales:
+        sf_dir = base if scale == 1 else os.path.join(tmp, f"scale_curve_{scale}x")
+        if scale != 1:
+            materialize(spark, base, scale, sf_dir)
+        for name in QUERIES:
+            fn = cat[name].fn
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {"scale": scale, "query": name, "sec": round(best, 3)}
+                )
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
