@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_simhash_groups",
     "dedup_embedding_neardup",
     "dedup_incremental_minhash",
+    "pipeline_corpus_curation",
     "text_profile",
     "text_vocabulary_topk",
     "q1_pricing_summary",

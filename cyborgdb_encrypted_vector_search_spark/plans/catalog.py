@@ -3941,5 +3941,170 @@ def source_json_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS3X_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz qq ww' AS text
+      FROM documents
+"""
+
+_PIPE_JACCARD = (
+    "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 "
+    "/ len(list_distinct(list_concat(a.sh, b.sh))) END"
+)
+
+
+@query(
+    "pipeline_corpus_curation",
+    f"""
+    WITH corpus AS ({_CORPUS3X_SQL}),
+    staged AS (
+      SELECT doc_id, text,
+             CAST({X.sql_token_count('text')} AS BIGINT) AS n_tokens,
+             {X.sql_punct_ratio('text')} AS punct,
+             {X.sql_stopword_ratio('text')} AS stopr,
+             {X.sql_quality_score('text')} AS quality
+      FROM corpus
+    ),
+    quality_kept AS (
+      SELECT * FROM staged
+      WHERE n_tokens >= 30 AND punct <= 0.05 AND stopr >= 0.01
+    ),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id
+      FROM quality_kept
+      GROUP BY {H.sql_fingerprint_md5('text')}
+    ),
+    survivors AS (
+      SELECT s.* FROM quality_kept s JOIN exact_kept k USING (doc_id)
+    ),
+    shingled AS (
+      SELECT doc_id, list_distinct({_SH}) AS sh FROM survivors
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG.replace('sh', 'list_distinct(' + _SH + ')')} AS sig
+      FROM survivors
+    ),
+    banded AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands('sig', 4, 2)}) AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+    ),
+    losers AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c
+      JOIN shingled a ON c.doc_a = a.doc_id
+      JOIN shingled b ON c.doc_b = b.doc_id
+      WHERE {_PIPE_JACCARD} >= 0.5
+    ),
+    final AS (
+      SELECT * FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    )
+    SELECT CAST(floor(doc_id / 100000.0) AS INT) AS replica,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_quality
+    FROM final GROUP BY 1
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE dataflow —
+    quality gate → exact dedup → verified near-dup removal → corpus
+    stats — the composition a real 100 TB cleaning job runs, with
+    every stage an operator this engine already gates individually.
+
+    Input is a 3x corpus (originals + exact copies + near copies) so
+    each stage's effect is visible in the output: replica 1 dies at
+    the exact-dedup stage (keep-min-id per md5 fingerprint), replica 2
+    dies at the near-dup stage (MinHash bands → Jaccard >= 0.5 verify
+    → drop the larger id; a handful of short docs whose appended
+    suffix dilutes the shingle set below the threshold survive — the
+    honest behavior of a thresholded verifier), and the quality gate
+    prunes all replicas equally BEFORE any hashing — filters run
+    inside the scan, so the expensive stages only ever see surviving
+    rows. One shuffle per
+    stage boundary (fingerprint groupBy, band join, final agg);
+    per-stage cost shrinks monotonically down the pipeline."""
+    corpus = _corpus2x(spark, sf_dir, near=False).unionByName(
+        load(spark, "documents", sf_dir)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t = F.col("text")
+    staged = corpus.select(
+        "doc_id",
+        "text",
+        X.token_count(t).cast("bigint").alias("n_tokens"),
+        X.punct_ratio(t).alias("punct"),
+        X.stopword_ratio(t).alias("stopr"),
+        X.quality_score(t).alias("quality"),
+    )
+    quality_kept = staged.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("punct") <= 0.05)
+        & (F.col("stopr") >= 0.01)
+    ).persist()
+    exact_kept = (
+        quality_kept.groupBy(H.fingerprint_md5(t).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality_kept.join(exact_kept, "doc_id").persist()
+    shingled = survivors.select(
+        "doc_id", F.array_distinct(H.word_shingles(t, 3)).alias("sh")
+    ).persist()
+    sigs = shingled.select(
+        "doc_id", H.minhash_md5(F.col("sh"), 8).alias("signature")
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(H.minhash_bands(F.col("signature"), 4, 2)).alias("band"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, "band")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = shingled.select(F.col("doc_id").alias("__ida"), F.col("sh").alias("__sha"))
+    b = shingled.select(F.col("doc_id").alias("__idb"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    losers = (
+        cand.join(a, cand["doc_a"] == a["__ida"])
+        .join(b, cand["doc_b"] == b["__idb"])
+        .filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(losers, "doc_id", "left_anti")
+    return final.groupBy(
+        F.floor(F.col("doc_id") / 100000).cast("int").alias("replica")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.round(F.col("quality"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_quality"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
