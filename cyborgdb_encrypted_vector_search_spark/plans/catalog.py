@@ -4030,9 +4030,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest behavior of a thresholded verifier), and the quality gate
     prunes all replicas equally BEFORE any hashing — filters run
     inside the scan, so the expensive stages only ever see surviving
-    rows. One shuffle per
-    stage boundary (fingerprint groupBy, band join, final agg);
-    per-stage cost shrinks monotonically down the pipeline."""
+    rows. One shuffle per stage boundary: exact dedup is a window
+    (rank-1 per fingerprint, WindowGroupLimit cuts map-side) rather
+    than groupBy-min + join-back — half the exchanges of the naive
+    shape; the loser set (near-dup ids, small by construction after
+    two pruning stages) broadcasts into the anti-join, so the
+    survivor table never reshuffles; per-stage cost shrinks
+    monotonically down the pipeline."""
     corpus = _corpus2x(spark, sf_dir, near=False).unionByName(
         load(spark, "documents", sf_dir)
         .select(
@@ -4054,13 +4058,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 30)
         & (F.col("punct") <= 0.05)
         & (F.col("stopr") >= 0.01)
-    ).persist()
-    exact_kept = (
-        quality_kept.groupBy(H.fingerprint_md5(t).alias("__fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
-    survivors = quality_kept.join(exact_kept, "doc_id").persist()
+    w = Window.partitionBy(H.fingerprint_md5(t)).orderBy("doc_id")
+    survivors = (
+        quality_kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
     shingled = survivors.select(
         "doc_id", F.array_distinct(H.word_shingles(t, 3)).alias("sh")
     ).persist()
@@ -4094,7 +4099,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    final = survivors.join(losers, "doc_id", "left_anti")
+    final = survivors.join(F.broadcast(losers), "doc_id", "left_anti")
     return final.groupBy(
         F.floor(F.col("doc_id") / 100000).cast("int").alias("replica")
     ).agg(

@@ -170,3 +170,15 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_pipeline_windows_dedup_and_broadcasts_losers(
+    spark, sf_dir, cat
+):
+    plan = X.physical_plan(cat["pipeline_corpus_curation"].fn(spark, sf_dir))
+    # exact dedup is a rank-1 window with map-side group limit,
+    # not groupBy-min + join-back
+    assert "WindowGroupLimit" in plan
+    # every join has a broadcastable side (loser ids, band candidates)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
