@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_embedding_neardup",
     "dedup_incremental_minhash",
     "pipeline_corpus_curation",
+    "text_decontaminate",
     "text_profile",
     "text_vocabulary_topk",
     "q1_pricing_summary",

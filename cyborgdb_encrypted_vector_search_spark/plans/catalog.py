@@ -4111,5 +4111,133 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id,
+             text || ' unrelated trailing filler words' AS text
+      FROM bench
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct({_SH})) AS s FROM bench
+    ),
+    csh AS (
+      SELECT doc_id, list_distinct({_SH}) AS sh FROM corpus
+    ),
+    expl AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM csh
+    ),
+    m AS (
+      SELECT doc_id, n_sh, count(*) AS n_matched
+      FROM expl JOIN bsh USING (s) GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_sh AS BIGINT) AS n_sh,
+           round(n_matched * 1.0 / n_sh, 7) AS overlap
+    FROM m WHERE n_matched * 1.0 / n_sh >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingle set overlaps a held-out benchmark set by >= 50% — the
+    standard n-gram-overlap scrub run before LLM training so eval
+    prompts don't leak into the corpus. The corpus here is documents
+    plus planted near-copies of the benchmark docs, so the output
+    shows both exact members (overlap 1.0) and diluted leaks.
+
+    Scale shape: the benchmark side is always tiny relative to the
+    corpus (MBs vs 100 TB), so its distinct shingle set BROADCASTS;
+    the corpus side probes the session-cached shingle index (at
+    ingest scale: a shingle column written next to the text, never
+    re-derived per query), so the per-scrub cost is one index scan +
+    explode + a map-side-pruned hash join — corpus rows never shuffle
+    on content, only the (doc_id, count) partial aggregates move."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import shingle_index
+
+    base = shingle_index(spark, sf_dir)
+    bench_sh = base.filter(F.col("doc_id") % 97 == 0)
+    leaked = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.array_distinct(
+                H.word_shingles(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" unrelated trailing filler words"),
+                    ),
+                    3,
+                )
+            ).alias("sh"),
+        )
+    )
+    bsh = bench_sh.select(F.explode("sh").alias("s")).distinct()
+    csh = base.unionByName(leaked)
+    expl = csh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    m = (
+        expl.join(F.broadcast(bsh), "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    frac = F.col("n_matched").cast("double") / F.col("n_sh").cast("double")
+    return (
+        m.filter(frac >= 0.5)
+        .select(
+            "doc_id",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.round(frac, 7).alias("overlap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sample_mixture",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < CASE (CAST(substr(source, 4) AS INT) % 4)
+                    WHEN 0 THEN '0ccc' WHEN 1 THEN '1999'
+                    WHEN 2 THEN '2666' ELSE '3333' END
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY source
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling: each source gets a target inclusion
+    rate (5/10/15/20% here, keyed off the source name) and rows are
+    kept when their doc_id hash fraction falls under it — the domain
+    re-weighting step of corpus assembly (downsample crawl, keep
+    books), done as a pure function of (key, weight) so the mixture
+    is reproducible across reruns, engines, and cluster sizes, and
+    composable with every other hash-keyed sample. Zero shuffles for
+    the sampling itself (a scan-side filter); the single exchange
+    here is only the per-source audit aggregation."""
+    d = load(spark, "documents", sf_dir)
+    k = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int") % 4
+    thr = (
+        F.when(k == 0, "0ccc")
+        .when(k == 1, "1999")
+        .when(k == 2, "2666")
+        .otherwise("3333")
+    )
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

@@ -154,6 +154,35 @@ def minhash_band_index(
     return _cached_view(spark, view, build)
 
 
+def shingle_index(
+    spark: SparkSession, sf_dir: str | None = None, shingle_len: int = 3
+) -> DataFrame:
+    """Cached distinct n-gram shingle sets over documents — the
+    corpus-side artifact every n-gram-overlap op (decontamination,
+    Jaccard verification) probes. Shingling is interpreted
+    higher-order-function work, so it is done once per corpus version
+    (at 100 TB: a column written next to the text at ingest), never
+    re-derived per query."""
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = f"shingle_index_{shingle_len}_{_tag(d)}"
+
+    def build() -> DataFrame:
+        docs = load(spark, "documents", d).select("doc_id", "text")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return docs.select(
+            "doc_id",
+            F.array_distinct(
+                H.word_shingles(F.col("text"), shingle_len)
+            ).alias("sh"),
+        )
+
+    return _cached_view(spark, view, build)
+
+
 def unit_embeddings(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """The embeddings table with per-row unit vector + norm, cached.
 

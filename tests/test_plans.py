@@ -182,3 +182,11 @@ def test_curation_pipeline_windows_dedup_and_broadcasts_losers(
     # every join has a broadcastable side (loser ids, band candidates)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir, cat):
+    plan = X.physical_plan(cat["text_decontaminate"].fn(spark, sf_dir))
+    # the benchmark shingle set is the small side everywhere: the
+    # corpus never shuffles on content
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
