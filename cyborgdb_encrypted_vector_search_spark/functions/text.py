@@ -166,3 +166,31 @@ def sql_lang_id(expr: str) -> str:
         structs.append(f"{{'neg': -{score}, 'lang': '{lang}'}}")
     arr = "[" + ", ".join(structs) + "]"
     return f"list_sort({arr})[1]['lang']"
+
+
+# PII patterns shared by the scan and the redactor. Kept to constructs
+# whose semantics agree between Java regex (Spark) and RE2 (DuckDB
+# oracle): character classes, bounded repetition, literals.
+PII_PATTERNS = {
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "card": r"\d{4} \d{4} \d{4} \d{4}",
+    "email": r"[a-z0-9]+@[a-z]+\.[a-z]+",
+}
+
+
+def pii_flag(col: Column | str, kind: str) -> Column:
+    """True where the text contains the given PII pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(PII_PATTERNS[kind])
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII occurrence with its [KIND] placeholder.
+
+    Spark's regexp_replace is global; applied in fixed key order so
+    the composition is deterministic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c

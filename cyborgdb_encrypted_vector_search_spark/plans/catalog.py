@@ -4239,5 +4239,102 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_SSN = X.PII_PATTERNS["ssn"]
+_PII_CARD = X.PII_PATTERNS["card"]
+_PII_EMAIL = X.PII_PATTERNS["email"]
+
+
+@query(
+    "text_pii_scan",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 53 = 0 THEN
+               text || ' ssn 123-45-6789 card 4111 1111 1111 1111 mail u'
+                    || CAST(doc_id AS VARCHAR) || '@example.com'
+             WHEN doc_id % 53 = 1 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+             ELSE text END AS text
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source, text,
+             regexp_matches(text, '{_PII_SSN}') AS has_ssn,
+             regexp_matches(text, '{_PII_CARD}') AS has_card,
+             regexp_matches(text, '{_PII_EMAIL}') AS has_email
+      FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN has_ssn THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ssn,
+           CAST(sum(CASE WHEN has_card THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_card,
+           CAST(sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email,
+           CAST(sum(length(text) - length(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_SSN}', '[SSN]', 'g'),
+               '{_PII_CARD}', '[CARD]', 'g'),
+               '{_PII_EMAIL}', '[EMAIL]', 'g'))) AS BIGINT)
+             AS redacted_chars
+    FROM flagged GROUP BY source
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction audit — the privacy stage of corpus
+    curation, and the pipeline form of this reference's whole subject
+    (its demo corpus IS SSN/credit-card/diagnosis lines —
+    data/sensitive_samples.txt:1-4): detect SSN / card / email
+    patterns per document, redact them, and report per-source hit
+    counts plus how many characters redaction removed. PII is planted
+    deterministically on ~2/53 of docs so the scan has ground truth.
+
+    Scale shape: pure per-row regex inside whole-stage codegen over
+    the scan — zero shuffles until the per-source audit aggregate;
+    redacted text would flow straight to a parquet sink. Java and RE2
+    regex classes agree on these patterns; the oracle pins that."""
+    d = load(spark, "documents", sf_dir)
+    text = (
+        F.when(
+            F.col("doc_id") % 53 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 mail u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 53 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = d.select("doc_id", "source", text.alias("text"))
+    redacted = X.redact_pii(F.col("text"))
+    return corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.pii_flag(F.col("text"), "ssn").cast("int"))
+        .cast("bigint")
+        .alias("n_ssn"),
+        F.sum(X.pii_flag(F.col("text"), "card").cast("int"))
+        .cast("bigint")
+        .alias("n_card"),
+        F.sum(X.pii_flag(F.col("text"), "email").cast("int"))
+        .cast("bigint")
+        .alias("n_email"),
+        F.sum(F.length("text") - F.length(redacted))
+        .cast("bigint")
+        .alias("redacted_chars"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)

@@ -285,3 +285,24 @@ def test_simhash_block_candidates_xxhash64_end_to_end(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_pii_redaction_and_flags(spark):
+    rows = [
+        ("ssn 123-45-6789 and card 4111 1111 1111 1111",),
+        ("mail bob7@example.com twice bob7@example.com",),
+        ("no pii here 12345",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(
+        X.redact_pii("text").alias("red"),
+        X.pii_flag("text", "ssn").alias("s"),
+        X.pii_flag("text", "card").alias("c"),
+        X.pii_flag("text", "email").alias("e"),
+    ).collect()
+    assert out[0]["red"] == "ssn [SSN] and card [CARD]"
+    assert (out[0]["s"], out[0]["c"], out[0]["e"]) == (True, True, False)
+    # global replace: every occurrence goes, not just the first
+    assert out[1]["red"] == "mail [EMAIL] twice [EMAIL]"
+    assert out[2]["red"] == rows[2][0]
+    assert (out[2]["s"], out[2]["c"], out[2]["e"]) == (False, False, False)
