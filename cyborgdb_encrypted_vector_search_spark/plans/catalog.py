@@ -4336,5 +4336,73 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_pack_windows",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             CAST({X.sql_token_count('text')} AS BIGINT) AS n
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, n,
+             sum(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n AS start
+      FROM staged
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n) / 2048.0) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN n > 0 AND
+                  floor(CAST(start AS DOUBLE) / 2048)
+                  <> floor(CAST(start + n - 1 AS DOUBLE) / 2048)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+    FROM pos GROUP BY source
+    """,
+)
+def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: concatenate each source's documents in
+    id order into one token stream, cut it into 2048-token training
+    windows, and report per source how many windows the stream fills
+    and how many documents straddle a window boundary (i.e. get split
+    across two training examples) — the batch-construction step
+    between a cleaned corpus and a training run.
+
+    Scale shape: one shuffle on the pack key (source) for the running
+    total; the cumulative-sum window is a single ordered pass per
+    partition, and everything after it folds into the same aggregate.
+    The pack key is whatever unit must stay contiguous — at 100 TB
+    you pack within shards, so the 'partition' is bounded by shard
+    size, never by corpus size."""
+    d = load(spark, "documents", sf_dir)
+    staged = d.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).cast("bigint").alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = staged.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    straddle = (
+        (F.col("n") > 0)
+        & (
+            F.floor(F.col("start").cast("double") / 2048)
+            != F.floor((F.col("start") + F.col("n") - 1).cast("double") / 2048)
+        )
+    ).cast("int")
+    return pos.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("n") / 2048.0).cast("bigint").alias("n_windows"),
+        F.sum(straddle).cast("bigint").alias("n_straddlers"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(CATALOG)
