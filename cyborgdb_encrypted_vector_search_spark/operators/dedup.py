@@ -189,6 +189,70 @@ def band_index(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph by iterative
+    min-label propagation: each node's component id converges to the
+    smallest node id reachable from it. Returns (node, component).
+
+    This is the step that turns pairwise near-dup evidence (LSH bands,
+    SimHash blocks) into duplicate CLUSTERS — pairs alone under-remove:
+    A~B and B~C must collapse to one surviving doc even when A~C was
+    never emitted as a pair.
+
+    Scale shape: per round, one shuffle join (edges ⋈ labels on node)
+    plus one min-aggregate — both partitioned on the node id, so AQE
+    coalesces them onto the same exchange. Rounds = graph diameter;
+    duplicate clusters are near-cliques (diameter 2-3 in practice), so
+    this converges in 2-4 rounds even at 100 TB. For adversarial
+    long-chain graphs swap in the large-star/small-star contraction
+    (Kiveris et al., SoCC'14) — same join-per-round skeleton, O(log n)
+    rounds. Labels are persisted each round and the previous round is
+    unpersisted; on a real cluster add localCheckpoint every ~10 rounds
+    to truncate lineage.
+    """
+    # Undirected: propagate along both edge directions.
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("component"))
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        # Convergence probe: any node whose label still shrank this
+        # round? count() of a limit(1) stops at the first hit.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "component")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,

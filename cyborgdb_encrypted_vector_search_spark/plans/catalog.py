@@ -1396,6 +1396,93 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chained 3x corpus for connected components: orig, a perturbed copy,
+# and a copy perturbed FURTHER from the first copy — so band evidence
+# tends to chain (orig~c1, c1~c2) and cluster formation genuinely needs
+# transitive closure, not just pair grouping.
+_CORPUS3X_CHAIN_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' zz qq ww' AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             text || ' zz qq ww xj kq vz' AS text FROM documents
+"""
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS3X_CHAIN_SQL}),
+    shingled AS (
+      SELECT doc_id, {_SH} AS sh FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG} AS sig FROM shingled
+    ),
+    banded AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands('sig', 4, 2)}) AS band FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    cc AS (
+      SELECT node, min(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(node)), ',') AS doc_ids
+    FROM cc GROUP BY component
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full duplicate-cluster formation: MinHash-band candidate pairs
+    over a chained 3x corpus, then connected components (iterative
+    min-label propagation) so every transitive chain collapses into one
+    cluster with the smallest member as representative. This is the
+    cluster step real 100 TB dedup pipelines run between pair
+    generation and survivor selection; the DuckDB oracle computes the
+    same components with a recursive CTE over the identical pair graph.
+    Output is O(clusters): rep, size, sorted member list."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    c1 = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    c2 = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww xj kq vz")).alias("text"),
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.lsh_candidate_pairs(
+        corpus, "doc_id", "text", shingle_len=3, num_hashes=8, num_bands=4
+    ).persist()
+    labels = dedup.connected_components(pairs, "doc_a", "doc_b")
+    out = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.array_join(
+            F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+        ).alias("doc_ids"),
+    )
+    return out.select(F.col("component").cast("bigint"), "n_docs", "doc_ids")
+
+
 # Winnowed rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
 # SIGMOD 2003): k=8 char grams, window w=4, hashes as 8-hex-char
 # strings so lexicographic MIN matches across engines.

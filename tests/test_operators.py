@@ -306,3 +306,35 @@ def test_pii_redaction_and_flags(spark):
     assert out[1]["red"] == "mail [EMAIL] twice [EMAIL]"
     assert out[2]["red"] == rows[2][0]
     assert (out[2]["s"], out[2]["c"], out[2]["e"]) == (False, False, False)
+
+
+def test_connected_components_transitive_chain(spark):
+    # Two components: a 6-node path (forces multiple propagation
+    # rounds — min label must travel the whole chain) and a disjoint
+    # pair. No A-C edge anywhere on the path: transitivity is earned
+    # by iteration, not by the input pairs.
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (50, 51)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10, 50: 50, 51: 50,
+    }
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # Triangle evidence arriving as two pairs plus a bridge between
+    # two otherwise-separate clusters: all five nodes collapse to one
+    # component under the smallest id.
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    comps = {
+        r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1}
