@@ -3748,6 +3748,159 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_tok
+      FROM tc GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS pair
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    bc AS (SELECT doc_id, pair, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+      FROM bc GROUP BY 1
+    )
+    SELECT CAST(ts.doc_id AS BIGINT) AS doc_id,
+           CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+           round(ts.n_distinct * 1.0 / ts.n_tokens, 7) AS distinct_ratio,
+           round(ts.top_tok * 1.0 / ts.n_tokens, 7) AS top_token_frac,
+           round(coalesce(bs.top_bigram * 1.0 / bs.n_bigrams, 0.0), 7)
+             AS top_bigram_frac,
+           CAST(CASE WHEN ts.n_distinct * 1.0 / ts.n_tokens >= 0.40
+                      AND ts.top_tok * 1.0 / ts.n_tokens <= 0.12
+                      AND coalesce(bs.top_bigram * 1.0 / bs.n_bigrams, 0.0)
+                          <= 0.06
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: type-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction,
+    and the keep/drop verdict per document. Repetition is the quality
+    signal duplicate-document dedup cannot see — a doc that repeats
+    itself is low-quality even if globally unique.
+
+    Scale shape: two explode→two-level-aggregate chains (token counts,
+    bigram counts), both partial-aggregating map-side before one
+    shuffle each on doc_id-prefixed keys, then a doc_id equi-join of
+    two already-partitioned per-doc frames. Nothing is quadratic in
+    document length and no driver state — the same plan runs per-shard
+    at 100 TB."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tc = (
+        docs.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ts = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    pairs = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        "(a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END"
+    )
+    bc = (
+        docs.select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    j = ts.join(bs, "doc_id", "left")
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_frac = F.col("top_tok") / F.col("n_tokens")
+    top_bigram_frac = F.coalesce(
+        F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return j.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_tokens").cast("bigint"),
+        F.round(distinct_ratio, 7).alias("distinct_ratio"),
+        F.round(top_token_frac, 7).alias("top_token_frac"),
+        F.round(top_bigram_frac, 7).alias("top_bigram_frac"),
+        F.when(
+            (distinct_ratio >= 0.40)
+            & (top_token_frac <= 0.12)
+            & (top_bigram_frac <= 0.06),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+@query(
+    "text_bpe_merge_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest({X.sql_tokens('text')}) AS token FROM documents
+    ),
+    wc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    p AS (
+      SELECT substr(token, CAST(i AS INTEGER), 2) AS pair, c
+      FROM wc, unnest(range(1, length(token))) AS u(i)
+      WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS pair_freq
+    FROM p GROUP BY 1
+    ORDER BY pair_freq DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def text_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer merge step over the corpus: count adjacent
+    symbol pairs (here: character bigrams inside words) weighted by
+    word frequency; the top pair is the next merge a tokenizer trainer
+    would pick. The two-level shape is the whole trick — words are
+    counted FIRST (one shuffle collapses the corpus to its vocabulary),
+    then pair extraction runs over the tiny vocab × count frame, so at
+    100 TB the expensive explode touches |vocab| rows, not |corpus|
+    tokens. Top-50 plans as TakeOrderedAndProject."""
+    docs = load(spark, "documents", sf_dir).select("text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    wc = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1), "
+                "i -> substr(token, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("pair"))
+        .limit(50)
+    )
+
+
 _JAC = (
     "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
     "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 "
