@@ -33,10 +33,9 @@ def _catalog():
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: top-3 nearest documents (cosine) to a
     stored vector — the reference's kNN retrieval flow (SURVEY.md §3.3)
-    as one declarative Spark plan."""
-    # The driver may build its own plain SparkSession; events.parquet
-    # needs the nanos conf, but the flagship touches only
-    # embeddings+documents, so no session tweak is required here.
+    as one declarative Spark plan. Every catalog query (this one
+    included) runs on ANY session — plain or factory-built; the
+    registry normalizes session-dependent types (events.ts) at load."""
     cat = _catalog()
     return cat["knn_topk_cosine"].fn(spark, SMOKE_SF_DIR)
 

@@ -71,17 +71,60 @@ def embed_texts(texts: Iterable[str], dim: int = DEFAULT_DIM) -> list[list[float
     return [embed_text(t, dim) for t in texts]
 
 
-def make_embed_udf(dim: int = DEFAULT_DIM):
+def make_embed_udf(
+    dim: int = DEFAULT_DIM,
+    model_factory=None,
+    batch_size: int | None = None,
+):
     """Arrow-batched pandas_udf: text column -> array<double> embedding.
 
     This is SURVEY.md D1: the one place the engine crosses into Python
     on purpose, batched per Arrow block, model state cached per
     executor process.
+
+    ``model_factory`` is the real-model seam (reference
+    src/embeddings.py:3-6 loads SentenceTransformer at import; here the
+    load is explicit and worker-side): a zero-arg callable returning an
+    object with ``encode(list[str]) -> sequence of vectors`` — the
+    SentenceTransformer surface. It is invoked lazily on the FIRST
+    Arrow batch each executor process sees and cached for the process
+    lifetime; only the factory closure is serialized to workers, never
+    model weights. Swap in the reference's model:
+
+        udf = make_embed_udf(
+            384,
+            model_factory=lambda: SentenceTransformer(
+                "sentence-transformers/all-MiniLM-L6-v2"
+            ),
+        )
+
+    ``batch_size`` caps rows per ``encode`` call inside an Arrow batch
+    (GPU/host-memory bound for big models); None encodes each Arrow
+    batch whole.
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<double>")
-    def embed(col: pd.Series) -> pd.Series:
-        return pd.Series(embed_texts(col.fillna("").tolist(), dim))
+    if model_factory is None:
 
-    return embed
+        @pandas_udf("array<double>")
+        def embed(col: pd.Series) -> pd.Series:
+            return pd.Series(embed_texts(col.fillna("").tolist(), dim))
+
+        return embed
+
+    state: dict[str, object] = {}  # executor-process-local model cache
+
+    @pandas_udf("array<double>")
+    def embed_model(col: pd.Series) -> pd.Series:
+        model = state.get("model")
+        if model is None:
+            model = state["model"] = model_factory()
+        texts = col.fillna("").tolist()
+        out: list[list[float]] = []
+        step = batch_size if batch_size and batch_size > 0 else max(len(texts), 1)
+        for i in range(0, len(texts), step):
+            for v in model.encode(texts[i : i + step]):
+                out.append([float(x) for x in v])
+        return pd.Series(out)
+
+    return embed_model

@@ -211,9 +211,11 @@ def connected_components(
     this converges in 2-4 rounds even at 100 TB. For adversarial
     long-chain graphs swap in the large-star/small-star contraction
     (Kiveris et al., SoCC'14) — same join-per-round skeleton, O(log n)
-    rounds. Labels are persisted each round and the previous round is
-    unpersisted; on a real cluster add localCheckpoint every ~10 rounds
-    to truncate lineage.
+    rounds. Each round's labels are localCheckpoint-ed: iterative
+    self-referencing plans otherwise grow multiplicatively and blow up
+    the driver (analysis + task serialization) long before the data
+    does — the checkpoint truncates lineage so every round pays only
+    its own join, on a 1 GB driver or a 1000-executor cluster alike.
     """
     # Undirected: propagate along both edge directions.
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -234,7 +236,7 @@ def connected_components(
             .unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()  # truncate lineage + cache this round
         )
         # Convergence probe: any node whose label still shrank this
         # round? count() of a limit(1) stops at the first hit.

@@ -41,10 +41,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Driver testdata writes TIMESTAMP(NANOS) parquet (events.ts),
-        # which Spark rejects by default; read as long and convert in
-        # the registry (micro-aligned, so the conversion is lossless).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Small local driver UIs are useless in CI and cost startup time.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

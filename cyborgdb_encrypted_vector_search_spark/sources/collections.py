@@ -149,15 +149,13 @@ class Collection:
         shutil.rmtree(old)
         return n
 
-    def delete(self, ids: list[str]) -> int:
-        """Batch delete by id: rewrite-without (anti-join), swap in.
-
-        The batch model's delete — a filter-and-rewrite job, not an
-        in-place mutation. Returns rows remaining."""
+    def _swap_in(self, keep: DataFrame, staged_suffix: str) -> int:
+        """Write ``keep`` to a staging dir, then atomically swap it in
+        for the current table (write-then-swap; readers never see a
+        partial table). Returns rows remaining."""
         import shutil
 
-        keep = self.scan().filter(~F.col("id").isin(ids))
-        staged = self.path + ".deleting"
+        staged = self.path + staged_suffix
         n = keep.count()
         keep.write.mode("overwrite").parquet(staged)
         old = self.path + ".old"
@@ -166,10 +164,33 @@ class Collection:
         shutil.rmtree(old)
         return n
 
+    def delete(self, ids: list[str]) -> int:
+        """Batch delete by a SMALL caller-provided id list: the
+        NOT-IN predicate pushes into the scan. For id sets of
+        DataFrame scale use ``delete_matching`` — never materialize a
+        big id list on the driver."""
+        keep = self.scan().filter(~F.col("id").isin(ids))
+        return self._swap_in(keep, ".deleting")
+
+    def _without(self, ids_df: DataFrame, id_col: str = "id") -> DataFrame:
+        """The collection minus every id in ``ids_df``: a left-anti
+        join plan (the incoming side shuffles/broadcasts by id; the
+        collection side streams — no driver materialization)."""
+        incoming = ids_df.select(
+            F.col(id_col).cast("string").alias("id")
+        ).distinct()
+        return self.scan().join(incoming, "id", "left_anti")
+
+    def delete_matching(self, ids_df: DataFrame, id_col: str = "id") -> int:
+        """Batch delete of every id present in ``ids_df`` via left-anti
+        join — fully distributed. Returns rows remaining."""
+        return self._swap_in(self._without(ids_df, id_col), ".deleting")
+
     def upsert(self, df: DataFrame, id_col: str = "id", **kwargs) -> None:
-        """Batch upsert: delete incoming ids, then append the new rows."""
-        ids = [r[0] for r in df.select(F.col(id_col).cast("string")).collect()]
-        self.delete(ids)
+        """Batch upsert: anti-join out the incoming ids, then append
+        the new rows. Both halves are distributed jobs — at ingest
+        scale the incoming batch never lands on the driver."""
+        self.delete_matching(df, id_col=id_col)
         self.add(df, id_col=id_col, **kwargs)
 
     # -- layouts ---------------------------------------------------------

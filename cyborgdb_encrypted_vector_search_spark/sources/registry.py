@@ -38,18 +38,30 @@ def load(spark: SparkSession, table: str, sf_dir: str | None = None) -> DataFram
     d = sf_dir or DEFAULT_SF_DIR
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
-    if table == "events":
-        # Runtime-settable; needed even on sessions not built by our
-        # factory (e.g. the verify driver's own session).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(d, f"{table}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong; restore a proper timestamp
-    # (values are microsecond-aligned — verified in TESTDATA parquet).
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # events.ts is TIMESTAMP(NANOS) parquet. Spark 4 reads that as
+    # TIMESTAMP_NTZ (nanos truncated to micros — values are
+    # micro-aligned in TESTDATA, so lossless) in ANY session; the
+    # legacy nanosAsLong conf is ignored unless set at session BUILD
+    # time, so we never rely on it. Normalize the two possible foreign
+    # shapes back to TIMESTAMP_NTZ so every downstream query sees ONE
+    # type regardless of which session loaded the table.
+    if table == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # A session built with nanosAsLong=true: long nanos.
+            # timestamp_micros yields TIMESTAMP(LTZ); the NTZ cast is
+            # exact under the factory's UTC session timezone.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -24,12 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores TIMESTAMP(NANOS); a streaming read needs the
-# nanosAsLong conf + an explicit schema with ts as LONG, converted after.
+# events.parquet stores TIMESTAMP(NANOS); Spark reads that as
+# TIMESTAMP_NTZ (nanos truncated to micros — TESTDATA values are
+# micro-aligned, so lossless), same as the batch path via
+# registry.load. Declaring LONG here instead would surface MICROS (not
+# nanos) and silently collapse every timestamp to 1970 after a ÷1000.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see registry.load)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -41,7 +44,6 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """readStream over the events parquet directory (file source —
     production swaps in Kafka with the same downstream lineage)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
     # The file source requires a directory; a single-file path becomes
     # parent dir + glob filter.
@@ -51,7 +53,14 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         )
         src_dir = os.path.dirname(src_dir)
     raw = reader.load(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks/event-time require TIMESTAMP (LTZ). Rebuild the
+    # instant from NTZ wall-clock micros with integer math — an NTZ→
+    # TIMESTAMP *cast* would shift by the session timezone; this is
+    # exact in any session (UTC wall clock == the instant).
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return raw.withColumn("ts", F.timestamp_micros(us))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

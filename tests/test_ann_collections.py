@@ -155,6 +155,30 @@ def test_collection_compact_delete_upsert(spark, tmp_path):
     assert rows == {"1": "doc 1 v2", "3": "doc 3", "5": "doc 5"}
 
 
+def test_upsert_delete_plan_is_distributed_anti_join(spark, tmp_path):
+    """The upsert/delete_matching path must never materialize the
+    incoming ids on the driver: its keep-side plan is a left-anti JOIN
+    against the incoming DataFrame (broadcast/shuffle by id), not an
+    isin over a collected list."""
+    coll = Collection.create(spark, "ua", str(tmp_path), dim=2)
+    base = spark.createDataFrame(
+        [(str(i), f"doc {i}", [float(i), 0.0]) for i in range(10)],
+        "id string, d string, e array<float>",
+    )
+    coll.add(base, id_col="id", document_col="d", embedding_col="e")
+    incoming = spark.createDataFrame(
+        [("3", "v2", [9.0, 9.0]), ("99", "new", [1.0, 1.0])],
+        "id string, d string, e array<float>",
+    )
+    plan = coll._without(incoming)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
+    assert " IN (" not in plan  # no driver-collected id list
+
+    coll.upsert(incoming, id_col="id", document_col="d", embedding_col="e")
+    rows = {r["id"]: r["document"] for r in coll.scan().collect()}
+    assert rows["3"] == "v2" and rows["99"] == "new" and len(rows) == 11
+
+
 def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
     from cyborgdb_encrypted_vector_search_spark.plans import explain as X
 

@@ -1,0 +1,115 @@
+"""D1 seam: a real-model-shaped embedder through make_embed_udf.
+
+The reference's embedding UDF is SentenceTransformer all-MiniLM-L6-v2
+(reference src/embeddings.py:3-6: model loaded once per process,
+``model.encode(texts)`` batched). The sandbox has no model libraries,
+so these tests drive the SAME seam — ``model_factory`` → lazy
+per-executor init → batched ``encode`` calls — with a deterministic
+test double, proving a real SentenceTransformer drops in with no
+engine change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cyborgdb_encrypted_vector_search_spark.functions.embed import (
+    embed_text,
+    make_embed_udf,
+)
+
+
+def fake_transformer_cls():
+    """SentenceTransformer-surface double: ``encode(list[str]) ->
+    ndarray``, deterministic, with batch bookkeeping baked into the
+    output vector so worker-side behavior is observable from the
+    result (worker processes can't mutate driver state). Defined at
+    function scope so cloudpickle ships the class BY VALUE to
+    executors — exactly how a user's custom model wrapper travels."""
+
+    class FakeSentenceTransformer:
+        def __init__(self, dim: int = 4, max_batch: int | None = None):
+            self.dim = dim
+            self.max_batch = max_batch
+
+        def encode(self, texts: list[str]) -> np.ndarray:
+            if self.max_batch is not None and len(texts) > self.max_batch:
+                raise AssertionError(
+                    f"encode() got {len(texts)} texts, cap is {self.max_batch}"
+                )
+            # v = [len, n_tokens, batch_len, 1.0] — deterministic; the
+            # third slot exposes the batch shape the model actually saw.
+            return np.array(
+                [
+                    [
+                        float(len(t)),
+                        float(len(t.split())),
+                        float(len(texts)),
+                        1.0,
+                    ]
+                    for t in texts
+                ]
+            )
+
+    return FakeSentenceTransformer
+
+
+def test_model_factory_drives_udf(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "w " * i) for i in range(20)], "id long, text string"
+    ).repartition(2)
+    cls = fake_transformer_cls()
+    udf = make_embed_udf(4, model_factory=lambda: cls(4))
+    rows = {
+        r["id"]: r["emb"]
+        for r in docs.select("id", udf("text").alias("emb")).collect()
+    }
+    assert len(rows) == 20
+    for i, v in rows.items():
+        text = f"doc {i} " + "w " * i
+        assert v[0] == float(len(text))
+        assert v[1] == float(len(text.split()))
+        assert v[3] == 1.0
+
+
+def test_batch_size_caps_encode_calls(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(64)], "id long, text string"
+    ).coalesce(1)
+    # The double RAISES if any encode() call exceeds the cap, and
+    # reports the batch length it saw in slot 2 — both checked.
+    cls = fake_transformer_cls()
+    udf = make_embed_udf(
+        4, model_factory=lambda: cls(4, max_batch=7), batch_size=7
+    )
+    out = docs.select(udf("text").alias("emb")).collect()
+    batch_lens = {r["emb"][2] for r in out}
+    assert batch_lens <= {7.0, 1.0, 64.0 % 7}  # full chunks + remainder
+    assert max(batch_lens) <= 7.0
+
+
+def test_factory_is_lazy_not_driver_side(spark):
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return fake_transformer_cls()(4)
+
+    udf = make_embed_udf(4, model_factory=factory)
+    docs = spark.createDataFrame([(1, "a")], "id long, text string")
+    plan_only = docs.select(udf("text").alias("emb"))  # no action
+    assert calls == []  # never invoked at plan/driver time
+    assert plan_only.schema["emb"].dataType.simpleString() == "array<double>"
+
+
+def test_default_stub_matches_plain_function(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "id long, text string"
+    )
+    udf = make_embed_udf(8)
+    got = {
+        r["id"]: r["emb"]
+        for r in docs.select("id", udf("text").alias("emb")).collect()
+    }
+    assert np.allclose(got[1], embed_text("hello world", 8))
+    assert np.allclose(got[2], embed_text("spark engine", 8))
