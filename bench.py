@@ -29,7 +29,10 @@ HEADLINE = [
     "knn_batch_topk",
     "ann_lsh_probe_topk",
     "ann_lsh_multiprobe_topk",
+    "ann_lsh_batch_topk",
     "ann_ivf_search_topk",
+    "ann_ivf_batch_topk",
+    "ann_ivfpq_batch_topk",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_simhash_groups",

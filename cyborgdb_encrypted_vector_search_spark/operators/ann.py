@@ -134,6 +134,51 @@ def lsh_probe_search(
     )
 
 
+def lsh_search_batch(
+    corpus_bucketed: DataFrame,
+    queries_bucketed: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    unit_col: str = "unit",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Batch multiprobe LSH: every query's probe + rank in ONE plan.
+
+    ``queries_bucketed`` carries (query_id, unit, vnorm, bucket) — the
+    same index columns the corpus has. Per query the probe set is its
+    bucket plus all Hamming-1 neighbors (9 of 2^n_planes); the whole
+    (query, bucket) probe list is Q×9 rows, broadcasts, and hash-joins
+    the corpus on bucket — on a bucket-partitioned layout that is
+    partition pruning for the union of all queries' probes in a single
+    scan. Exact unit-cosine on candidates, per-query top-k window
+    (WindowGroupLimit). A corpus row has exactly one bucket, so no
+    (query, row) pair is scored twice.
+    """
+    from pyspark.sql import Window
+
+    probes = queries_bucketed.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(unit_col).alias("__qunit"),
+        F.col(norm_col).alias("__qnorm"),
+        F.explode(multiprobe_buckets("bucket", n_planes)).alias("bucket"),
+    )
+    cand = corpus_bucketed.join(F.broadcast(probes), "bucket")
+    score = F.when(
+        (F.col(norm_col) == 0) | (F.col("__qnorm") == 0), F.lit(-1.0)
+    ).otherwise(V.dot(unit_col, "__qunit"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("score", score)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score")
+        )
+    )
+
+
 # --- IVF ----------------------------------------------------------------
 
 def assign_centroids(
@@ -268,6 +313,66 @@ def ivf_search_adaptive(
         .withColumn("score", V.cosine(vec_col, t))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_search_batch(
+    queries: DataFrame,
+    corpus_with_centroids: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch IVF: EVERY query's probe + rank as ONE declarative plan.
+
+    ``ivf_search`` collects probe ids to the driver per target — fine
+    interactively, but N queries means N jobs and a driver round-trip
+    each. The batch shape a 100 TB serving job wants instead:
+
+    1. queries × centroids (broadcast — centroids are small by
+       construction) → per-query nprobe nearest lists via a
+       row_number window (WindowGroupLimit keeps it partial);
+    2. the (query, centroid) probe list — Q × nprobe rows — broadcasts
+       and hash-joins the corpus on ``centroid_id``: a corpus row is
+       scored ONLY against queries that probed its list, so work is
+       candidate-bounded exactly like the single-query pruned scan;
+    3. exact cosine on survivors + per-query top-k window.
+
+    No driver loop, no collect; one broadcast join + one shuffle (the
+    final per-query window on __qid).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    cent = centroids.select("centroid_id", "centroid")
+    wp = Window.partitionBy("__qid").orderBy(
+        F.asc("__cd"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__cd", V.l2_distance("__qvec", "centroid"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "centroid_id")
+    )
+    cand = corpus_with_centroids.join(F.broadcast(probes), "centroid_id")
+    wk = Window.partitionBy("__qid").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("score", V.cosine(vec_col, "__qvec"))
+        .withColumn("__rank", F.row_number().over(wk))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), F.col(id_col), F.col("score")
+        )
     )
 
 

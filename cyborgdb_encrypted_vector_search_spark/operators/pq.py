@@ -311,6 +311,130 @@ def ivfadc_search(
     )
 
 
+def ivfpq_search_batch(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[np.ndarray],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF-PQ: every query probed, ADC-scored and re-ranked in
+    ONE plan — the 100 TB serving shape for a query BATCH.
+
+    The single-target ``ivfpq_search`` builds one JVM literal lookup
+    table per query and collects probe ids per query — N queries means
+    N driver round-trips and N plans. Here:
+
+    1. probe lists via a broadcast queries×centroids window (Q×nprobe
+       rows);
+    2. the probe list broadcasts onto the code table (partition
+       pruning on a centroid-partitioned layout) — each code row pairs
+       only with queries that probed its list;
+    3. ADC inside ``mapInPandas``: per Arrow batch, group by query,
+       build the m×2^nbits table ONCE per query with vectorized numpy,
+       then gather-sum all that query's codes in one shot. Tables
+       can't be JVM literals here because they differ per query row —
+       this is the one justified Python hop, Arrow-batched, O(rows)
+       work;
+    4. per-query shortlist window (k×rerank_factor), exact-cosine
+       re-rank against the full-precision table, final top-k window.
+    """
+    from pyspark.sql import Window
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qvec"),
+    )
+    cent = centroids.select("centroid_id", "centroid")
+    wp = Window.partitionBy("__qid").orderBy(
+        F.asc("__cd"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__cd", V.l2_distance("__qvec", "centroid"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "centroid_id")
+    )
+    cand = codes_df.join(F.broadcast(probes), "centroid_id").select(
+        "__qid", "__qvec", F.col(id_col).cast("long").alias("__vid"), "codes"
+    )
+
+    def _adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for qid, grp in pdf.groupby("__qid"):
+                qv = np.asarray(grp["__qvec"].iloc[0], dtype=np.float64)
+                table = np.stack(
+                    [
+                        ((b - qv[j * sub : (j + 1) * sub][None, :]) ** 2).sum(
+                            axis=1
+                        )
+                        for j, b in enumerate(books)
+                    ]
+                )
+                codes = np.stack(grp["codes"].to_list()).astype(np.int64)
+                dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "__qid": qid,
+                            "__vid": grp["__vid"].to_numpy(),
+                            "adc_dist": dist,
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        _adc, schema="__qid long, __vid long, adc_dist double"
+    )
+    ws = Window.partitionBy("__qid").orderBy(
+        F.asc("adc_dist"), F.asc("__vid")
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= k * (rerank_factor if rerank_df is not None else 1))
+    )
+    if rerank_df is None:
+        return shortlist.filter(F.col("__rn") <= k).select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("adc_dist"),
+        )
+    rer = (
+        rerank_df.select(F.col(id_col).cast("long").alias("__vid"), vec_col)
+        .join(F.broadcast(shortlist.select("__qid", "__vid")), "__vid")
+        .join(F.broadcast(q), "__qid")
+        .withColumn("score", F.round(V.cosine(vec_col, "__qvec"), 7))
+    )
+    wk = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__vid"))
+    return (
+        rer.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("score"),
+        )
+    )
+
+
 def ivfpq_search(
     codes_df: DataFrame,
     centroids: DataFrame,

@@ -1053,6 +1053,59 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_lsh_batch_topk",
+    f"""
+    WITH un AS ({_UNIT_EMB}),
+    bucketed AS (
+      SELECT un.vec_id, un.unit, un.nrm,
+             {_ann.sql_lsh_bucket('e.embedding', _PLANES)} AS bucket
+      FROM un JOIN embeddings e ON un.vec_id = e.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, unit AS tu, nrm AS tn, bucket AS tb
+      FROM bucketed WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT DISTINCT query_id, tu, tn,
+             unnest({_ann.sql_multiprobe_buckets('tb', 8)}) AS bucket
+      FROM q
+    )
+    SELECT query_id, vec_id, score FROM (
+      SELECT p.query_id AS query_id, b.vec_id AS vec_id,
+             round({V.sql_unit_cosine('b.unit', 'p.tu', 'b.nrm', 'p.tn')}, 7)
+               AS score,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY
+                 {V.sql_unit_cosine('b.unit', 'p.tu', 'b.nrm', 'p.tn')} DESC,
+                 b.vec_id ASC
+             ) AS rnk
+      FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multiprobe LSH: 10 query vectors probed and ranked in ONE
+    declarative plan (operators/ann.lsh_search_batch) — the Q×9
+    (query, bucket) probe list broadcasts and prunes the bucketed
+    corpus in a single hash join; exact unit-cosine + per-query
+    WindowGroupLimit top-k. Deterministic (seeded planes, id
+    tie-breaks), so fully value-hashed against DuckDB."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import lsh_index
+
+    bucketed = lsh_index(spark, sf_dir).select(
+        "vec_id", "unit", "vnorm", "bucket"
+    )
+    queries = bucketed.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    res = _ann.lsh_search_batch(bucketed, queries, k=3, n_planes=8)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 7).alias("score")
+    )
+
+
 _SQL_L2 = (
     "sqrt(list_sum(list_transform(range(1, 65), "
     "i -> ((a.embedding[i])::DOUBLE - (c.centroid[i])::DOUBLE)"
@@ -2107,7 +2160,21 @@ def _ann_recall_gate(
             F.col("vec_id").cast("bigint").alias("vec_id"),
         )
         approx = a if approx is None else approx.unionByName(a)
-    queries = emb.filter(F.col("vec_id").isin(list(targets))).select(
+    return _recall_result(emb, list(targets), approx, method, floor, k)
+
+
+def _recall_result(
+    emb: DataFrame,
+    qids: list,
+    approx: DataFrame,
+    method: str,
+    floor: float,
+    k: int,
+) -> DataFrame:
+    """Exact-kNN ground truth + recall flag for an approximate result
+    set (columns qid, vec_id) — shared by the per-query and batch ANN
+    gates; see _ann_recall_gate for the contract."""
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     exact = knn.knn_join(
@@ -3241,6 +3308,47 @@ def ann_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_batch_topk", _recall_oracle_sql("ivfpq_batch_nprobe4"))
+def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ (operators/pq.ivfpq_search_batch): the recall-gate
+    query set probed, ADC-scored and re-ranked in ONE plan — probe
+    lists from a broadcast window, per-query ADC lookup tables built
+    with vectorized numpy inside mapInPandas (tables differ per query,
+    so the single-target JVM-literal trick can't apply), shortlist +
+    exact-cosine re-rank windows. Gated on recall@10 ≥ 0.5 vs exact
+    kNN with the ground truth checksummed against DuckDB."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as _ann
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    qids = sorted({(i * n) // 5 + 1 for i in range(5)})
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    books = pq.train_codebooks(
+        emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
+    )
+    codes = pq.encode(emb, books)
+    assigned = _ann.assign_centroids(emb, cent, "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    index = codes.join(assigned, "vec_id")
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = pq.ivfpq_search_batch(
+        index, cent, books, queries, k=10, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    ).select(
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+    )
+    return _recall_result(emb, qids, approx, "ivfpq_batch_nprobe4", 0.5, 10)
+
+
 @query("search_invert_both", None)
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:
@@ -3324,6 +3432,82 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ][0]
     res = A.ivf_search(table, cent, target, k=3, nprobe=2)
     return res.select("vec_id", F.round("score", 7).alias("score"))
+
+
+_SQL_L2_QC = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> ((c.centroid[i])::DOUBLE - (q.qv[i])::DOUBLE)"
+    " * ((c.centroid[i])::DOUBLE - (q.qv[i])::DOUBLE))))"
+)
+
+@query(
+    "ann_ivf_batch_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id ORDER BY {_SQL_L2_QC}, c.centroid_id
+               ) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, vec_id, score FROM (
+      SELECT p.query_id AS query_id, a.vec_id AS vec_id,
+             round({V.sql_cosine('a.embedding', 'p.qv')}, 7) AS score,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {V.sql_cosine('a.embedding', 'p.qv')} DESC,
+                        a.vec_id ASC
+             ) AS rnk
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF search: 10 query vectors probed and ranked in ONE
+    declarative plan (operators/ann.ivf_search_batch) — no per-query
+    driver loop, no collect. Probe lists come from a broadcast
+    queries×centroids window; candidates from one broadcast hash join
+    on centroid_id (partition pruning at a materialized layout); final
+    per-query top-k via WindowGroupLimit. IVF probing is deterministic
+    (L2 + id tie-breaks), so unlike the PQ family this batch result is
+    fully SQL-expressible and value-hashed against DuckDB."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = A.ivf_search_batch(
+        queries, ivf_index(spark, sf_dir), cent, k=3, nprobe=2
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 7).alias("score")
+    )
 
 
 @query(

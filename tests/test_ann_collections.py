@@ -73,6 +73,34 @@ def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
     assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
 
 
+def test_ivf_search_batch_equals_per_query(spark, emb):
+    """One-plan batch IVF returns exactly what the per-query driver
+    loop returns, query by query — same probes, same ranks, same
+    tie-breaks."""
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    assigned = ann.assign_centroids(emb.select("vec_id", "embedding"), cent)
+    qids = [3, 57, 201]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in ann.ivf_search_batch(
+            queries, assigned, cent, k=3, nprobe=2
+        ).collect()
+    }
+    seq = {}
+    for qid in qids:
+        target = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") == qid).collect()
+        ][0]
+        for r in ann.ivf_search(assigned, cent, target, k=3, nprobe=2).collect():
+            seq[(qid, r["vec_id"])] = round(r["score"], 9)
+    assert batch == seq
+
+
 def test_ivf_recall_vs_exact(spark, emb):
     cent = ann.kmeans_centroids(emb, k=8, seed=42)
     assigned = ann.assign_centroids(emb.select("vec_id", "embedding"), cent)
@@ -347,6 +375,44 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     assert len({r["vec_id"] for r in got} & truth) >= 1
     # returned scores are true cosines in descending order
     assert got[0]["score"] >= got[1]["score"] >= got[2]["score"]
+
+
+def test_ivfpq_batch_equals_per_query(spark, sf_dir):
+    """One-plan batch IVF-PQ returns exactly what the single-target
+    path returns for each query: same probes, same ADC shortlist, same
+    re-ranked scores and tie-breaks."""
+    pq, emb, _, books = _pq_setup(spark, sf_dir)
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    corpus = emb.select("vec_id", "embedding")
+    codes = pq.encode(corpus, books)
+    assigned = ann.assign_centroids(corpus, cent).select(
+        "vec_id", "centroid_id"
+    )
+    index = codes.join(assigned, "vec_id")
+    qids = [3, 57, 201]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in pq.ivfpq_search_batch(
+            index, cent, books, queries, k=3, nprobe=4, rerank_df=emb,
+            rerank_factor=8,
+        ).collect()
+    }
+    seq = {}
+    for qid in qids:
+        target = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") == qid).collect()
+        ][0]
+        for r in pq.ivfpq_search(
+            index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+            rerank_factor=8,
+        ).collect():
+            seq[(qid, r["vec_id"])] = r["score"]
+    assert batch == seq
 
 
 def test_ivfadc_residual_recall_vs_exact(spark, sf_dir):
