@@ -2324,16 +2324,45 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_sketches", None)
+@query(
+    "q_approx_sketches",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path: approx_count_distinct (HLL++) and
-    percentile_approx (t-digest like) per event_type. Sketch outputs are
-    implementation-specific → rows-only check; the exact twins
-    (q_events_json_agg n_users, q_percentiles) are oracle-gated."""
+    percentile_approx (t-digest-like) per event_type. Sketch VALUES are
+    implementation-specific, so the gate is error-bound-shaped (like
+    the ANN recall gates): the exact distinct count is value-hashed
+    against DuckDB, and the booleans — HLL within 15% of exact
+    (default rsd is 5%), approx p50 inside the exact p40–p60 band —
+    are only TRUE when the sketches actually deliver their accuracy
+    contract. Exact twins stay separately gated (q_events_json_agg,
+    q_percentiles)."""
     ev = load(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("__au"),
+        F.percentile_approx("value", F.lit(0.5)).alias("__p50a"),
+        F.expr("percentile(value, 0.4)").alias("__p40"),
+        F.expr("percentile(value, 0.6)").alias("__p60"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("__au") - F.col("n_users"))
+            <= 0.15 * F.col("n_users")
+        ).alias("hll_ok"),
+        (
+            (F.col("__p50a") >= F.col("__p40"))
+            & (F.col("__p50a") <= F.col("__p60"))
+        ).alias("p50_ok"),
     )
 
 
@@ -4812,6 +4841,123 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "q_shuffle_shard",
+    f"""
+    WITH sharded AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST({X.sql_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+             ) AS rn
+      FROM sharded
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(doc_id * rn) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY shard
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-layout step every pipeline ends with: a GLOBAL
+    deterministic shuffle (hash order destroys source/crawl-order
+    correlation) into 16 shards (first hex char of the key hash). No
+    RNG state: the permutation is a pure function of the key, so it is
+    identical across engines, reruns and cluster sizes — the property
+    that makes a 100 TB training run resumable and bit-reproducible.
+    At scale this plan IS the write: repartition(shard) +
+    sortWithinPartitions(hash) + per-shard files; the gate checksums
+    the permutation (Σ doc_id·rank per shard) plus shard sizes and
+    token mass, so a wrong order, wrong shard split, or dropped doc
+    all trip it while the driver compares O(shards) rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    sharded = d.select(
+        "doc_id",
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = sharded.withColumn("rn", F.row_number().over(w))
+    return ordered.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("doc_id") * F.col("rn")).cast("bigint").alias(
+            "order_checksum"
+        ),
+    )
+
+
+@query(
+    "q_token_budget_select",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {X.sql_quality_score('text')} AS quality,
+             CAST({X.sql_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+    FROM ranked WHERE cum_tokens <= 5000
+    GROUP BY source
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction under a token budget: per source, take
+    documents in quality order until ~5000 tokens are filled (running
+    window sum; the last doc that still fits closes the budget). This
+    is how a training mixture says 'N tokens of web, M of code' while
+    preferring the best documents of each source — deterministic
+    (quality + id tie-break), one window shuffle on source, and the
+    gate compares per-source counts/token mass/kept-id checksum, not
+    per-doc rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= 5000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_checksum"),
+        )
     )
 
 

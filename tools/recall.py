@@ -72,8 +72,10 @@ def main() -> None:
         return {r["vec_id"] for r in df.select("vec_id").collect()}
 
     hits: dict[str, int] = {}
+    truths: dict[int, set] = {}
     for qid, t in targets.items():
         truth = ids(knn.topk_against_target(emb, t, k))
+        truths[qid] = truth
         tgt_bucket = lsh.filter(F.col("vec_id") == qid).select("bucket")
         tgt_unit = [
             float(x)
@@ -102,6 +104,26 @@ def main() -> None:
         )
         for name, fn in methods.items():
             hits[name] = hits.get(name, 0) + len(ids(fn()) & truth)
+
+    # Batch variants: all queries in ONE plan each; recall must match
+    # the per-query paths (unit tests pin exact equality of results).
+    queries_df = emb.filter(F.col("vec_id").isin(list(targets))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch_results = {
+        "ivf_batch_nprobe4": ann.ivf_search_batch(
+            queries_df, ivf, cent, k=k, nprobe=4
+        ),
+        "ivfpq_batch_nprobe4": pq.ivfpq_search_batch(
+            ivf_codes, cent, books, queries_df, k=k, nprobe=4, rerank_df=emb
+        ),
+    }
+    for name, df in batch_results.items():
+        rows = df.select("query_id", "vec_id").collect()
+        hits[name] = sum(
+            1 for r in rows if r["vec_id"] in truths.get(r["query_id"], ())
+        )
 
     print(
         json.dumps(
