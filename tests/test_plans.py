@@ -190,3 +190,15 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir, cat):
     # corpus never shuffles on content
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_batch_ann_serving_plans_broadcast_probes(spark, sf_dir, cat):
+    """The batch ANN serving paths must keep the corpus un-shuffled:
+    probe lists broadcast onto the index (one BroadcastHashJoin), the
+    only hash exchanges carry per-query window partials, and no
+    SortMergeJoin appears anywhere in the serving plan."""
+    for name in ("ann_lsh_batch_topk", "ann_ivf_batch_topk"):
+        plan = X.physical_plan(cat[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "WindowGroupLimit" in plan, name
