@@ -3601,6 +3601,63 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_stream_to_batch(spark, counts, output_mode="complete")
 
 
+# Shared by the batch and streaming incremental-dedup gates: the
+# streaming dataflow over finite input must equal the batch result.
+_INCR_DEDUP_SQL = f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text || ' zz qq ww' AS text
+      FROM documents
+    ),
+    base_sh AS (SELECT doc_id, {_SH} AS sh FROM base),
+    batch_sh AS (SELECT doc_id, {_SH} AS sh FROM batch),
+    base_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM base_sh
+    ),
+    batch_b AS (
+      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
+      FROM batch_sh
+    )
+    SELECT DISTINCT n.doc_id AS batch_id, b.doc_id AS base_id
+    FROM base_b b JOIN batch_b n ON b.band = n.band
+    """
+
+
+@query("streaming_incremental_dedup", _INCR_DEDUP_SQL)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the incoming corpus arrives as a
+    STREAM (file source standing in for Kafka), is banded per
+    micro-batch with the same stateless shingle→MinHash→LSH columns as
+    the batch path, hash-joins the PERSISTED corpus band index
+    (registry.minhash_band_index — broadcast, corpus never
+    re-shingled), and emits candidate pairs exactly once via streaming
+    dropDuplicates state. Same oracle as dedup_incremental_minhash —
+    the Dataflow-model claim that the streaming dataflow over finite
+    input equals the batch result, now for the dedup pipeline itself."""
+    import os as _os
+
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        minhash_band_index,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_documents_stream(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    incoming = stream.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    pairs = S.stream_incremental_dedup(
+        incoming, minhash_band_index(spark, sf_dir)
+    )
+    res = S.run_stream_to_batch(spark, pairs, output_mode="append")
+    return res.select(
+        F.col("batch_id").cast("bigint"), F.col("base_id").cast("bigint")
+    )
+
+
 @query(
     "q2_min_cost_supplier",
     """
@@ -3957,25 +4014,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_minhash",
-    f"""
-    WITH base AS (SELECT doc_id, text FROM documents),
-    batch AS (
-      SELECT doc_id + 100000 AS doc_id, text || ' zz qq ww' AS text
-      FROM documents
-    ),
-    base_sh AS (SELECT doc_id, {_SH} AS sh FROM base),
-    batch_sh AS (SELECT doc_id, {_SH} AS sh FROM batch),
-    base_b AS (
-      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
-      FROM base_sh
-    ),
-    batch_b AS (
-      SELECT doc_id, unnest({H.sql_minhash_bands(H.sql_minhash_md5('sh', 8), 4, 2)}) AS band
-      FROM batch_sh
-    )
-    SELECT DISTINCT n.doc_id AS batch_id, b.doc_id AS base_id
-    FROM base_b b JOIN batch_b n ON b.band = n.band
-    """,
+    _INCR_DEDUP_SQL,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a new ingest batch (near-dup copies) matched

@@ -63,6 +63,69 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(us))
 
 
+DOCUMENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over the documents parquet directory — the
+    continuous-ingest corpus source (production: Kafka/object-store
+    notifications with the same downstream lineage)."""
+    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA).format("parquet")
+    if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    return reader.load(src_dir)
+
+
+def stream_incremental_dedup(
+    incoming: DataFrame,
+    corpus_band_index: DataFrame,
+    shingle_len: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Continuous-ingest near-dup detection: per micro-batch, band the
+    INCOMING docs (stateless column expressions — shingle → MinHash →
+    LSH bands work identically on a streaming frame) and hash-join the
+    PERSISTED corpus band index; emit (batch_id, base_id) candidate
+    pairs, deduped across band collisions with the streaming
+    dropDuplicates state store.
+
+    The scale contract matches the batch incremental path
+    (dedup.incremental_lsh_matches): per-batch cost is O(batch +
+    matched index partitions), never O(corpus²), and the corpus is
+    never re-shingled — the signature index is built once per corpus
+    version and re-read. Streaming adds exactly-once pair emission
+    across micro-batches (the dedup state), which is what a continuous
+    ingest pipeline needs so a doc arriving in two files doesn't
+    double-report."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup as D
+
+    banded = D.band_index(
+        incoming.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        shingle_len,
+        num_hashes,
+        num_bands,
+    )
+    base = corpus_band_index.select(
+        F.col("doc_id").alias("base_id"), "band"
+    )
+    pairs = banded.join(F.broadcast(base), "band").select(
+        F.col("doc_id").alias("batch_id"), "base_id"
+    )
+    return pairs.dropDuplicates(["batch_id", "base_id"])
+
+
 def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour windowed counts per event_type; works identically
     on batch and streaming inputs (streaming adds the watermark)."""

@@ -166,3 +166,22 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
+    """The streaming continuous-ingest dedup (banded micro-batches vs
+    the persisted corpus index, exactly-once pair emission) must
+    produce the identical pair set as the batch incremental path."""
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+
+    cat = entries()
+    s = {
+        (r["batch_id"], r["base_id"])
+        for r in cat["streaming_incremental_dedup"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r["batch_id"], r["base_id"])
+        for r in cat["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert s == b
+    assert len(s) > 0
