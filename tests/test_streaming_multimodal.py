@@ -185,3 +185,47 @@ def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
     }
     assert s == b
     assert len(s) > 0
+
+
+def test_stream_embed_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous embedding ingest: stream documents -> Arrow-batched
+    embed UDF (D1) inside the streaming dataflow -> foreachBatch append
+    into a Parquet collection. The stored vectors must equal the batch
+    embedding of the same texts — the D1 seam works identically under
+    micro-batch execution."""
+    import os
+
+    import numpy as np
+
+    from cyborgdb_encrypted_vector_search_spark.functions.embed import (
+        embed_text,
+        make_embed_udf,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    udf = make_embed_udf(16)
+    embedded = stream.select(
+        "doc_id", "text", udf("text").alias("embedding")
+    )
+    dest = str(tmp_path / "emb_coll")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        embedded.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(dest)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stored = {
+        r["doc_id"]: (r["text"], r["embedding"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert len(stored) == docs.count()
+    for doc_id, (text, emb) in list(stored.items())[:25]:
+        assert np.allclose(emb, embed_text(text, 16), atol=1e-12)
