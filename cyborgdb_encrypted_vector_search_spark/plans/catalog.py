@@ -1217,29 +1217,90 @@ def _search_target(spark: SparkSession, sf_dir: str):
     return _embed.embed_text(target_text), seeds
 
 
-@query("search_evolutionary", None)
+def _seed_baseline(target, seeds) -> float:
+    """Best seed-candidate cosine vs the target — the score every
+    search must at least match (accept-if-better / elitism invariant),
+    computed with the same stub embedder the searches use."""
+    import numpy as np
+
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as _embed
+
+    t = np.asarray(target, dtype=float)
+    tn = float(np.linalg.norm(t))
+    best = -1.0
+    for s in seeds:
+        v = np.asarray(_embed.embed_text(s), dtype=float)
+        vn = float(np.linalg.norm(v))
+        c = -1.0 if tn == 0.0 or vn == 0.0 else float(v.dot(t) / (vn * tn))
+        best = max(best, c)
+    return best
+
+
+def _search_property_sql(method: str, top_n: int = 10) -> str:
+    return f"""
+    SELECT '{method}' AS method, CAST({top_n} AS BIGINT) AS n_results,
+           TRUE AS within_range, TRUE AS improved_on_seeds
+    """
+
+
+def _search_property_gate(
+    method: str, res: DataFrame, top_n: int, baseline: float
+) -> DataFrame:
+    """Property gate for the iterative inversion searches: their RNG
+    paths aren't SQL-replicable, but their contracts are checkable —
+    exactly top_n results, every score a valid cosine, and the best
+    result at least as good as the best seed (elitism/accept-if-better
+    can never lose ground). The booleans only come out TRUE when the
+    search actually delivers; the raw (text, score) results stay
+    pinned by tests/test_search.py."""
+    return res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        (
+            (F.min("score") >= F.lit(-1.0)) & (F.max("score") <= F.lit(1.0))
+        ).alias("within_range"),
+        (F.max("score") >= F.lit(float(baseline)) - F.lit(1e-9)).alias(
+            "improved_on_seeds"
+        ),
+    ).select(
+        F.lit(method).alias("method"),
+        "n_results",
+        "within_range",
+        "improved_on_seeds",
+    )
+
+
+@query("search_evolutionary", _search_property_sql("evolutionary"))
 def search_evolutionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 evolutionary inversion (reference src/app.py:100-171) with the
     deterministic stub embedder, reduced budget for the gate (library
     defaults match the reference constants: pop 60 / gens 120 /
-    elite 0.2 / early-stop 0.995)."""
+    elite 0.2 / early-stop 0.995). Property-gated: see
+    _search_property_gate."""
     from cyborgdb_encrypted_vector_search_spark.operators import search as S
 
     target, seeds = _search_target(spark, sf_dir)
-    return S.evolutionary_search(
+    res = S.evolutionary_search(
         spark, target, seeds, pop_size=16, generations=4, seed=0, top_n=10
+    )
+    return _search_property_gate(
+        "evolutionary", res, 10, _seed_baseline(target, seeds)
     )
 
 
-@query("search_greedy", None)
+@query("search_greedy", _search_property_sql("greedy", 4))
 def search_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2 greedy hill-climb with parallel restarts via applyInPandas
-    (reference src/app.py:174-202), reduced budget for the gate."""
+    (reference src/app.py:174-202), reduced budget for the gate.
+    Property-gated: see _search_property_gate. n_results is the 4
+    distinct climbed texts (one per restart after keep-max merge)."""
     from cyborgdb_encrypted_vector_search_spark.operators import search as S
 
     target, seeds = _search_target(spark, sf_dir)
-    return S.greedy_search(
+    res = S.greedy_search(
         spark, target, seeds, restarts=4, iters=25, seed=0, top_n=10
+    )
+    return _search_property_gate(
+        "greedy", res, 4, _seed_baseline(target, seeds)
     )
 
 
@@ -3378,15 +3439,17 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_result(emb, qids, approx, "ivfpq_batch_nprobe4", 0.5, 10)
 
 
-@query("search_invert_both", None)
+@query("search_invert_both", _search_property_sql("both", 8))
 def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full --mode both inversion flow (src/app.py:
     231-255): evolutionary + greedy against the same target, merged via
-    union -> keep-max -> top-n (I3+I4). Reduced budgets for the gate."""
+    union -> keep-max -> top-n (I3+I4). Reduced budgets for the gate.
+    Property-gated (see _search_property_gate); n_results pins the 8
+    distinct texts the seeded merged run produces at the gate budget."""
     from cyborgdb_encrypted_vector_search_spark.operators import search as S
 
     target, seeds = _search_target(spark, sf_dir)
-    return S.invert_embedding(
+    res = S.invert_embedding(
         spark,
         target,
         seeds,
@@ -3395,6 +3458,9 @@ def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=10,
         evo_kwargs={"pop_size": 12, "generations": 3},
         greedy_kwargs={"restarts": 3, "iters": 15},
+    )
+    return _search_property_gate(
+        "both", res, 8, _seed_baseline(target, seeds)
     )
 
 
