@@ -101,6 +101,40 @@ def test_ivf_search_batch_equals_per_query(spark, emb):
     assert batch == seq
 
 
+def test_lsh_search_batch_equals_per_query(spark, emb):
+    """One-plan batch multiprobe LSH returns exactly what the
+    per-query lsh_probe_search path returns for each query."""
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+
+    bucketed = ann.with_lsh_buckets(
+        V.with_unit_vectors(emb.select("vec_id", "embedding"), "embedding"),
+        "embedding",
+        n_planes=8,
+        seed=7,
+        dim=64,
+    ).select("vec_id", "unit", "vnorm", "bucket")
+    qids = [3, 57, 201]
+    queries = bucketed.filter(F.col("vec_id").isin(qids)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 9)
+        for r in ann.lsh_search_batch(
+            bucketed, queries, k=3, n_planes=8
+        ).collect()
+    }
+    seq = {}
+    for qid in qids:
+        row = bucketed.filter(F.col("vec_id") == qid).collect()[0]
+        tgt_bucket = bucketed.filter(F.col("vec_id") == qid).select("bucket")
+        res = ann.lsh_probe_search(
+            bucketed, [float(x) for x in row["unit"]], tgt_bucket, k=3
+        )
+        for r in res.collect():
+            seq[(qid, r["vec_id"])] = round(r["score"], 9)
+    assert batch == seq
+
+
 def test_ivf_recall_vs_exact(spark, emb):
     cent = ann.kmeans_centroids(emb, k=8, seed=42)
     assigned = ann.assign_centroids(emb.select("vec_id", "embedding"), cent)
