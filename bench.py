@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_ivf_search_topk",
     "ann_ivf_batch_topk",
     "ann_ivfpq_batch_topk",
+    "ann_ivfadc_batch_topk",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_simhash_groups",

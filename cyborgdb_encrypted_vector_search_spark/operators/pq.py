@@ -311,6 +311,159 @@ def ivfadc_search(
     )
 
 
+def _batch_probes(
+    q: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    keep_centroid: bool = False,
+) -> DataFrame:
+    """Per-query nprobe nearest lists via one broadcast window over
+    queries × centroids (q carries __qid/__qvec)."""
+    from pyspark.sql import Window
+
+    cent = centroids.select("centroid_id", "centroid")
+    wp = Window.partitionBy("__qid").orderBy(
+        F.asc("__cd"), F.asc("centroid_id")
+    )
+    cols = ["__qid", "__qvec", "centroid_id"] + (
+        ["__cvec"] if keep_centroid else []
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__cd", V.l2_distance("__qvec", "centroid"))
+        .withColumn("__cvec", F.col("centroid"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(*cols)
+    )
+
+
+def _batch_finish(
+    scored: DataFrame,
+    q: DataFrame,
+    rerank_df: DataFrame | None,
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared shortlist + exact-cosine re-rank tail of the batch ADC
+    searches (scored: __qid, __vid, adc_dist)."""
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("__qid").orderBy(
+        F.asc("adc_dist"), F.asc("__vid")
+    )
+    shortlist = scored.withColumn("__rn", F.row_number().over(ws)).filter(
+        F.col("__rn") <= k * (rerank_factor if rerank_df is not None else 1)
+    )
+    if rerank_df is None:
+        return shortlist.filter(F.col("__rn") <= k).select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("adc_dist"),
+        )
+    rer = (
+        rerank_df.select(F.col(id_col).cast("long").alias("__vid"), vec_col)
+        .join(F.broadcast(shortlist.select("__qid", "__vid")), "__vid")
+        .join(F.broadcast(q), "__qid")
+        .withColumn("score", F.round(V.cosine(vec_col, "__qvec"), 7))
+    )
+    wk = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__vid"))
+    return (
+        rer.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__vid").alias(id_col),
+            F.col("score"),
+        )
+    )
+
+
+def ivfadc_search_batch(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    codebooks: Sequence[np.ndarray],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVFADC: residual-code search for a whole query batch in
+    ONE plan. Same skeleton as ``ivfpq_search_batch``, but because the
+    stored codes encode residuals vs their list's centroid, the ADC
+    table differs per (query, probed list) — the mapInPandas stage
+    groups by (query, centroid), builds the table from the query
+    residual ``qvec − centroid`` with vectorized numpy, and
+    gather-sums that group's codes. The single-target path's
+    chained-CASE JVM tables can't batch (one literal table per query ×
+    probe would blow up codegen); one Arrow-batched Python stage with
+    O(rows) work is the right trade."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qvec"),
+    )
+    probes = _batch_probes(q, centroids, nprobe, keep_centroid=True)
+    cand = codes_df.join(F.broadcast(probes), "centroid_id").select(
+        "__qid",
+        "__qvec",
+        "__cvec",
+        F.col("centroid_id"),
+        F.col(id_col).cast("long").alias("__vid"),
+        "codes",
+    )
+
+    def _adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for (qid, _cid), grp in pdf.groupby(["__qid", "centroid_id"]):
+                qv = np.asarray(grp["__qvec"].iloc[0], dtype=np.float64)
+                cv = np.asarray(grp["__cvec"].iloc[0], dtype=np.float64)
+                r = qv - cv
+                table = np.stack(
+                    [
+                        ((b - r[j * sub : (j + 1) * sub][None, :]) ** 2).sum(
+                            axis=1
+                        )
+                        for j, b in enumerate(books)
+                    ]
+                )
+                codes = np.stack(grp["codes"].to_list()).astype(np.int64)
+                dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "__qid": qid,
+                            "__vid": grp["__vid"].to_numpy(),
+                            "adc_dist": dist,
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        _adc, schema="__qid long, __vid long, adc_dist double"
+    )
+    return _batch_finish(
+        scored, q, rerank_df, k, rerank_factor, id_col, vec_col, query_id_col
+    )
+
+
 def ivfpq_search_batch(
     codes_df: DataFrame,
     centroids: DataFrame,
@@ -346,8 +499,6 @@ def ivfpq_search_batch(
     4. per-query shortlist window (k×rerank_factor), exact-cosine
        re-rank against the full-precision table, final top-k window.
     """
-    from pyspark.sql import Window
-
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     sub = books[0].shape[1]
@@ -356,17 +507,7 @@ def ivfpq_search_batch(
         F.col(query_id_col).cast("long").alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qvec"),
     )
-    cent = centroids.select("centroid_id", "centroid")
-    wp = Window.partitionBy("__qid").orderBy(
-        F.asc("__cd"), F.asc("centroid_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__cd", V.l2_distance("__qvec", "centroid"))
-        .withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
-        .select("__qid", "__qvec", "centroid_id")
-    )
+    probes = _batch_probes(q, centroids, nprobe)
     cand = codes_df.join(F.broadcast(probes), "centroid_id").select(
         "__qid", "__qvec", F.col(id_col).cast("long").alias("__vid"), "codes"
     )
@@ -404,34 +545,8 @@ def ivfpq_search_batch(
     scored = cand.mapInPandas(
         _adc, schema="__qid long, __vid long, adc_dist double"
     )
-    ws = Window.partitionBy("__qid").orderBy(
-        F.asc("adc_dist"), F.asc("__vid")
-    )
-    shortlist = (
-        scored.withColumn("__rn", F.row_number().over(ws))
-        .filter(F.col("__rn") <= k * (rerank_factor if rerank_df is not None else 1))
-    )
-    if rerank_df is None:
-        return shortlist.filter(F.col("__rn") <= k).select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__vid").alias(id_col),
-            F.col("adc_dist"),
-        )
-    rer = (
-        rerank_df.select(F.col(id_col).cast("long").alias("__vid"), vec_col)
-        .join(F.broadcast(shortlist.select("__qid", "__vid")), "__vid")
-        .join(F.broadcast(q), "__qid")
-        .withColumn("score", F.round(V.cosine(vec_col, "__qvec"), 7))
-    )
-    wk = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__vid"))
-    return (
-        rer.withColumn("__rk", F.row_number().over(wk))
-        .filter(F.col("__rk") <= k)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__vid").alias(id_col),
-            F.col("score"),
-        )
+    return _batch_finish(
+        scored, q, rerank_df, k, rerank_factor, id_col, vec_col, query_id_col
     )
 
 

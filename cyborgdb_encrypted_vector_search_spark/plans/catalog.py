@@ -4548,6 +4548,47 @@ def ann_ivfadc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfadc_batch_topk", _recall_oracle_sql("ivfadc_batch_nprobe4"))
+def ann_ivfadc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFADC (operators/pq.ivfadc_search_batch): the recall-gate
+    query set searched over residual codes in ONE plan — ADC tables
+    differ per (query, probed list), so the mapInPandas stage groups
+    by (query, centroid) and builds each table from the query residual
+    with vectorized numpy. Gated on recall@10 ≥ 0.45 vs exact kNN with
+    the ground truth checksummed against DuckDB."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    qids = sorted({(i * n) // 5 + 1 for i in range(5)})
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    residuals = pq.residual_frame(emb, cent).persist()
+    books = pq.train_codebooks(
+        residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=10,
+        sample_mod=3,
+    )
+    index = pq.encode(
+        residuals, books, vec_col="residual", keep_cols=("centroid_id",)
+    )
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = pq.ivfadc_search_batch(
+        index, cent, books, queries, k=10, nprobe=4, rerank_df=emb,
+        rerank_factor=8,
+    ).select(
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+    )
+    return _recall_result(
+        emb, qids, approx, "ivfadc_batch_nprobe4", 0.45, 10
+    )
+
+
 @query(
     "source_csv_roundtrip",
     """

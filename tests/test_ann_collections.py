@@ -449,6 +449,51 @@ def test_ivfpq_batch_equals_per_query(spark, sf_dir):
     assert batch == seq
 
 
+def test_ivfadc_batch_equals_per_query(spark, sf_dir):
+    """One-plan batch IVFADC returns exactly what the single-target
+    residual-code path returns for each query — same per-(query, list)
+    residual tables, same shortlist, same re-ranked tie-breaks."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    residuals = pq.residual_frame(
+        emb.select("vec_id", "embedding"), cent
+    ).persist()
+    books = pq.train_codebooks(
+        residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=10,
+        sample_mod=3,
+    )
+    index = pq.encode(
+        residuals, books, vec_col="residual", keep_cols=("centroid_id",)
+    )
+    qids = [3, 57, 201]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in pq.ivfadc_search_batch(
+            index, cent, books, queries, k=3, nprobe=4, rerank_df=emb,
+            rerank_factor=8,
+        ).collect()
+    }
+    seq = {}
+    for qid in qids:
+        target = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") == qid).collect()
+        ][0]
+        for r in pq.ivfadc_search(
+            index, cent, books, target, k=3, nprobe=4, rerank_df=emb,
+            rerank_factor=8,
+        ).collect():
+            seq[(qid, r["vec_id"])] = r["score"]
+    residuals.unpersist()
+    assert batch == seq
+
+
 def test_ivfadc_residual_recall_vs_exact(spark, sf_dir):
     from cyborgdb_encrypted_vector_search_spark.operators import pq
 
