@@ -50,18 +50,30 @@ def load(spark: SparkSession, table: str, sf_dir: str | None = None) -> DataFram
         from pyspark.sql import functions as F
 
         dt = dict(df.dtypes).get("ts")
+        # Both normalizations below are pure integer math anchored at
+        # the NTZ epoch — exact in ANY session timezone. (A plain
+        # cast('timestamp_ntz') would convert via the session tz and
+        # silently shift wall-clock values on a non-UTC driver.)
         if dt == "bigint":
             # A session built with nanosAsLong=true: long nanos.
-            # timestamp_micros yields TIMESTAMP(LTZ); the NTZ cast is
-            # exact under the factory's UTC session timezone.
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast(
-                    "timestamp_ntz"
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
         elif dt == "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # LTZ is an absolute instant; unix_micros reads it without
+            # tz interpretation, and the NTZ rebuild keeps that exact
+            # instant as UTC wall-clock (what the parquet stores).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
