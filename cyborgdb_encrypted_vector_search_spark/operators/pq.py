@@ -188,12 +188,21 @@ def search_adc(
     table), the ADC top ``k * rerank_factor`` candidates — a tiny set —
     join back to their exact vectors and re-sort by true cosine, the
     standard recall-recovery step.
+
+    Output contract (both branches): a ``score`` column where HIGHER is
+    better — exact cosine similarity when re-ranking, else the negated
+    ADC L2 distance (``-adc_dist``, also kept as its own column). Callers
+    can always ``select(id_col, 'score')`` and sort DESC.
     """
     scored = codes_df.select(
         F.col(id_col), adc_score("codes", adc_table(target, codebooks)).alias("adc_dist")
     )
     if rerank_df is None:
-        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+        return (
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(k)
+            .withColumn("score", -F.col("adc_dist"))
+        )
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
         k * rerank_factor
     )
@@ -297,7 +306,13 @@ def ivfadc_search(
         )
     scored = pruned.select(F.col(id_col), expr.alias("adc_dist"))
     if rerank_df is None:
-        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+        # Stable contract: `score` = -adc_dist (higher is better), so
+        # callers select the same column whether or not re-rank is on.
+        return (
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(k)
+            .withColumn("score", -F.col("adc_dist"))
+        )
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
         k * rerank_factor
     )
@@ -349,7 +364,11 @@ def _batch_finish(
     query_id_col: str,
 ) -> DataFrame:
     """Shared shortlist + exact-cosine re-rank tail of the batch ADC
-    searches (scored: __qid, __vid, adc_dist)."""
+    searches (scored: __qid, __vid, adc_dist).
+
+    Output contract (both branches): a ``score`` column where HIGHER is
+    better — exact cosine when ``rerank_df`` is given, else the negated
+    ADC L2 distance (``-adc_dist``, also kept as its own column)."""
     from pyspark.sql import Window
 
     ws = Window.partitionBy("__qid").orderBy(
@@ -363,6 +382,7 @@ def _batch_finish(
             F.col("__qid").alias(query_id_col),
             F.col("__vid").alias(id_col),
             F.col("adc_dist"),
+            (-F.col("adc_dist")).alias("score"),
         )
     rer = (
         rerank_df.select(F.col(id_col).cast("long").alias("__vid"), vec_col)
@@ -588,7 +608,13 @@ def ivfpq_search(
         adc_score("codes", adc_table(target, codebooks)).alias("adc_dist"),
     )
     if rerank_df is None:
-        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+        # Stable contract: `score` = -adc_dist (higher is better), so
+        # callers select the same column whether or not re-rank is on.
+        return (
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(k)
+            .withColumn("score", -F.col("adc_dist"))
+        )
     cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(
         k * rerank_factor
     )

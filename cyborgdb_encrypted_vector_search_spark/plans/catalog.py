@@ -2392,13 +2392,32 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_accuracy_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch-vs-exact frame behind q_approx_sketches: per
+    event_type, the exact distinct count, the HLL++ estimate, the
+    approx p50 and the exact p40/p60 band. Exposed separately so tests
+    can recompute the gate's tolerance predicates from these columns
+    independently of the gate's own boolean expressions."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("hll_users"),
+        F.percentile_approx("value", F.lit(0.5)).alias("p50_approx"),
+        F.expr("percentile(value, 0.4)").alias("p40_exact"),
+        F.expr("percentile(value, 0.6)").alias("p60_exact"),
+    )
+
+
 @query(
     "q_approx_sketches",
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           TRUE AS hll_ok,
-           TRUE AS p50_ok
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.15 * count(DISTINCT user_id) AS hll_ok,
+           approx_quantile(value, 0.5)
+             BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)
+             AS p50_ok
     FROM events GROUP BY event_type
     """,
 )
@@ -2410,26 +2429,24 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB, and the booleans — HLL within 15% of exact
     (default rsd is 5%), approx p50 inside the exact p40–p60 band —
     are only TRUE when the sketches actually deliver their accuracy
-    contract. Exact twins stay separately gated (q_events_json_agg,
+    contract. The oracle computes the SAME tolerance predicates over
+    DuckDB's own sketches (approx_count_distinct / approx_quantile vs
+    its exact values) — both engines' sketches must independently meet
+    the contract for the hash to match; tests/test_plans.py recomputes
+    the Spark predicates from sketch_accuracy_frame's raw columns.
+    Exact twins stay separately gated (q_events_json_agg,
     q_percentiles)."""
-    ev = load(spark, "events", sf_dir)
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.approx_count_distinct("user_id").alias("__au"),
-        F.percentile_approx("value", F.lit(0.5)).alias("__p50a"),
-        F.expr("percentile(value, 0.4)").alias("__p40"),
-        F.expr("percentile(value, 0.6)").alias("__p60"),
-    )
+    agg = sketch_accuracy_frame(spark, sf_dir)
     return agg.select(
         "event_type",
         "n_users",
         (
-            F.abs(F.col("__au") - F.col("n_users"))
+            F.abs(F.col("hll_users") - F.col("n_users"))
             <= 0.15 * F.col("n_users")
         ).alias("hll_ok"),
         (
-            (F.col("__p50a") >= F.col("__p40"))
-            & (F.col("__p50a") <= F.col("__p60"))
+            (F.col("p50_approx") >= F.col("p40_exact"))
+            & (F.col("p50_approx") <= F.col("p60_exact"))
         ).alias("p50_ok"),
     )
 

@@ -601,3 +601,56 @@ def test_import_file_roundtrip(spark, tmp_path):
         assert got["a"]["document"] == "alpha doc"
         assert got["b"]["embedding"] == [0.0, -1.5, 2.25, 9.0]
         assert got["a"]["metadata"] == {"k": "v1"}
+
+
+def test_pq_score_contract_without_rerank(spark, sf_dir):
+    """Every PQ search path emits a stable `score` column (higher =
+    better) whether or not re-ranking is on; with rerank_df=None,
+    score == -adc_dist and rows arrive best-first — so callers can
+    always select(id, 'score') regardless of configuration."""
+    pq, emb, target, books = _pq_setup(spark, sf_dir)
+    cent = ann.kmeans_centroids(emb, k=8, seed=42)
+    corpus = emb.select("vec_id", "embedding")
+    codes = pq.encode(corpus, books)
+    assigned = ann.assign_centroids(corpus, cent).select(
+        "vec_id", "centroid_id"
+    )
+    index = codes.join(assigned, "vec_id")
+    residuals = pq.residual_frame(corpus, cent).persist()
+    rbooks = pq.train_codebooks(
+        residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=3,
+        sample_mod=3,
+    )
+    rindex = pq.encode(
+        residuals, rbooks, vec_col="residual", keep_cols=("centroid_id",)
+    )
+
+    singles = [
+        pq.search_adc(codes, books, target, k=3),
+        pq.ivfpq_search(index, cent, books, target, k=3, nprobe=4),
+        pq.ivfadc_search(rindex, cent, rbooks, target, k=3, nprobe=4),
+    ]
+    for df in singles:
+        rows = df.collect()
+        assert len(rows) == 3
+        assert {"adc_dist", "score"} <= set(rows[0].asDict())
+        for r in rows:
+            assert abs(r["score"] + r["adc_dist"]) < 1e-12
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    queries = emb.filter(F.col("vec_id").isin([3, 57])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    for df in (
+        pq.ivfpq_search_batch(index, cent, books, queries, k=3, nprobe=4),
+        pq.ivfadc_search_batch(rindex, cent, rbooks, queries, k=3, nprobe=4),
+    ):
+        rows = df.collect()
+        assert {"query_id", "vec_id", "adc_dist", "score"} <= set(
+            rows[0].asDict()
+        )
+        for r in rows:
+            assert abs(r["score"] + r["adc_dist"]) < 1e-12
+    residuals.unpersist()

@@ -202,3 +202,28 @@ def test_batch_ann_serving_plans_broadcast_probes(spark, sf_dir, cat):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "WindowGroupLimit" in plan, name
+
+
+def test_sketch_gate_predicates_recomputed_from_raw_frame(spark, sf_dir):
+    """The q_approx_sketches booleans must equal the tolerance
+    predicates recomputed in Python from the raw sketch-vs-exact frame
+    — so a trivially-true Spark-side expression can't hide behind the
+    oracle's own independently-computed booleans."""
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    raw = {
+        r["event_type"]: r
+        for r in C.sketch_accuracy_frame(spark, sf_dir).collect()
+    }
+    gate = {
+        r["event_type"]: r
+        for r in C.q_approx_sketches(spark, sf_dir).collect()
+    }
+    assert set(raw) == set(gate) and raw
+    for et, r in raw.items():
+        want_hll = abs(r["hll_users"] - r["n_users"]) <= 0.15 * r["n_users"]
+        want_p50 = r["p40_exact"] <= r["p50_approx"] <= r["p60_exact"]
+        assert gate[et]["hll_ok"] == want_hll, et
+        assert gate[et]["p50_ok"] == want_p50, et
+        # and the sketches genuinely meet the contract on testdata
+        assert want_hll and want_p50, et
