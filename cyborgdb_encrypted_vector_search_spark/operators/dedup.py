@@ -434,9 +434,13 @@ def simhash_block_candidates(
     num_blocks: int = 4,
     bits_per_block: int = 8,
     max_hamming: int = 3,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Width-generic pigeonhole blocking over SimHash fingerprints:
     verified (doc_a, doc_b, hamming) pairs from any fingerprint width.
+    With ``candidates_only`` the Hamming verification is skipped and the
+    raw distinct candidate pairs come back — the knob for measuring how
+    much a wider block key cuts the candidate set.
 
     Recall is exact by pigeonhole as long as ``num_blocks >
     max_hamming``: at most ``max_hamming`` blocks can differ, so two
@@ -462,14 +466,19 @@ def simhash_block_candidates(
         "blk_key", F.expr(f"shiftright(__fp, blk * {bits_per_block}) & {mask}")
     )
     l, r = blocked.alias("l"), blocked.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.blk_key") == F.col("r.blk_key"))
+        & (F.col("l.__id") < F.col("r.__id")),
+    )
+    if candidates_only:
+        return joined.select(
+            F.col("l.__id").alias("doc_a"),
+            F.col("r.__id").alias("doc_b"),
+        ).distinct()
     return (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.blk_key") == F.col("r.blk_key"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
+        joined.select(
             F.col("l.__id").alias("doc_a"),
             F.col("r.__id").alias("doc_b"),
             H.hamming32(F.col("l.__fp"), F.col("r.__fp")).alias("hamming"),

@@ -48,9 +48,9 @@ ALPHABET = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?;:'-_"
 )
 WORD_SEEDS = [
-    "data", "table", "query", "vector", "search", "index", "batch",
-    "stream", "join", "filter", "group", "sort", "hash", "scan",
-]  # 14 seed words, mirroring the reference's WORD_SEEDS list (src/app.py:63)
+    "the", "a", "I", "you", "it", "is", "are", "like", "love", "enjoy",
+    "this", "example", "test", "model",
+]  # the reference's WORD_SEEDS list verbatim (src/app.py:63)
 
 
 def mutate_charwise(

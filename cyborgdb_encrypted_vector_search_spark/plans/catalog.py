@@ -1553,6 +1553,69 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_simhash_wide",
+    """
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+           TRUE AS recall_exact_ok,
+           TRUE AS block_cut_ok
+    FROM documents
+    """,
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB SimHash escalation, executed on the real
+    corpus: 64-bit xxhash fingerprints + 4×16-bit pigeonhole blocks
+    (operators/dedup.simhash_fingerprints_xxhash /
+    simhash_block_candidates). Property-gated like the ANN recall
+    gates: `recall_exact_ok` is TRUE only when the blocked+verified
+    pair set EQUALS Spark's own brute-force Hamming≤3 pairs over the
+    same fingerprints (pigeonhole recall is exact, so any miss is a
+    bug), and `block_cut_ok` only when 16-bit keys produce no more raw
+    candidates than 8-bit keys over the same fingerprints — the
+    256×-bucket candidate-cut claim measured, not asserted. n_docs is
+    exact and DuckDB-hashed. xxhash64 isn't oracle-portable, hence the
+    property shape; the oracle-portable md5/32-bit pipeline stays
+    value-gated in dedup_simhash / dedup_simhash_groups."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup
+
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    fps = dedup.simhash_fingerprints_xxhash(corpus, num_bits=64).persist()
+    wide = dedup.simhash_block_candidates(
+        fps, num_blocks=4, bits_per_block=16, max_hamming=3
+    ).select("doc_a", "doc_b")
+    l, r = fps.alias("l"), fps.alias("r")
+    brute = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            H.hamming32(F.col("l.simhash"), F.col("r.simhash")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .select("doc_a", "doc_b")
+    )
+    n_missing = brute.exceptAll(wide).count()
+    n_extra = wide.exceptAll(brute).count()
+    n_cand16 = dedup.simhash_block_candidates(
+        fps, num_blocks=4, bits_per_block=16, candidates_only=True
+    ).count()
+    n_cand8 = dedup.simhash_block_candidates(
+        fps, num_blocks=4, bits_per_block=8, candidates_only=True
+    ).count()
+    n_docs = corpus.count()
+    fps.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_missing == 0 and n_extra == 0,
+                n_cand16 <= n_cand8,
+            )
+        ],
+        "n_docs bigint, recall_exact_ok boolean, block_cut_ok boolean",
+    )
+
+
 # Chained 3x corpus for connected components: orig, a perturbed copy,
 # and a copy perturbed FURTHER from the first copy — so band evidence
 # tends to chain (orig~c1, c1~c2) and cluster formation genuinely needs
@@ -5318,7 +5381,7 @@ def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to round 4 (all have passing r1 rows): q_supplier_nation,
 # q_window_running_total, q_semi_join_active, collection_lifecycle,
 # q_percentiles, q_like_regex_filter, q_cube_lineitem,
-# q_part_brand_stats.
+# q_part_brand_stats, json_vector_roundtrip.
 GATE_PRIORITY: tuple[str, ...] = (
     # never driver-verified (added or deferred in r2)
     "ann_lsh_batch_topk",
@@ -5339,6 +5402,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_greedy",
     # implementation changed in r3 (de-drivered corpus write)
     "source_text_lines",
+    # new in r3 (wide-block SimHash escalation, property-gated)
+    "dedup_simhash_wide",
     # backfill: r1-verified-only, least recently checked, catalog order
     "knn_topk_cosine",
     "vector_point_get",
@@ -5373,7 +5438,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_winnow_profile",
     "dedup_winnow_overlap",
     "knn_prompt_reconstruction",
-    "json_vector_roundtrip",
 )
 
 

@@ -91,6 +91,7 @@ def stream_incremental_dedup(
     shingle_len: int = 3,
     num_hashes: int = 8,
     num_bands: int = 4,
+    dedup_state_ttl: str | None = None,
 ) -> DataFrame:
     """Continuous-ingest near-dup detection: per micro-batch, band the
     INCOMING docs (stateless column expressions — shingle → MinHash →
@@ -106,7 +107,15 @@ def stream_incremental_dedup(
     version and re-read. Streaming adds exactly-once pair emission
     across micro-batches (the dedup state), which is what a continuous
     ingest pipeline needs so a doc arriving in two files doesn't
-    double-report."""
+    double-report.
+
+    State-store lifetime: with ``dedup_state_ttl=None`` the pair-dedup
+    state is EXACT but unbounded — correct for finite availableNow gate
+    runs, NOT for an always-on deployment. Production continuous ingest
+    must pass a TTL (e.g. ``"24 hours"``): pairs then dedup via
+    ``dropDuplicatesWithinWatermark`` over an ingest-time watermark, so
+    state is bounded by the TTL window and a re-arriving doc only
+    double-reports if its copies land further apart than the TTL."""
     from cyborgdb_encrypted_vector_search_spark.operators import dedup as D
 
     banded = D.band_index(
@@ -123,7 +132,14 @@ def stream_incremental_dedup(
     pairs = banded.join(F.broadcast(base), "band").select(
         F.col("doc_id").alias("batch_id"), "base_id"
     )
-    return pairs.dropDuplicates(["batch_id", "base_id"])
+    if dedup_state_ttl is None:
+        return pairs.dropDuplicates(["batch_id", "base_id"])
+    return (
+        pairs.withColumn("__ingest_ts", F.current_timestamp())
+        .withWatermark("__ingest_ts", dedup_state_ttl)
+        .dropDuplicatesWithinWatermark(["batch_id", "base_id"])
+        .drop("__ingest_ts")
+    )
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

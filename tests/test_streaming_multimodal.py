@@ -229,3 +229,43 @@ def test_stream_embed_ingest_equals_batch(spark, sf_dir, tmp_path):
     assert len(stored) == docs.count()
     for doc_id, (text, emb) in list(stored.items())[:25]:
         assert np.allclose(emb, embed_text(text, 16), atol=1e-12)
+
+
+def test_stream_incremental_dedup_ttl_state_equals_exact(spark, sf_dir):
+    """The bounded-state production path (dedup_state_ttl -> ingest-time
+    watermark + dropDuplicatesWithinWatermark) must emit the same pair
+    set as the exact unbounded-state path on a finite run — the TTL
+    only changes state lifetime, not which pairs exist."""
+    import os
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        minhash_band_index,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    stream = S.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    incoming = stream.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    pairs = S.stream_incremental_dedup(
+        incoming,
+        minhash_band_index(spark, sf_dir),
+        dedup_state_ttl="1 hour",
+    )
+    got = {
+        (r["batch_id"], r["base_id"])
+        for r in S.run_stream_to_batch(
+            spark, pairs, output_mode="append"
+        ).collect()
+    }
+    cat = entries()
+    exact = {
+        (r["batch_id"], r["base_id"])
+        for r in cat["streaming_incremental_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == exact
+    assert len(got) > 0
