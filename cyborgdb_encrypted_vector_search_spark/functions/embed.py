@@ -37,6 +37,14 @@ DEFAULT_DIM = 64
 # src/embeddings.py:3).
 _TOKEN_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
+# Executor-process-local model registry for make_embed_udf factories,
+# keyed by the factory's serialized bytes. Module globals survive task
+# re-deserialization inside a reused Python worker (closure state does
+# NOT — each task gets a fresh copy of the closure), so this is what
+# makes a heavy model genuinely load ONCE per worker process, the
+# reference's load-at-import semantics (src/embeddings.py:3).
+_MODEL_REGISTRY: dict[str, object] = {}
+
 
 def _token_vector(token: str, dim: int) -> np.ndarray:
     key = (token, dim)
@@ -87,9 +95,12 @@ def make_embed_udf(
     load is explicit and worker-side): a zero-arg callable returning an
     object with ``encode(list[str]) -> sequence of vectors`` — the
     SentenceTransformer surface. It is invoked lazily on the FIRST
-    Arrow batch each executor process sees and cached for the process
-    lifetime; only the factory closure is serialized to workers, never
-    model weights. Swap in the reference's model:
+    Arrow batch each executor process sees and cached in a
+    process-level registry for the worker's lifetime (surviving task
+    re-deserialization, so N tasks on one worker still load once);
+    only the factory closure is serialized to workers, never model
+    weights or the (possibly unpicklable) model object. Swap in the
+    reference's model:
 
         udf = make_embed_udf(
             384,
@@ -112,13 +123,27 @@ def make_embed_udf(
 
         return embed
 
-    state: dict[str, object] = {}  # executor-process-local model cache
+    # Registry key = hash of the factory's serialized form: identical
+    # factories share one loaded model per worker; distinct factories
+    # (different dim/model) never collide.
+    from pyspark import cloudpickle as _cp
+
+    registry_key = hashlib.md5(_cp.dumps(model_factory)).hexdigest()
 
     @pandas_udf("array<double>")
     def embed_model(col: pd.Series) -> pd.Series:
-        model = state.get("model")
+        # Resolve the WORKER's module singleton at call time: cloudpickle
+        # snapshots referenced globals by value into each task's closure,
+        # so touching _MODEL_REGISTRY directly here would give every task
+        # its own dict and reload the model per task, not per process.
+        from cyborgdb_encrypted_vector_search_spark.functions import (
+            embed as _worker_mod,
+        )
+
+        registry = _worker_mod._MODEL_REGISTRY
+        model = registry.get(registry_key)
         if model is None:
-            model = state["model"] = model_factory()
+            model = registry[registry_key] = model_factory()
         texts = col.fillna("").tolist()
         out: list[list[float]] = []
         step = batch_size if batch_size and batch_size > 0 else max(len(texts), 1)
