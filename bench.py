@@ -32,8 +32,10 @@ HEADLINE = [
     "ann_lsh_batch_topk",
     "ann_ivf_search_topk",
     "ann_ivf_batch_topk",
+    "ann_ivf_layout_search",
     "ann_ivfpq_batch_topk",
     "ann_ivfadc_batch_topk",
+    "streaming_incremental_dedup",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_simhash_groups",
@@ -81,9 +83,28 @@ def main() -> None:
     # min of 2 runs per query: the first run pays one-time whole-stage
     # codegen compilation + file-index listing, which a long-running
     # cluster amortizes away; the warm number is the throughput figure.
+    # Serving-only twins of the batch-PQ gates: the gate entries above
+    # pay for exact-kNN ground truth + recall checksum; these time the
+    # probe -> ADC -> re-rank plan a user actually runs, against a
+    # pre-built (cached) index. The index build runs once, untimed.
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    serve_only = {
+        "ann_ivfpq_batch_serve": C.ivfpq_batch_serve,
+        "ann_ivfadc_batch_serve": C.ivfadc_batch_serve,
+    }
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = cat[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    for name, fn in serve_only.items():
+        fn(spark, sf_dir)  # warm: builds + caches the index, untimed
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

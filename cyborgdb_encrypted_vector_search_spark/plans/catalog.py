@@ -4676,6 +4676,97 @@ def ann_ivfadc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Batch-PQ SERVING paths (bench-only, not gated): the recall gates above
+# deliberately pay for exact-kNN ground truth + checksum on top of the
+# serving plan, which inflates their bench numbers ~2-3x. These twins
+# time what a user actually runs — probe → ADC → shortlist → re-rank —
+# against a pre-built index (codebooks/codes/assignment are build-time
+# artifacts at 100 TB, not per-query work), so BENCH reports the
+# serving cost and the gate cost separately.
+# ----------------------------------------------------------------------
+
+_PQ_SERVE_PARTS: dict[tuple[int, str, str], dict] = {}
+
+
+def _batch_pq_serve_parts(spark: SparkSession, sf_dir: str, kind: str) -> dict:
+    """Build (once per session × sf × kind) and cache the index pieces
+    the batch PQ serving plans read: materialized code table, centroid
+    table, trained codebooks, and the gate's deterministic query set.
+    Mirrors ann_ivfpq_batch_topk / ann_ivfadc_batch_topk construction
+    exactly so the serving twin runs the identical search plan."""
+    key = (id(spark), sf_dir, kind)
+    parts = _PQ_SERVE_PARTS.get(key)
+    if parts is not None:
+        return parts
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as _ann
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    qids = sorted({(i * n) // 5 + 1 for i in range(5)})
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    if kind == "ivfpq":
+        books = pq.train_codebooks(
+            emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
+        )
+        codes = pq.encode(emb, books)
+        assigned = _ann.assign_centroids(emb, cent, "embedding").select(
+            "vec_id", "centroid_id"
+        )
+        index = codes.join(assigned, "vec_id").persist()
+    else:
+        residuals = pq.residual_frame(emb, cent)
+        books = pq.train_codebooks(
+            residuals, vec_col="residual", m=8, nbits=4, seed=42, iters=10,
+            sample_mod=3,
+        )
+        index = pq.encode(
+            residuals, books, vec_col="residual", keep_cols=("centroid_id",)
+        ).persist()
+    index.count()  # materialize: build cost stays out of serving timings
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    parts = {
+        "emb": emb,
+        "cent": cent,
+        "books": books,
+        "index": index,
+        "queries": queries,
+    }
+    _PQ_SERVE_PARTS[key] = parts
+    return parts
+
+
+def ivfpq_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ann_ivfpq_batch_topk: the probe→ADC→re-rank plan
+    alone, over the cached pre-built index."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    p = _batch_pq_serve_parts(spark, sf_dir, "ivfpq")
+    return pq.ivfpq_search_batch(
+        p["index"], p["cent"], p["books"], p["queries"], k=10, nprobe=4,
+        rerank_df=p["emb"], rerank_factor=8,
+    )
+
+
+def ivfadc_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ann_ivfadc_batch_topk: residual-code batch ADC
+    over the cached pre-built index."""
+    from cyborgdb_encrypted_vector_search_spark.operators import pq
+
+    p = _batch_pq_serve_parts(spark, sf_dir, "ivfadc")
+    return pq.ivfadc_search_batch(
+        p["index"], p["cent"], p["books"], p["queries"], k=10, nprobe=4,
+        rerank_df=p["emb"], rerank_factor=8,
+    )
+
+
 @query(
     "source_csv_roundtrip",
     """

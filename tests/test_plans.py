@@ -227,3 +227,26 @@ def test_sketch_gate_predicates_recomputed_from_raw_frame(spark, sf_dir):
         assert gate[et]["p50_ok"] == want_p50, et
         # and the sketches genuinely meet the contract on testdata
         assert want_hll and want_p50, et
+
+
+def test_ivf_layout_scan_prunes_to_probed_partitions(spark, sf_dir, cat):
+    """The materialized IVF layout must behave as an inverted file: the
+    probe's centroid IN-filter appears as a PartitionFilter on the
+    parquet scan (pruned before any file IO) listing exactly the
+    nprobe=2 probed lists, while the layout on disk holds all 8."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import tempfile
+
+    plan = X.physical_plan(cat["ann_ivf_layout_search"].fn(spark, sf_dir))
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*centroid_id[^\]]*?IN \(([^)]*)\)", plan
+    )
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    layout = os.path.join(tempfile.gettempdir(), f"ivf_layout_{tag}")
+    n_parts = len(glob.glob(os.path.join(layout, "centroid_id=*")))
+    assert n_parts == 8
