@@ -72,8 +72,11 @@ def knn_join(
     corpus_vec_col: str = "embedding",
     metric: str = "cosine",
     score_col: str = "score",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact kNN: for each query row, the k nearest corpus rows.
+    ``rank_col`` keeps the per-query 1-based neighbor rank in the
+    output (the same row_number that enforces top-k — free to expose).
 
     Reference parity: ``collection.query(query_embeddings=[v],
     n_results=3)`` (src/cod.py:124-129) generalized to N queries.
@@ -129,9 +132,11 @@ def knn_join(
         F.asc(corpus_id_col),
     ]
     w = Window.partitionBy("__qid").orderBy(*order)
-    return (
-        joined.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank", query_vec_col)
-        .withColumnRenamed("__qid", query_id_col)
+    ranked = joined.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
     )
+    if rank_col is None:
+        ranked = ranked.drop("__rank")
+    else:
+        ranked = ranked.withColumnRenamed("__rank", rank_col)
+    return ranked.drop(query_vec_col).withColumnRenamed("__qid", query_id_col)

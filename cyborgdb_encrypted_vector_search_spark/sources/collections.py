@@ -127,6 +127,73 @@ class Collection:
             cols = ["id", *cols]
         return self.scan().select(*cols).filter(F.col("id").isin(ids))
 
+    def query(
+        self,
+        query_embeddings: list[list[float]] | None = None,
+        query_texts: list[str] | None = None,
+        n_results: int = 3,
+        embedder=None,
+        include: list[str] | None = None,
+    ) -> DataFrame:
+        """Similarity query — the reference's one serving call
+        (``collection.query(query_embeddings=..., n_results=...)``,
+        src/cod.py:124-129), re-expressed as ONE Spark plan for the
+        whole query batch.
+
+        Exact cosine kNN via the broadcast query-side join
+        (operators/knn.knn_join): the collection never shuffles, each
+        partition keeps a per-query top-k heap (WindowGroupLimit), so
+        the plan is the same at 40 rows or 100 TB. Returns one row per
+        (query_idx, rank) with ``id``, ``distance`` (cosine distance,
+        1 − cosine similarity) and, when included, ``document`` —
+        the relational shape of Chroma's parallel-lists payload.
+
+        ``query_texts`` embeds driver-side through the D1 seam
+        (``embedder`` defaults to the stub; pass a real model's encode
+        there the same way make_embed_udf takes a model_factory).
+        """
+        from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+        from cyborgdb_encrypted_vector_search_spark.operators import knn
+
+        if (query_embeddings is None) == (query_texts is None):
+            raise ValueError(
+                "pass exactly one of query_embeddings / query_texts"
+            )
+        if query_texts is not None:
+            dim = self.dim or E.DEFAULT_DIM
+            enc = embedder or (lambda ts: E.embed_texts(ts, dim))
+            query_embeddings = [list(map(float, v)) for v in enc(query_texts)]
+        if self.dim is not None:
+            for i, v in enumerate(query_embeddings):
+                if len(v) != self.dim:
+                    raise ValueError(
+                        f"query {i} has dim {len(v)}, collection dim {self.dim}"
+                    )
+        queries = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
+            "query_idx long, query_vec array<double>",
+        )
+        cols = include or ["documents", "distances"]
+        corpus = self.scan().select(
+            "id", "embedding", *(["document"] if "documents" in cols else [])
+        )
+        hits = knn.knn_join(
+            queries,
+            corpus,
+            k=n_results,
+            query_id_col="query_idx",
+            query_vec_col="query_vec",
+            corpus_id_col="id",
+            corpus_vec_col="embedding",
+            rank_col="rank",
+        )
+        out = [F.col("query_idx"), F.col("rank"), F.col("id")]
+        if "documents" in cols:
+            out.append(F.col("document"))
+        if "distances" in cols:
+            out.append((F.lit(1.0) - F.col("score")).alias("distance"))
+        return hits.select(*out)
+
     # -- batch maintenance (append/compact model; online CRUD is an
     #    explicit non-goal — SURVEY.md §7 hard parts (d)) ---------------
     def compact(self, target_partitions: int = 8) -> int:

@@ -654,3 +654,62 @@ def test_pq_score_contract_without_rerank(spark, sf_dir):
         for r in rows:
             assert abs(r["score"] + r["adc_dist"]) < 1e-12
     residuals.unpersist()
+
+
+def test_collection_query_matches_reference_serving_call(spark, tmp_path):
+    """Collection.query is the reference's serving call
+    (collection.query(query_embeddings=..., n_results=3),
+    src/cod.py:124-129) as one Spark plan: querying with a stored
+    vector returns that document at rank 1 / distance ~0, texts embed
+    through the D1 seam, and results come back (query_idx, rank, id,
+    document, distance) with cosine distances ascending per query."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    texts = [
+        "I love machine learning",
+        "this is an example test",
+        "you enjoy this model",
+        "the data table is like a query",
+    ]
+    dim = 16
+    coll = Collection.create(spark, "query_surface", str(tmp_path), dim=dim)
+    docs = spark.createDataFrame(
+        [(str(i), t, E.embed_text(t, dim)) for i, t in enumerate(texts)],
+        "id string, document string, embedding array<float>",
+    )
+    coll.add(docs, id_col="id")
+
+    # vector query: the reconstruction flow — stored embedding of id 2
+    stored = coll.get(["2"], include=["embedding"]).collect()[0]["embedding"]
+    got = (
+        coll.query(query_embeddings=[list(stored)], n_results=3)
+        .orderBy("query_idx", "rank")
+        .collect()
+    )
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["id"] == "2"
+    assert got[0]["document"] == texts[2]
+    assert abs(got[0]["distance"]) < 1e-6
+    assert got[0]["distance"] <= got[1]["distance"] <= got[2]["distance"]
+
+    # text queries embed through the same seam the ingest used
+    got2 = (
+        coll.query(query_texts=[texts[1], texts[3]], n_results=1)
+        .orderBy("query_idx")
+        .collect()
+    )
+    assert [r["id"] for r in got2] == ["1", "3"]
+    assert all(abs(r["distance"]) < 1e-6 for r in got2)
+
+    # contract errors: both/neither inputs, dim mismatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coll.query()
+    with _pytest.raises(ValueError):
+        coll.query(query_embeddings=[[1.0] * dim], query_texts=["x"])
+    with _pytest.raises(ValueError):
+        coll.query(query_embeddings=[[1.0] * (dim + 1)])
