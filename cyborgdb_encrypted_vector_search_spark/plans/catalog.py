@@ -1269,13 +1269,15 @@ def _search_property_gate(
     )
 
 
-@query("search_evolutionary", _search_property_sql("evolutionary"))
+@query("search_evolutionary", _search_property_sql("evolutionary", 9))
 def search_evolutionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 evolutionary inversion (reference src/app.py:100-171) with the
     deterministic stub embedder, reduced budget for the gate (library
     defaults match the reference constants: pop 60 / gens 120 /
     elite 0.2 / early-stop 0.995). Property-gated: see
-    _search_property_gate."""
+    _search_property_gate. n_results pins the 9 distinct texts the
+    seeded run produces at the gate budget with the reference-verbatim
+    WORD_SEEDS (re-pinned in r3 when the seed list was aligned)."""
     from cyborgdb_encrypted_vector_search_spark.operators import search as S
 
     target, seeds = _search_target(spark, sf_dir)
