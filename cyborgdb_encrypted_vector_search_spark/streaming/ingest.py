@@ -118,8 +118,17 @@ def stream_incremental_dedup(
     double-reports if its copies land further apart than the TTL."""
     from cyborgdb_encrypted_vector_search_spark.operators import dedup as D
 
+    # The file stream hands each micro-batch over with one partition
+    # per input file; banding (shingle -> H minhashes per doc) is the
+    # expensive stage, so spread the batch across the executors first.
+    # One narrow O(B) shuffle per batch — at cluster scale the source
+    # (Kafka partitions / many files) already arrives parallel and this
+    # becomes a cheap rebalance.
+    src = incoming.select("doc_id", "text").repartition(
+        incoming.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     banded = D.band_index(
-        incoming.select("doc_id", "text"),
+        src,
         "doc_id",
         "text",
         shingle_len,
