@@ -5565,6 +5565,46 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_split_train_val_test",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY split
+    """,
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by key-hash range —
+    the holdout cut every training pipeline needs. Like q_sample_hash,
+    membership is a pure function of the key: reproducible across
+    engines, reruns, partitionings and cluster sizes, disjoint and
+    covering by construction (CASE ranges partition the hash space).
+    The per-split id checksum pins exact membership, not just sizes —
+    a doc landing in the wrong split flips two checksums."""
+    d = load(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
@@ -5588,7 +5628,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_window_running_total, q_semi_join_active, collection_lifecycle,
 # q_percentiles, q_like_regex_filter, q_cube_lineitem,
 # q_part_brand_stats, json_vector_roundtrip, text_winnow_profile,
-# dedup_winnow_overlap, knn_prompt_reconstruction.
+# dedup_winnow_overlap, knn_prompt_reconstruction,
+# dedup_connected_components.
 GATE_PRIORITY: tuple[str, ...] = (
     # never driver-verified (added or deferred in r2)
     "ann_lsh_batch_topk",
@@ -5615,6 +5656,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "collection_query_topk",
     "streaming_interval_join",
     "source_orc_roundtrip",
+    "q_split_train_val_test",
     # backfill: r1-verified-only, least recently checked, catalog order
     "knn_topk_cosine",
     "vector_point_get",
@@ -5645,7 +5687,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "dedup_simhash",
     "dedup_simhash_groups",
-    "dedup_connected_components",
 )
 
 
