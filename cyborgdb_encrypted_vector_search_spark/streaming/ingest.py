@@ -138,7 +138,12 @@ def stream_incremental_dedup(
     base = corpus_band_index.select(
         F.col("doc_id").alias("base_id"), "band"
     )
-    pairs = banded.join(F.broadcast(base), "band").select(
+    # Broadcast the BATCH side (same orientation as the batch
+    # incremental path, dedup.incremental_lsh_matches): the corpus
+    # index is the side that grows without bound, so it must stay
+    # partitioned — each micro-batch ships only its own O(B·bands)
+    # banded rows to the executors scanning the index.
+    pairs = base.join(F.broadcast(banded), "band").select(
         F.col("doc_id").alias("batch_id"), "base_id"
     )
     if dedup_state_ttl is None:

@@ -39,6 +39,8 @@ QUERIES = [
     "dedup_exact_groups",
     "knn_topk_cosine",
     "text_profile",
+    "ann_ivf_batch_topk",
+    "streaming_incremental_dedup",
 ]
 
 
