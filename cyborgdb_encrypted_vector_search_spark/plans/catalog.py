@@ -116,7 +116,9 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(3)
     )
-    return top.join(F.broadcast(docs), top["vec_id"] == docs["doc_id"]).select(
+    # Broadcast the 3-row top-k onto the documents scan — never the
+    # O(corpus) documents table onto the top-k.
+    return docs.join(F.broadcast(top), top["vec_id"] == docs["doc_id"]).select(
         "vec_id", "text", "score"
     )
 
@@ -1792,10 +1794,18 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.winnow_fingerprints(
         corpus, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
     ).persist()
-    docfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
-    rare = fps.join(
-        F.broadcast(docfreq.filter(F.col("__c") <= 10)), "fp"
-    ).select("doc_id", "fp")
+    # Document frequency as a window count over fp — one shuffle, no
+    # join. (The previous broadcast of the rare-fp set was a hidden
+    # scale bug: rare fingerprints are MOST fingerprints, O(corpus/w)
+    # rows — never broadcastable at 100 TB. The pair join below then
+    # reuses the same fp partitioning.)
+    rare = (
+        fps.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__c") <= 10)
+        .select("doc_id", "fp")
+    )
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
     b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -1858,7 +1868,7 @@ def knn_prompt_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     nb = (
-        top.join(F.broadcast(docs), top["vec_id"] == docs["doc_id"])
+        docs.join(F.broadcast(top), top["vec_id"] == docs["doc_id"])
         .withColumn(
             "rnk",
             F.row_number().over(
