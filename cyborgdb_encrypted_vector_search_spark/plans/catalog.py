@@ -5638,8 +5638,7 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_window_running_total, q_semi_join_active, collection_lifecycle,
 # q_percentiles, q_like_regex_filter, q_cube_lineitem,
 # q_part_brand_stats, json_vector_roundtrip, text_winnow_profile,
-# dedup_winnow_overlap, knn_prompt_reconstruction,
-# dedup_connected_components.
+# dedup_connected_components, dedup_simhash, dedup_simhash_groups.
 GATE_PRIORITY: tuple[str, ...] = (
     # never driver-verified (added or deferred in r2)
     "ann_lsh_batch_topk",
@@ -5667,6 +5666,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_interval_join",
     "source_orc_roundtrip",
     "q_split_train_val_test",
+    # implementation changed in r3 (broadcast-orientation fixes) —
+    # re-verify even though oracles are unchanged
+    "dedup_winnow_overlap",
+    "knn_prompt_reconstruction",
     # backfill: r1-verified-only, least recently checked, catalog order
     "knn_topk_cosine",
     "vector_point_get",
@@ -5695,8 +5698,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_search_topk",
     "q_events_sessionization",
     "multimodal_features",
-    "dedup_simhash",
-    "dedup_simhash_groups",
 )
 
 
