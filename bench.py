@@ -113,19 +113,33 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "mode": "warm (min of 2 runs/query)",
-            }
-        )
-    )
+
+    # Stop everything BEFORE emitting the JSON line: Spark's StateStore
+    # maintenance thread (started by the streaming gates) logs a WARN +
+    # stacktrace at JVM shutdown, and in round 3 that landed on stdout
+    # *after* the JSON, so the driver's tail-parse failed
+    # (BENCH_r03.json "parsed": null). Stopping the streams and the
+    # session first, then printing as the final atomic stdout write,
+    # guarantees the JSON is the last (and parseable) line.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     spark.stop()
+
+    line = json.dumps(
+        {
+            "metric": "total_headline_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "mode": "warm (min of 2 runs/query)",
+        }
+    )
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -44,8 +44,10 @@ from cyborgdb_encrypted_vector_search_spark.functions import vector as V
 # char mutation p_ins 0.12, p_del 0.08, p_sub 0.18 (src/app.py:65)
 # crossover p 0.12 (src/app.py:163); greedy 12x200, jump p 0.01
 # (src/app.py:175-176,197); top-30 reporting (src/app.py:171,254).
+# the reference's mutation alphabet verbatim (src/app.py:62):
+# 62 alphanumerics + space + ,.-'"?! = 70 chars
 ALPHABET = (
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?;:'-_"
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ,.-'\"?!"
 )
 WORD_SEEDS = [
     "the", "a", "I", "you", "it", "is", "are", "like", "love", "enjoy",

@@ -62,6 +62,53 @@ def query(name: str, sql: str | None):
     return deco
 
 
+# In-session cache of per-(sf_dir, table) content checksums, so each
+# gate pays the one cheap agg at most once per session.
+_CONTENT_TAGS: dict[tuple[str, str, str], str] = {}
+
+
+def _content_tag(
+    spark: SparkSession, sf_dir: str, table: str, key_col: str
+) -> str:
+    """Cheap content checksum (row count + order-independent key-hash
+    sum) folded into every /tmp artifact cache tag. Tags that hash only
+    ``sf_dir`` silently reuse stale artifacts when the testdata is
+    regenerated in place; this pins the tag to what's actually in the
+    table for one column-pruned scan."""
+    ck = (spark.sparkContext.applicationId, sf_dir, table)
+    tag = _CONTENT_TAGS.get(ck)
+    if tag is None:
+        r = (
+            load(spark, table, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(key_col).cast("bigint")).alias("s"),
+            )
+            .collect()[0]
+        )
+        tag = f"{r['n']}_{r['s']}"
+        _CONTENT_TAGS[ck] = tag
+    return tag
+
+
+def _publish_dir(tmp_path: str, final_path: str) -> None:
+    """Atomically publish a fully-built /tmp artifact directory.
+
+    ``os.rename`` of a directory is atomic on POSIX: readers see either
+    nothing (rebuild) or the complete artifact — never the
+    half-populated state that a write-then-marker sequence leaves
+    behind on a crash between the two steps (which a later run would
+    then append into twice). If another process published first, our
+    copy is simply discarded."""
+    import os as _os
+    import shutil as _sh
+
+    try:
+        _os.rename(tmp_path, final_path)
+    except OSError:
+        _sh.rmtree(tmp_path, ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # Vector-collection queries (reference parity: SURVEY.md §2.1-2.6)
 # ----------------------------------------------------------------------
@@ -403,14 +450,29 @@ def q_window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ops: JSON prop extraction (from_json) + multi-agg
-    incl. distinct count (SURVEY.md §2.4 generalization)."""
+    incl. distinct count (SURVEY.md §2.4 generalization).
+
+    The distinct count is computed as a TWO-LEVEL aggregate — partial
+    agg keyed (event_type, user_id), then final agg by event_type with
+    n_users = count(*) of the first level — instead of
+    count_distinct in the multi-agg, which Catalyst plans via Expand
+    (every row duplicated per aggregate group before the shuffle). The
+    two-level shape map-side-combines BOTH levels, so the first
+    shuffle carries one row per (type, user) pair and the second one
+    row per pair again — at 100 TB that's the difference between
+    shuffling 2x the fact table and shuffling the distinct-pair set."""
     ev = load(spark, "events", sf_dir)
     k = F.from_json(F.col("props"), "k INT")["k"]
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct(F.col("user_id")).alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
-        F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_high_k"),
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("__val"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("__high"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("__n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("__val").cast("double").alias("total_value"),
+        F.sum("__high").cast("bigint").alias("n_high_k"),
     )
 
 
@@ -1239,6 +1301,16 @@ def _seed_baseline(target, seeds) -> float:
 
 
 def _search_property_sql(method: str, top_n: int = 10) -> str:
+    """Documented one-sided exception (unlike _recall_oracle_sql, which
+    is two-sided): the search gates' predicates depend on the stub
+    embedder — md5-seeded Gaussian token vectors (functions/embed.py)
+    — which no DuckDB SQL can replicate, so the oracle cannot compute
+    its own baseline or score range. What IS independently checked:
+    `n_results` is a pinned literal (the exact distinct-text count the
+    seeded run must produce — any RNG/mutation/dedup drift flips the
+    hash), and a FALSE on either Spark boolean hash-mismatches against
+    the oracle's TRUE. The raw (text, score) outputs stay pinned by
+    tests/test_search.py, the real backstop here."""
     return f"""
     SELECT '{method}' AS method, CAST({top_n} AS BIGINT) AS n_results,
            TRUE AS within_range, TRUE AS improved_on_seeds
@@ -2228,13 +2300,23 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_oracle_sql(method: str, k: int = 10, num_q: int = 5) -> str:
-    """Oracle for an ANN recall gate: DuckDB independently brute-forces
-    the exact top-k ground truth for the same deterministic query set
-    and pins its checksum; the `recall_ok` flag is the Spark-side
-    claim that the approximate method's overlap with that ground truth
-    clears the floor — TRUE here is the contract, and the Spark query
-    only emits TRUE when measured recall actually clears it."""
+    """Oracle for an ANN recall gate, two-sided like q_approx_sketches:
+    DuckDB independently brute-forces the exact top-k ground truth for
+    the same deterministic query set and pins its checksum, and then —
+    instead of a literal TRUE — computes `recall_ok` from its OWN
+    SQL-expressible approximate searcher: prefilter by cosine on the
+    first 48 of 64 dims (8x oversample), re-rank candidates by full
+    cosine, recall@k vs its exact top-k, floor 0.6 (measured 0.90-0.96
+    at sf0.001/0.01/0.1). Spark's recall_ok comes from its own method
+    (LSH/IVF/PQ) vs its own floor. Both engines' approximations must
+    independently meet a genuinely-computed recall contract for the
+    hash to match — no trivially-true boolean on either side. (The
+    methods differ by necessity: MLlib k-means/PQ codebooks aren't
+    SQL-expressible, so DuckDB checks the CONTRACT SHAPE with its own
+    method, exactly as it does for HLL/t-digest in q_approx_sketches.)
+    """
     cos = V.sql_unit_cosine("c.unit", "q.unit", "c.nrm", "q.nrm")
+    half, oversample, floor = 48, 8, 0.6
     return f"""
     WITH un AS ({_UNIT_EMB}),
     nn AS (SELECT count(*) AS n FROM embeddings),
@@ -2248,14 +2330,32 @@ def _recall_oracle_sql(method: str, k: int = 10, num_q: int = 5) -> str:
       SELECT q.qid AS qid, c.vec_id AS vec_id,
              row_number() OVER (
                PARTITION BY q.qid ORDER BY {cos} DESC, c.vec_id ASC
-             ) AS rnk
+             ) AS rnk,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_dot_product(
+                 c.unit[1:{half}], q.unit[1:{half}]) DESC, c.vec_id ASC
+             ) AS prnk
       FROM un c CROSS JOIN q
+    ),
+    exact AS (SELECT qid, vec_id FROM scored WHERE rnk <= {k}),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY rnk ASC) AS rr
+        FROM scored WHERE prnk <= {oversample * k}
+      ) WHERE rr <= {k}
+    ),
+    rec AS (
+      SELECT CAST(count(*) AS DOUBLE)
+               / ({k} * (SELECT count(*) FROM qid)) AS recall
+      FROM exact JOIN approx USING (qid, vec_id)
     )
     SELECT '{method}' AS method, CAST({k} AS BIGINT) AS k,
            CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
            CAST(sum(vec_id) AS BIGINT) AS truth_checksum,
-           TRUE AS recall_ok
-    FROM scored WHERE rnk <= {k}
+           (SELECT recall FROM rec) >= {floor} AS recall_ok
+    FROM exact
     """
 
 
@@ -2388,7 +2488,8 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     docs = load(spark, "documents", sf_dir).select("text")
-    tag = _hl.md5(f"{sf_dir}:write_text_v2".encode()).hexdigest()[:10]
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:write_text_v3:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"corpus_{tag}_txt")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         (
@@ -3597,7 +3698,8 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"ivf_layout_{tag}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         A.build_ivf_layout(emb.select("vec_id", "embedding"), cent, path)
@@ -4659,7 +4761,7 @@ def ann_ivfadc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # serving cost and the gate cost separately.
 # ----------------------------------------------------------------------
 
-_PQ_SERVE_PARTS: dict[tuple[int, str, str], dict] = {}
+_PQ_SERVE_PARTS: dict[tuple[str, str, str], dict] = {}
 
 
 def _batch_pq_serve_parts(spark: SparkSession, sf_dir: str, kind: str) -> dict:
@@ -4668,7 +4770,11 @@ def _batch_pq_serve_parts(spark: SparkSession, sf_dir: str, kind: str) -> dict:
     table, trained codebooks, and the gate's deterministic query set.
     Mirrors ann_ivfpq_batch_topk / ann_ivfadc_batch_topk construction
     exactly so the serving twin runs the identical search plan."""
-    key = (id(spark), sf_dir, kind)
+    # applicationId is stable for the session's lifetime and never
+    # reused by a successor session in-process (unlike id(spark), whose
+    # CPython address CAN be recycled after a stop+GC, which would
+    # resurrect DataFrames bound to a dead session).
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     parts = _PQ_SERVE_PARTS.get(key)
     if parts is not None:
         return parts
@@ -4738,6 +4844,25 @@ def ivfadc_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["index"], p["cent"], p["books"], p["queries"], k=10, nprobe=4,
         rerank_df=p["emb"], rerank_factor=8,
     )
+
+
+def simhash_wide_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of dedup_simhash_wide (bench/scale-curve only, not
+    gated): 64-bit xxhash fingerprints → 4×16-bit pigeonhole blocks →
+    banded candidate join → Hamming≤3 verify — the pipeline a 100 TB
+    near-dup pass actually runs. The GATE additionally pays an O(n²)
+    brute-force ground truth plus a second block-width candidate count
+    (its exact-recall property), which is the right correctness check
+    at sf0.01 but would drown the scale curve; this twin times the
+    production path alone."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup as _d
+
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    fps = _d.simhash_fingerprints_xxhash(corpus, num_bits=64)
+    wide = _d.simhash_block_candidates(
+        fps, num_blocks=4, bits_per_block=16, max_hamming=3
+    )
+    return wide.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
 
 
 @query(
@@ -5428,29 +5553,41 @@ def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interval join (promoted from test-only), ORC source interchange.
 # ----------------------------------------------------------------------
 
-@query(
-    "collection_query_topk",
-    f"""
+def _collection_query_oracle(digits: int) -> str:
+    """Oracle for the Collection.query gates: brute-force cosine top-3
+    for stored vector 42, SINGLE-rounded cosine distance. Rank comes
+    from the raw score (tie-broken on vec_id); only the emitted
+    distance is rounded, in one step — matching the Spark side's one
+    F.round and avoiding the double-rounding drift the r3 oracle had
+    (round(1-round(s,7),7))."""
+    return f"""
     WITH un AS ({_UNIT_EMB}),
     target AS (SELECT unit AS tu, nrm AS tn FROM un WHERE vec_id = 42),
     scored AS (
       SELECT e.vec_id AS vec_id,
-             round({V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')}, 7)
-               AS score
+             {V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')} AS score
       FROM un e CROSS JOIN target t
     )
     SELECT CAST(0 AS BIGINT) AS query_idx,
            CAST(rank AS BIGINT) AS rank,
            CAST(vec_id AS VARCHAR) AS id,
-           round(1.0 - score, 7) AS distance
+           round(1.0 - score, {digits}) + 0.0 AS distance
     FROM (
       SELECT vec_id, score,
              row_number() OVER (ORDER BY score DESC, vec_id) AS rank
       FROM scored
     )
     WHERE rank <= 3
-    """,
-)
+    """
+
+
+# 5 decimals, not 7: the plaintext collection stores array<float>
+# (reference parity — Chroma stores float32), so Spark scores
+# float32-quantized vectors (~1e-7 relative error) while DuckDB scores
+# the original float64 table; at 7 dp that error can flip the last
+# digit on regenerated data. 5 dp has ~100x margin over the
+# quantization noise while still pinning real scoring bugs.
+@query("collection_query_topk", _collection_query_oracle(5))
 def collection_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's serving call through the Collection surface:
     ``collection.query(query_embeddings=[stored_vec], n_results=3)``
@@ -5460,29 +5597,8 @@ def collection_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent brute force on the original table. This is the gate
     for the user-facing end of J2/J3 (Collection.query → knn_join),
     complementing the operator-level knn gates."""
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
-    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
-        Collection,
-    )
-
     emb = load(spark, "embeddings", sf_dir)
-    tag = _hl.md5(f"{sf_dir}:collquery_v1".encode()).hexdigest()[:10]
-    base = _os.path.join(_tf.gettempdir(), f"coll_query_{tag}")
-    coll = Collection.create(spark, "coll_query", base, dim=64)
-    marker = _os.path.join(base, "_POPULATED")
-    if not _os.path.exists(marker):
-        coll.add(
-            emb.select(
-                F.col("vec_id").cast("string").alias("id"),
-                F.col("label").alias("document"),
-                F.col("embedding").cast("array<float>").alias("embedding"),
-            ),
-            id_col="id",
-        )
-        open(marker, "w").close()
+    coll = _gate_collection(spark, sf_dir, encrypted=False)
     target = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
@@ -5494,7 +5610,103 @@ def collection_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_idx").cast("bigint"),
         F.col("rank").cast("bigint"),
         "id",
-        F.round("distance", 7).alias("distance"),
+        # + 0.0 canonicalizes IEEE -0.0 (the self-match distance can be
+        # a rounding-negative tiny value) to 0.0, matching the oracle.
+        (F.round("distance", 5) + F.lit(0.0)).alias("distance"),
+    )
+
+
+_GATE_COLL_KEY = "0123456789abcdef"  # fixed AES-128 gate key
+
+
+def _gate_collection(spark: SparkSession, sf_dir: str, encrypted: bool):
+    """Build-once (atomically published, content-tagged) Parquet
+    collection over the embeddings table for the serving gates.
+
+    The plaintext variant stores array<float> (reference parity); the
+    encrypted variant stores AES-GCM ciphertext of the ORIGINAL
+    float64 vectors (to_json round-trips doubles exactly), so its
+    decrypt-and-score plan is float64 end-to-end. Population happens
+    in a tmp dir renamed into place — a crash mid-build leaves no
+    half-populated collection to double-append into — and the cache
+    tag pins table content, not just the sf_dir path."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    kind = "enc" if encrypted else "plain"
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:collquery_v2:{kind}:{ctag}".encode()).hexdigest()[
+        :10
+    ]
+    base = _os.path.join(_tf.gettempdir(), f"coll_query_{kind}_{tag}")
+    name = "coll_query"
+    if not _os.path.isdir(base):
+        tmp = f"{base}.tmp{_os.getpid()}"
+        coll = Collection.create(spark, name, tmp, dim=64)
+        if encrypted:
+            coll.add_encrypted(
+                emb.select(
+                    F.col("vec_id").cast("string").alias("id"),
+                    F.col("label").cast("string").alias("document"),
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                _GATE_COLL_KEY,
+                id_col="id",
+            )
+        else:
+            coll.add(
+                emb.select(
+                    F.col("vec_id").cast("string").alias("id"),
+                    F.col("label").alias("document"),
+                    F.col("embedding").cast("array<float>").alias("embedding"),
+                ),
+                id_col="id",
+            )
+        _publish_dir(tmp, base)
+    dim = 64 if not encrypted else None  # ciphertext rows carry no dim
+    return Collection(spark, name, _os.path.join(base, name), dim)
+
+
+# 7 decimals here (vs 5 for the plaintext gate): the encrypted
+# collection round-trips the ORIGINAL float64 vectors through
+# to_json → AES-GCM → from_json exactly, so there is no float32
+# quantization between Spark's scores and DuckDB's — the tighter
+# tolerance is free, and it additionally pins decrypt fidelity.
+@query("collection_query_encrypted", _collection_query_oracle(7))
+def collection_query_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core thesis — encrypted store + retrieval
+    (src/cyborgdb_store.py stub + src/cod.py:124-129) — closed as ONE
+    gated dataflow: an AES-GCM-encrypted collection (crypto_roundtrip
+    gates the cipher itself; tests pin ciphertext-scan-reveals-nothing)
+    queried through Collection.query_encrypted, which decrypts and
+    scores in a single plan (scan → aes_decrypt → from_json → cosine →
+    top-k; sources/collections.py). Matching DuckDB's brute force on
+    the PLAINTEXT table proves decrypt→score is lossless end-to-end:
+    the authorized reader gets exactly the plaintext ranking, while the
+    unauthorized scan (extract_encrypted) sees only ciphertext."""
+    emb = load(spark, "embeddings", sf_dir)
+    coll = _gate_collection(spark, sf_dir, encrypted=True)
+    target = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    ]
+    res = coll.query_encrypted(
+        _GATE_COLL_KEY,
+        query_embeddings=[target],
+        n_results=3,
+        include=["distances"],
+    )
+    return res.select(
+        F.col("query_idx").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        "id",
+        (F.round("distance", 7) + F.lit(0.0)).alias("distance"),
     )
 
 
@@ -5523,9 +5735,17 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = S.read_events_stream(
         spark, _os.path.join(sf_dir, "events.parquet")
     )
+    # Watermark covers the full event-time span of any test corpus:
+    # stream==batch equality must not depend on the file source
+    # delivering rows in event-time order across micro-batches (a
+    # multi-file split could otherwise evict state a later out-of-order
+    # file still needs). Production uses the default 2h watermark —
+    # bounded state is the op's contract; full-span here only makes
+    # the finite differential run split-proof.
     joined = S.stream_interval_join(
         stream.filter(F.col("event_type") == "purchase"),
         stream.filter(F.col("event_type") == "click"),
+        watermark="3650 days",
     )
     res = S.run_stream_to_batch(spark, joined, output_mode="append")
     return res.select(
@@ -5561,7 +5781,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang", "n_chars"
     )
-    tag = _hl.md5(f"{sf_dir}:orc_rt_v1".encode()).hexdigest()[:10]
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:orc_rt_v2:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"orc_rt_{tag}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         docs.write.mode("overwrite").orc(path)
@@ -5625,79 +5846,88 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 3 window: the 13 entries with no CORRECTNESS row in any round
-# (all four batch-ANN serving queries, the training-layout pair, the
-# streaming incremental dedup, the four deferred TPC-H shapes, the
-# sketch gate, and search_invert_both), plus search_evolutionary /
-# search_greedy whose only driver rows are stale r1 `no_oracle` (their
-# gates were reshaped into property oracles late in r2), plus
-# source_text_lines whose implementation changed this round (corpus
-# file now written by Spark, not the driver). Backfilled with the
-# least-recently-verified r1-only entries in catalog order. Deferred
-# to round 4 (all have passing r1 rows): q_supplier_nation,
-# q_window_running_total, q_semi_join_active, collection_lifecycle,
-# q_percentiles, q_like_regex_filter, q_cube_lineitem,
-# q_part_brand_stats, json_vector_roundtrip, text_winnow_profile,
-# dedup_connected_components, dedup_simhash, dedup_simhash_groups.
+# Round 4 window. Leads with the 13 entries whose only driver row is
+# r1 (VERDICT r3 "What's wrong #1": dedup_simhash_groups changed after
+# its r1 verification — the distinct=False rewrite — and the other 12
+# share evolved helpers), then every entry whose semantics changed in
+# r4: the new encrypted serving gate; collection_query_topk (distance
+# rounding 7→5dp, single-round oracle, atomic populate); the three
+# search gates (ALPHABET made reference-verbatim — mutation outputs
+# shift); the six _recall_oracle_sql gates (oracle rewritten two-sided
+# — DuckDB now computes its own recall instead of literal TRUE);
+# streaming_interval_join (gate watermark widened to full-span).
+# Backfilled with the least-recently-verified r2 entries in catalog
+# order. Every catalog entry then holds a driver row at-or-after its
+# current implementation. Deferred to round 5 (r2 rows, unchanged
+# bodies): streaming_dedup_count, q2_min_cost_supplier,
+# q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
+# streaming_sliding_counts, streaming_static_join,
+# dedup_incremental_minhash, streaming_session_windows,
+# text_vocabulary_topk, text_repetition_stats, text_bpe_merge_counts,
+# dedup_incremental_verified, ann_ivf_adaptive_topk,
+# source_csv_roundtrip, source_json_collection,
+# pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
+# text_pii_scan, text_pack_windows (+ all r3-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # never driver-verified (added or deferred in r2)
-    "ann_lsh_batch_topk",
-    "ann_ivf_batch_topk",
-    "ann_ivfpq_batch_topk",
-    "ann_ivfadc_batch_topk",
-    "q_shuffle_shard",
-    "q_token_budget_select",
-    "streaming_incremental_dedup",
-    "q_approx_sketches",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "search_invert_both",
-    # stale r1 no_oracle rows — gates reshaped to property oracles in r2
+    # r1-only driver rows — stale (dedup_simhash_groups) or staleness
+    # risk via shared-helper evolution; re-verify all 13 first
+    "dedup_simhash_groups",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "collection_lifecycle",
+    "json_vector_roundtrip",
+    "q_cube_lineitem",
+    "q_like_regex_filter",
+    "q_part_brand_stats",
+    "q_percentiles",
+    "q_semi_join_active",
+    "q_supplier_nation",
+    "q_window_running_total",
+    "text_winnow_profile",
+    # new in r4: encrypted store + retrieval as one gated dataflow
+    "collection_query_encrypted",
+    # changed in r4: rounding/oracle/populate fixes
+    "collection_query_topk",
+    # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
     "search_evolutionary",
     "search_greedy",
-    # implementation changed in r3 (de-drivered corpus write)
-    "source_text_lines",
-    # new in r3 (wide-block SimHash, Collection.query surface,
-    # stream-stream join promotion, ORC interchange)
-    "dedup_simhash_wide",
-    "collection_query_topk",
+    "search_invert_both",
+    # changed in r4: two-sided recall oracles (DuckDB computes its own
+    # prefilter+rerank recall instead of TRUE AS recall_ok)
+    "ann_ivf_kmeans_build",
+    "ann_pq_search_topk",
+    "ann_ivfpq_search_topk",
+    "ann_ivfpq_batch_topk",
+    "ann_ivfadc_search_topk",
+    "ann_ivfadc_batch_topk",
+    # changed in r4: gate watermark made split-proof
     "streaming_interval_join",
-    "source_orc_roundtrip",
-    "q_split_train_val_test",
-    # implementation changed in r3 (broadcast-orientation fixes) —
-    # re-verify even though oracles are unchanged
-    "dedup_winnow_overlap",
-    "knn_prompt_reconstruction",
-    # backfill: r1-verified-only, least recently checked, catalog order
-    "knn_topk_cosine",
-    "vector_point_get",
-    "vector_scan_stats",
-    "knn_batch_topk",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_nation_revenue",
-    "q_window_top_orders_per_cust",
-    "q_events_json_agg",
-    "dedup_exact_groups",
-    "dedup_keep_best",
-    "dedup_minhash_pairs",
-    "dedup_jaccard_verified",
-    "dedup_embedding_neardup",
-    "text_lang_distribution",
-    "text_quality_filter",
-    "q_set_ops_customers",
-    "q_rollup_orders",
-    "q_anti_join_quiet_customers",
-    "crypto_roundtrip",
-    "ann_lsh_bucket_stats",
-    "ann_lsh_probe_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_assign",
-    "ann_ivf_search_topk",
-    "q_events_sessionization",
-    "multimodal_features",
+    # backfill: r2-verified-only, least recently checked, catalog order
+    "text_profile",
+    "q_events_user_gaps",
+    "streaming_hourly_counts",
+    "q_events_asof_signup",
+    "streaming_stateful_user_counts",
+    "q_skew_salted_join",
+    "vector_dim_stats",
+    "q_argmax_order",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "q_events_range_join",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q9_product_profit",
+    "q16_supplier_breadth",
+    "q21_sole_late_shipper",
+    "ann_ivf_layout_search",
+    "q_pivot_status_priority",
 )
 
 

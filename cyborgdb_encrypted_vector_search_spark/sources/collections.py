@@ -152,6 +152,52 @@ class Collection:
         (``embedder`` defaults to the stub; pass a real model's encode
         there the same way make_embed_udf takes a model_factory).
         """
+        cols = include or ["documents", "distances"]
+        corpus = self.scan().select(
+            "id", "embedding", *(["document"] if "documents" in cols else [])
+        )
+        return self._query_over(
+            corpus, query_embeddings, query_texts, n_results, embedder, cols
+        )
+
+    def query_encrypted(
+        self,
+        key: str,
+        query_embeddings: list[list[float]] | None = None,
+        query_texts: list[str] | None = None,
+        n_results: int = 3,
+        embedder=None,
+        include: list[str] | None = None,
+    ) -> DataFrame:
+        """Similarity query against an AES-GCM-encrypted collection —
+        the reference's core thesis (encrypted store + retrieval,
+        src/cyborgdb_store.py + src/cod.py:124-129) as ONE dataflow:
+        scan → aes_decrypt → from_json → cosine → per-query top-k, all
+        inside a single Spark plan. The ciphertext never leaves the
+        JVM, no decrypted intermediate is ever materialized to storage,
+        and the plan shape is identical to :meth:`query` (broadcast
+        queries, corpus never shuffles) with one extra scan-side
+        project for the decrypt — at 100 TB the decrypt cost is a
+        per-row column expression inside whole-stage codegen, not an
+        extra pass."""
+        cols = include or ["documents", "distances"]
+        plain = self.decrypt(key)
+        corpus = plain.select(
+            "id", "embedding", *(["document"] if "documents" in cols else [])
+        )
+        return self._query_over(
+            corpus, query_embeddings, query_texts, n_results, embedder, cols
+        )
+
+    def _query_over(
+        self,
+        corpus: DataFrame,
+        query_embeddings,
+        query_texts,
+        n_results: int,
+        embedder,
+        cols: list[str],
+    ) -> DataFrame:
         from cyborgdb_encrypted_vector_search_spark.functions import embed as E
         from cyborgdb_encrypted_vector_search_spark.operators import knn
 
@@ -172,10 +218,6 @@ class Collection:
         queries = self.spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(query_embeddings)],
             "query_idx long, query_vec array<double>",
-        )
-        cols = include or ["documents", "distances"]
-        corpus = self.scan().select(
-            "id", "embedding", *(["document"] if "documents" in cols else [])
         )
         hits = knn.knn_join(
             queries,

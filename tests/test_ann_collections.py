@@ -713,3 +713,63 @@ def test_collection_query_matches_reference_serving_call(spark, tmp_path):
         coll.query(query_embeddings=[[1.0] * dim], query_texts=["x"])
     with _pytest.raises(ValueError):
         coll.query(query_embeddings=[[1.0] * (dim + 1)])
+
+
+def test_collection_query_encrypted_matches_plaintext(spark, tmp_path):
+    """Collection.query_encrypted closes the reference's thesis as one
+    dataflow (encrypted store + retrieval, src/cyborgdb_store.py +
+    src/cod.py:124-129): an authorized query against the AES-GCM
+    collection returns exactly the plaintext collection's ranking —
+    decrypt → score happens inside one plan — while the unauthorized
+    scan still yields ciphertext only."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+
+    key = "fedcba9876543210"
+    texts = [
+        "I love machine learning",
+        "this is an example test",
+        "you enjoy this model",
+        "the data table is like a query",
+    ]
+    dim = 16
+    rows = [(str(i), t, E.embed_text(t, dim)) for i, t in enumerate(texts)]
+    plain = Collection.create(spark, "qe_plain", str(tmp_path), dim=dim)
+    plain.add(
+        spark.createDataFrame(
+            rows, "id string, document string, embedding array<float>"
+        ),
+        id_col="id",
+    )
+    enc = Collection.create(spark, "qe_enc", str(tmp_path))
+    enc.add_encrypted(
+        spark.createDataFrame(
+            rows, "id string, document string, embedding array<double>"
+        ),
+        key,
+        id_col="id",
+    )
+
+    q = [list(map(float, E.embed_text(texts[2], dim)))]
+    want = [
+        (r["rank"], r["id"], round(r["distance"], 5))
+        for r in plain.query(query_embeddings=q, n_results=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    got_rows = (
+        enc.query_encrypted(key, query_embeddings=q, n_results=3)
+        .orderBy("rank")
+        .collect()
+    )
+    got = [(r["rank"], r["id"], round(r["distance"], 5)) for r in got_rows]
+    assert got == want
+    assert got[0][1] == "2" and got[0][2] == 0.0
+    # decrypted documents ride along in the same plan
+    assert got_rows[0]["document"] == texts[2]
+
+    # the unauthorized path still leaks nothing
+    leaked = enc.extract_encrypted().collect()
+    assert all(
+        r["embedding_ct"] is not None and "love" not in r["embedding_ct"]
+        for r in leaked
+    )

@@ -51,7 +51,12 @@ def test_reference_constants():
     assert gr["restarts"].default == 12
     assert gr["iters"].default == 200
     assert gr["jump_p"].default == 0.01
-    assert len(S.ALPHABET) == 72
+    # reference src/app.py:62 verbatim: 62 alphanumerics + space + ,.-'"?!
+    assert S.ALPHABET == (
+        "abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 ,.-'\"?!"
+    )
     assert len(S.WORD_SEEDS) == 14
 
 

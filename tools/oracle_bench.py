@@ -1,0 +1,84 @@
+"""DuckDB-oracle timing twin of bench.py.
+
+Times each HEADLINE query's oracle SQL on DuckDB (32 threads, warm,
+min of 2 runs) over the same parquet tables bench.py uses, and prints
+ONE JSON line mirroring bench.py's shape:
+
+  {"metric": "oracle_total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "engine": "duckdb"}
+
+Queries without an oracle (non-SQL-expressible) and the serve-only
+bench twins are skipped and listed under "skipped". Run after (or
+independently of) bench.py; the pair makes the BASELINE 2x-bar
+auditable from artifacts alone:
+
+    python bench.py           > BENCH.json
+    python tools/oracle_bench.py > ORACLE_BENCH.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb
+
+from bench import HEADLINE
+from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+from cyborgdb_encrypted_vector_search_spark.sources.registry import TABLES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(cpus)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    cat = entries()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in HEADLINE:
+        sql = cat[name].sql if name in cat else None
+        if not sql:
+            skipped.append(name)
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sys.stdout.write(
+        json.dumps(
+            {
+                "metric": "oracle_total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "engine": "duckdb",
+                "mode": "warm (min of 2 runs/query)",
+                "skipped": skipped,
+            }
+        )
+        + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

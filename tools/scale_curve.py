@@ -31,8 +31,18 @@ REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-BLOWUP = {"lineitem": "l_orderkey", "documents": "doc_id", "embeddings": "vec_id"}
-COPY = ["region", "nation", "customer", "supplier", "part", "orders", "events"]
+# Per-table id columns offset per replica. events offsets user_id too:
+# replicating events with the SAME users would make the user-keyed
+# self-joins (interval join, sessionization) grow quadratically across
+# replicas — offsetting both keys keeps replicas independent, so an
+# honest linear-in-rows workload is what the curve measures.
+BLOWUP = {
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part", "orders"]
 QUERIES = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -41,6 +51,9 @@ QUERIES = [
     "text_profile",
     "ann_ivf_batch_topk",
     "streaming_incremental_dedup",
+    # r3 additions (VERDICT r3 item 8)
+    "collection_query_topk",
+    "streaming_interval_join",
 ]
 
 
@@ -52,15 +65,17 @@ def materialize(spark, base: str, scale: int, out: str) -> None:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(base, f"{t}.parquet"), dst)
-    for t, key in BLOWUP.items():
+    for t, keys in BLOWUP.items():
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
-        reps = [
-            df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
-            for i in range(scale)
-        ]
+        reps = []
+        for i in range(scale):
+            r = df
+            for key in keys:
+                r = r.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            reps.append(r)
         full = reps[0]
         for r in reps[1:]:
             full = full.unionByName(r)
@@ -82,13 +97,18 @@ def main() -> None:
     )
     spark.range(1000).selectExpr("sum(id)").collect()
     cat = entries()
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    # Serve twin: dedup_simhash_wide's GATE carries an O(n^2)
+    # brute-force ground truth; the curve times the production path.
+    extra = {"dedup_simhash_wide_serve": C.simhash_wide_serve}
 
     for scale in scales:
         sf_dir = base if scale == 1 else os.path.join(tmp, f"scale_curve_{scale}x")
         if scale != 1:
             materialize(spark, base, scale, sf_dir)
-        for name in QUERIES:
-            fn = cat[name].fn
+        for name in [*QUERIES, *extra]:
+            fn = cat[name].fn if name in cat else extra[name]
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
