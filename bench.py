@@ -59,6 +59,10 @@ HEADLINE = [
     "q_cube_lineitem",
     "q_grouping_sets_orders",
     "multimodal_features",
+    # serving surface (r4): plaintext vs encrypted Collection.query —
+    # the pair prices the decrypt-in-plan overhead directly
+    "collection_query_topk",
+    "collection_query_encrypted",
 ]
 
 
