@@ -248,6 +248,26 @@ def build_ivf_layout(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def append_to_ivf_layout(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the ANN ingest path at 100 TB:
+    assign ONLY the new batch to the FIXED centroids and append it
+    into the existing partitioned layout. A parquet append adds files
+    solely under the touched ``centroid_id=`` directories, so ingest
+    cost is O(batch): the resident corpus is never rewritten,
+    reshuffled or even read, and probe queries keep partition-pruning
+    the same layout (new files are picked up by the directory
+    listing). Centroids stay fixed between rebuilds — the standard IVF
+    maintenance model; recall drift under distribution shift is a
+    rebuild trigger (build_ivf_layout), not an append concern."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def adaptive_probe_ids(
     centroids_with_counts: DataFrame,
     target: Sequence[float],

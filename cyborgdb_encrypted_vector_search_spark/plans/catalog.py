@@ -3645,9 +3645,11 @@ def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_layout_search",
-    f"""
+# Shared by ann_ivf_layout_search and ann_ivf_incremental_append: the
+# DuckDB IVF simulation over the FULL corpus (assignment to the fixed
+# first-8 centroids, 2-probe, exact rank inside probed lists) — i.e.
+# exactly what a from-scratch rebuild serves.
+_IVF_LAYOUT_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS centroid_id, embedding AS centroid
       FROM embeddings WHERE vec_id < 8
@@ -3675,8 +3677,10 @@ def search_invert_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM assigned a CROSS JOIN target t
     WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
     ORDER BY score DESC, vec_id ASC LIMIT 3
-    """,
-)
+    """
+
+
+@query("ann_ivf_layout_search", _IVF_LAYOUT_ORACLE)
 def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against a MATERIALIZED centroid-partitioned Parquet
     layout: the assignment is written once per sf as
@@ -3703,6 +3707,58 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_tf.gettempdir(), f"ivf_layout_{tag}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         A.build_ivf_layout(emb.select("vec_id", "embedding"), cent, path)
+    table = spark.read.parquet(path)
+    target = [
+        r["embedding"] for r in emb.filter(F.col("vec_id") == 42).collect()
+    ][0]
+    res = A.ivf_search(table, cent, target, k=3, nprobe=2)
+    return res.select("vec_id", F.round("score", 7).alias("score"))
+
+
+@query("ann_ivf_incremental_append", _IVF_LAYOUT_ORACLE)
+def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the 100 TB ANN ingest path
+    (operators/ann.append_to_ivf_layout): the partitioned layout is
+    built from only the FIRST HALF of the corpus, then the rest
+    arrives as three append batches, each assigned to the fixed
+    centroids and appended under the touched ``centroid_id=``
+    directories — O(batch) ingest; the resident corpus is never
+    rewritten, reshuffled or read. The gated claim: probing the
+    incrementally-grown layout returns EXACTLY what a from-scratch
+    rebuild serves (the oracle is DuckDB's full-corpus IVF
+    simulation, shared with ann_ivf_layout_search) — append-ingest
+    loses nothing and partition pruning keeps working on the appended
+    files. Built atomically in a tmp dir (rename publish), tag pinned
+    to table content."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:ivf_incr_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"ivf_incr_{tag}")
+    if not _os.path.isdir(path):
+        n = emb.count()
+        vecs = emb.select("vec_id", "embedding")
+        tmp = f"{path}.tmp{_os.getpid()}"
+        A.build_ivf_layout(vecs.filter(F.col("vec_id") <= n // 2), cent, tmp)
+        cuts = [n // 2, 5 * n // 8, 3 * n // 4, n]
+        for lo, hi in zip(cuts, cuts[1:]):
+            A.append_to_ivf_layout(
+                vecs.filter(
+                    (F.col("vec_id") > lo) & (F.col("vec_id") <= hi)
+                ),
+                cent,
+                tmp,
+            )
+        _publish_dir(tmp, path)
     table = spark.read.parquet(path)
     target = [
         r["embedding"] for r in emb.filter(F.col("vec_id") == 42).collect()
@@ -5710,6 +5766,78 @@ def collection_query_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROTATED_KEY = "aaaabbbbccccdddd"  # post-rotation AES-128 gate key
+
+
+@query(
+    "crypto_key_rotation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids,
+           CAST(sum(length(label::VARCHAR)) AS BIGINT) AS doc_len,
+           CAST(sum(CAST(round(list_sum(embedding::DOUBLE[]), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS emb_checksum,
+           TRUE AS old_key_dead
+    FROM embeddings
+    """,
+)
+def crypto_key_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch key rotation (Collection.rotate_key): the encrypted gate
+    collection is re-encrypted under a new key in one scan-project job
+    (decrypt old → encrypt new, no shuffle — a pure map at 100 TB),
+    published atomically to a new directory. Differential fidelity:
+    count / distinct ids / total document length / per-row-rounded
+    embedding sum of the rotation OUTPUT (decrypted with the NEW key)
+    must equal DuckDB's aggregates over the ORIGINAL plaintext table —
+    rotation is lossless end-to-end through two cipher generations.
+    `old_key_dead` is Spark-computed (try_aes_decrypt with the retired
+    key yields NULL on every rotated row — GCM authentication rejects
+    it); its oracle side is a literal, a documented exception like the
+    search gates: AES isn't SQL-expressible, and a FALSE still
+    hash-mismatches."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    src = _gate_collection(spark, sf_dir, encrypted=True)
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:keyrot_v1:{ctag}".encode()).hexdigest()[:10]
+    base = _os.path.join(_tf.gettempdir(), f"coll_rotated_{tag}")
+    if not _os.path.isdir(base):
+        tmp = f"{base}.tmp{_os.getpid()}"
+        src.rotate_key(_GATE_COLL_KEY, _ROTATED_KEY, tmp)
+        _publish_dir(tmp, base)
+    rot = Collection(spark, src.name, _os.path.join(base, src.name))
+
+    dec = rot.decrypt(_ROTATED_KEY)
+    row_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x
+    )
+    fidelity = dec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+        F.sum(F.length("document")).cast("bigint").alias("doc_len"),
+        F.sum(F.round(row_sum, 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("emb_checksum"),
+    )
+    dead = (
+        rot.scan()
+        .select(
+            F.try_aes_decrypt(
+                F.unbase64(F.col("metadata")["embedding_ct"]),
+                F.lit(_GATE_COLL_KEY),
+            ).alias("p")
+        )
+        .agg((F.count("p") == 0).alias("old_key_dead"))
+    )
+    return fidelity.crossJoin(dead)
+
+
 @query(
     "streaming_interval_join",
     """
@@ -5859,7 +5987,8 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Backfilled with the least-recently-verified r2 entries in catalog
 # order. Every catalog entry then holds a driver row at-or-after its
 # current implementation. Deferred to round 5 (r2 rows, unchanged
-# bodies): streaming_dedup_count, q2_min_cost_supplier,
+# bodies): q21_sole_late_shipper, q_pivot_status_priority,
+# streaming_dedup_count, q2_min_cost_supplier,
 # q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
 # streaming_sliding_counts, streaming_static_join,
 # dedup_incremental_minhash, streaming_session_windows,
@@ -5884,8 +6013,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_supplier_nation",
     "q_window_running_total",
     "text_winnow_profile",
-    # new in r4: encrypted store + retrieval as one gated dataflow
+    # new in r4: encrypted store + retrieval as one gated dataflow,
+    # batch key rotation, incremental IVF append
     "collection_query_encrypted",
+    "crypto_key_rotation",
+    "ann_ivf_incremental_append",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -5925,9 +6057,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
     "q9_product_profit",
     "q16_supplier_breadth",
-    "q21_sole_late_shipper",
     "ann_ivf_layout_search",
-    "q_pivot_status_priority",
 )
 
 

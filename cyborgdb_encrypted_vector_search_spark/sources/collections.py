@@ -424,3 +424,20 @@ class Collection:
                 F.unbase64(F.col("metadata")["embedding_ct"]), key
             ).alias("embedding"),
         )
+
+    def rotate_key(
+        self, old_key: str, new_key: str, dest_base_dir: str
+    ) -> "Collection":
+        """Batch key rotation: decrypt with the old key and re-encrypt
+        with the new one in ONE scan-project job (no shuffle — at
+        100 TB this is a pure map over the ciphertext files), written
+        to a NEW collection directory so the swap is atomic at the
+        directory level and the old ciphertext survives until the
+        cutover commits. AES-GCM draws fresh IVs, so rotated
+        ciphertexts share nothing with the originals even where the
+        plaintext is identical. Returns the rotated collection."""
+        rotated = Collection.create(
+            self.spark, self.name, dest_base_dir, dim=self.dim
+        )
+        rotated.add_encrypted(self.decrypt(old_key), new_key, id_col="id")
+        return rotated

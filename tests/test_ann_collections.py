@@ -773,3 +773,80 @@ def test_collection_query_encrypted_matches_plaintext(spark, tmp_path):
         r["embedding_ct"] is not None and "love" not in r["embedding_ct"]
         for r in leaked
     )
+
+
+def test_append_to_ivf_layout_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest (append_to_ivf_layout) must be
+    indistinguishable from a from-scratch rebuild: same (vec_id,
+    centroid_id) assignment set, and probe queries still read the
+    partitioned layout with the centroid IN-filter satisfied by
+    partition pruning over the appended files."""
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    n = emb.count()
+    incr = str(tmp_path / "incr")
+    full = str(tmp_path / "full")
+    ann.build_ivf_layout(emb.filter(F.col("vec_id") <= n // 2), cent, incr)
+    ann.append_to_ivf_layout(
+        emb.filter(F.col("vec_id") > n // 2), cent, incr
+    )
+    ann.build_ivf_layout(emb, cent, full)
+
+    def pairs(path):
+        return sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(path)
+            .select("vec_id", "centroid_id")
+            .collect()
+        )
+
+    assert pairs(incr) == pairs(full)
+    assert len(pairs(incr)) == n
+
+    # probe search over the appended layout still partition-prunes
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    res = ann.ivf_search(spark.read.parquet(incr), cent, target, k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = res.collect()
+    want = ann.ivf_search(spark.read.parquet(full), cent, target, k=3, nprobe=2).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_rotate_key_lossless_and_retires_old_key(spark, tmp_path):
+    """Key rotation re-encrypts losslessly: the rotated collection
+    decrypts (new key) to the exact original rows, the old key is
+    cryptographically dead on the rotated ciphertext (GCM auth
+    failure -> try_aes_decrypt NULL), and rotated ciphertexts differ
+    from the originals (fresh IVs)."""
+    old_key, new_key = "0123456789abcdef", "aaaabbbbccccdddd"
+    src = Collection.create(spark, "rot_src", str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(1, "alpha secret", [1.0, 2.0]), (2, "beta secret", [3.0, 4.0])],
+        "doc_id long, document string, embedding array<double>",
+    )
+    src.add_encrypted(df, old_key, id_col="doc_id")
+    rot = src.rotate_key(old_key, new_key, str(tmp_path / "dst"))
+
+    dec = {r["id"]: r for r in rot.decrypt(new_key).collect()}
+    assert dec["1"]["document"] == "alpha secret"
+    assert dec["1"]["embedding"] == [1.0, 2.0]
+    assert dec["2"]["embedding"] == [3.0, 4.0]
+
+    # old key no longer opens anything
+    dead = rot.scan().select(
+        F.try_aes_decrypt(
+            F.unbase64(F.col("metadata")["embedding_ct"]), F.lit(old_key)
+        ).alias("p")
+    )
+    assert all(r["p"] is None for r in dead.collect())
+
+    # fresh IVs: ciphertexts share nothing between generations
+    old_ct = {r["id"]: r["embedding_ct"] for r in src.extract_encrypted().collect()}
+    new_ct = {r["id"]: r["embedding_ct"] for r in rot.extract_encrypted().collect()}
+    assert all(old_ct[k] != new_ct[k] for k in old_ct)
