@@ -5609,20 +5609,21 @@ def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interval join (promoted from test-only), ORC source interchange.
 # ----------------------------------------------------------------------
 
-def _collection_query_oracle(digits: int) -> str:
+def _collection_query_oracle(digits: int, where_sql: str = "") -> str:
     """Oracle for the Collection.query gates: brute-force cosine top-3
     for stored vector 42, SINGLE-rounded cosine distance. Rank comes
     from the raw score (tie-broken on vec_id); only the emitted
     distance is rounded, in one step — matching the Spark side's one
     F.round and avoiding the double-rounding drift the r3 oracle had
-    (round(1-round(s,7),7))."""
+    (round(1-round(s,7),7)). ``where_sql`` restricts the scored corpus
+    (the metadata-filter gate's predicate twin)."""
     return f"""
     WITH un AS ({_UNIT_EMB}),
     target AS (SELECT unit AS tu, nrm AS tn FROM un WHERE vec_id = 42),
     scored AS (
       SELECT e.vec_id AS vec_id,
              {V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')} AS score
-      FROM un e CROSS JOIN target t
+      FROM un e CROSS JOIN target t {where_sql}
     )
     SELECT CAST(0 AS BIGINT) AS query_idx,
            CAST(rank AS BIGINT) AS rank,
@@ -5672,6 +5673,39 @@ def collection_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "collection_query_filtered",
+    _collection_query_oracle(5, "WHERE e.vec_id % 4 = 1"),
+)
+def collection_query_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity serving — Chroma's
+    ``collection.query(..., where={"bucket": "1"})`` shape: the
+    equality predicate on the metadata map restricts the corpus
+    BEFORE any scoring work, so at scale the filter prunes rows (and,
+    with a metadata-partitioned layout, files) ahead of the cosine
+    stage instead of discarding scored results. Oracle: DuckDB's
+    brute force over exactly the rows whose bucket tag (vec_id % 4)
+    matches — top-k-within-filter, not filter-of-top-k."""
+    emb = load(spark, "embeddings", sf_dir)
+    coll = _gate_collection(spark, sf_dir, encrypted=False)
+    target = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    ]
+    res = coll.query(
+        query_embeddings=[target],
+        n_results=3,
+        include=["distances"],
+        where={"bucket": "1"},
+    )
+    return res.select(
+        F.col("query_idx").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        "id",
+        (F.round("distance", 5) + F.lit(0.0)).alias("distance"),
+    )
+
+
 _GATE_COLL_KEY = "0123456789abcdef"  # fixed AES-128 gate key
 
 
@@ -5697,7 +5731,7 @@ def _gate_collection(spark: SparkSession, sf_dir: str, encrypted: bool):
     emb = load(spark, "embeddings", sf_dir)
     kind = "enc" if encrypted else "plain"
     ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
-    tag = _hl.md5(f"{sf_dir}:collquery_v2:{kind}:{ctag}".encode()).hexdigest()[
+    tag = _hl.md5(f"{sf_dir}:collquery_v4:{kind}:{ctag}".encode()).hexdigest()[
         :10
     ]
     base = _os.path.join(_tf.gettempdir(), f"coll_query_{kind}_{tag}")
@@ -5716,13 +5750,20 @@ def _gate_collection(spark: SparkSession, sf_dir: str, encrypted: bool):
                 id_col="id",
             )
         else:
+            # metadata carries a deterministic bucket tag so the
+            # filtered-query gate has a predicate to push
             coll.add(
                 emb.select(
                     F.col("vec_id").cast("string").alias("id"),
                     F.col("label").alias("document"),
                     F.col("embedding").cast("array<float>").alias("embedding"),
+                    F.create_map(
+                        F.lit("bucket"),
+                        (F.col("vec_id") % 4).cast("string"),
+                    ).alias("metadata"),
                 ),
                 id_col="id",
+                metadata_col="metadata",
             )
         _publish_dir(tmp, base)
     dim = 64 if not encrypted else None  # ciphertext rows carry no dim
@@ -5988,6 +6029,7 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Every catalog entry then holds a driver row at-or-after its
 # current implementation. Deferred to round 5 (r2 rows, unchanged
 # bodies): q21_sole_late_shipper, q_pivot_status_priority,
+# q16_supplier_breadth,
 # streaming_dedup_count, q2_min_cost_supplier,
 # q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
 # streaming_sliding_counts, streaming_static_join,
@@ -6018,6 +6060,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "collection_query_encrypted",
     "crypto_key_rotation",
     "ann_ivf_incremental_append",
+    "collection_query_filtered",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -6056,7 +6099,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_sample_hash",
     "q_sample_stratified",
     "q9_product_profit",
-    "q16_supplier_breadth",
     "ann_ivf_layout_search",
 )
 

@@ -134,6 +134,7 @@ class Collection:
         n_results: int = 3,
         embedder=None,
         include: list[str] | None = None,
+        where: dict[str, str] | None = None,
     ) -> DataFrame:
         """Similarity query — the reference's one serving call
         (``collection.query(query_embeddings=..., n_results=...)``,
@@ -151,9 +152,23 @@ class Collection:
         ``query_texts`` embeds driver-side through the D1 seam
         (``embedder`` defaults to the stub; pass a real model's encode
         there the same way make_embed_udf takes a model_factory).
+
+        ``where`` is Chroma's metadata equality filter
+        (``where={"source": "demo"}``): every (key, value) pair must
+        match the record's metadata map. It is applied BEFORE scoring,
+        so at scale the predicate prunes the corpus ahead of the
+        cosine work — and with a metadata-partitioned layout it prunes
+        files, the filtered-search shape vector stores implement with
+        per-segment metadata indexes.
         """
         cols = include or ["documents", "distances"]
-        corpus = self.scan().select(
+        corpus = self.scan()
+        if where:
+            for k, v in where.items():
+                corpus = corpus.filter(
+                    F.col("metadata")[k] == F.lit(str(v))
+                )
+        corpus = corpus.select(
             "id", "embedding", *(["document"] if "documents" in cols else [])
         )
         return self._query_over(

@@ -850,3 +850,97 @@ def test_rotate_key_lossless_and_retires_old_key(spark, tmp_path):
     old_ct = {r["id"]: r["embedding_ct"] for r in src.extract_encrypted().collect()}
     new_ct = {r["id"]: r["embedding_ct"] for r in rot.extract_encrypted().collect()}
     assert all(old_ct[k] != new_ct[k] for k in old_ct)
+
+
+def test_collection_query_where_filters_before_scoring(spark, tmp_path):
+    """Chroma-parity metadata filter: where={...} restricts the corpus
+    BEFORE scoring (top-k-within-filter, not filter-of-top-k), and an
+    unmatched filter returns empty rather than erroring."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+
+    dim = 16
+    texts = ["alpha doc", "beta doc", "gamma doc", "delta doc"]
+    coll = Collection.create(spark, "wq", str(tmp_path), dim=dim)
+    rows = [
+        (str(i), t, E.embed_text(t, dim), {"grp": str(i % 2)})
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, document string, embedding array<float>, "
+        "metadata map<string,string>",
+    )
+    coll.add(df, id_col="id", metadata_col="metadata")
+
+    q = [list(map(float, E.embed_text(texts[0], dim)))]
+    # group 0 = ids {0, 2}: doc 0 must win; id 1 (globally rank ~2 by
+    # shared-token locality) must be excluded by the filter
+    got = (
+        coll.query(query_embeddings=q, n_results=4, where={"grp": "0"})
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["id"] for r in got] == ["0", "2"]
+    assert abs(got[0]["distance"]) < 1e-6
+    # unmatched filter -> empty result, not an error
+    assert (
+        coll.query(query_embeddings=q, n_results=2, where={"grp": "9"}).count()
+        == 0
+    )
+
+
+def test_compact_ivf_layout_preserves_content_and_prunes(spark, sf_dir, tmp_path):
+    """Compaction after append-ingest: same rows, at most max_tasks
+    files per centroid directory, no shuffle in the compaction job,
+    and probe search over the compacted layout still partition-prunes
+    to identical results."""
+    import glob
+    import os
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    n = emb.count()
+    grown = str(tmp_path / "grown")
+    ann.build_ivf_layout(emb.filter(F.col("vec_id") <= n // 4), cent, grown)
+    for lo, hi in [(n // 4, n // 2), (n // 2, 3 * n // 4), (3 * n // 4, n)]:
+        ann.append_to_ivf_layout(
+            emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= hi)),
+            cent,
+            grown,
+        )
+    compacted = str(tmp_path / "compacted")
+    ann.compact_ivf_layout(spark, grown, compacted, max_tasks=2)
+
+    def files_per_dir(path):
+        return {
+            os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(path, "centroid_id=*"))
+        }
+
+    before, after = files_per_dir(grown), files_per_dir(compacted)
+    assert max(before.values()) > 2  # appends really fragmented it
+    assert max(after.values()) <= 2
+    rows = lambda p: sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(p).select("vec_id", "centroid_id").collect()
+    )
+    assert rows(grown) == rows(compacted)
+    # compaction plan is narrow: no Exchange anywhere
+    plan = (
+        spark.read.parquet(grown)
+        .coalesce(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    a = ann.ivf_search(spark.read.parquet(compacted), cent, target, k=3, nprobe=2)
+    assert "PartitionFilters" in a._jdf.queryExecution().executedPlan().toString()
+    b = ann.ivf_search(spark.read.parquet(grown), cent, target, k=3, nprobe=2)
+    assert [(r["vec_id"], round(r["score"], 9)) for r in a.collect()] == [
+        (r["vec_id"], round(r["score"], 9)) for r in b.collect()
+    ]
