@@ -246,7 +246,14 @@ def test_ivf_layout_scan_prunes_to_probed_partitions(spark, sf_dir, cat):
     )
     assert m, plan
     assert len(m.group(1).split(",")) == 2
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # recompute the artifact tag the same way the gate does (content
+    # checksum included since r4 — the bare-sf_dir tag is stale)
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+        _content_tag,
+    )
+
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = hashlib.md5(f"{sf_dir}:{ctag}".encode()).hexdigest()[:10]
     layout = os.path.join(tempfile.gettempdir(), f"ivf_layout_{tag}")
     n_parts = len(glob.glob(os.path.join(layout, "centroid_id=*")))
     assert n_parts == 8
