@@ -59,6 +59,57 @@ def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frame_chunks(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    demuxer=None,
+) -> DataFrame:
+    """Frame-sampling PLUMBING (one payload → many frame rows), the
+    video path's fan-out shape, via Arrow-batched ``mapInPandas``.
+
+    ``demuxer`` is the real-decoder seam: a callable
+    ``payload -> list[bytes]`` (a container demuxer yielding encoded
+    frames). Without one, a deterministic stand-in splits the payload
+    into fixed ``frame_bytes`` windows — same 1→N dataflow, same
+    schema, same batch iteration, and (unlike a real codec)
+    oracle-checkable byte-for-byte in SQL. ``every_n`` keeps every
+    n-th frame (frame_idx preserves the ORIGINAL position, as a real
+    sampler must for timestamp alignment). At scale this is a single
+    mapInPandas stage: no shuffle, output size ~payload/every_n."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if demuxer is not None:
+                    chunks = list(demuxer(raw))
+                else:
+                    chunks = [
+                        raw[i : i + frame_bytes]
+                        for i in range(0, len(raw), frame_bytes)
+                    ]
+                for idx in range(0, len(chunks), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(chunks[idx])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapt the documents table to the media schema (text payloads) —
     the stand-in corpus for exercising binary-column plumbing."""

@@ -1479,6 +1479,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select("media_id", "n_bytes", "digest")
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH ascii_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = strlen(text)
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS i
+      FROM ascii_docs
+    ),
+    chunks AS (
+      SELECT doc_id,
+             substring(text, CAST(1 + i * 64 AS BIGINT), 64) AS frame
+      FROM idx WHERE i % 4 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(strlen(frame)) AS BIGINT) AS frame_bytes,
+           min(md5(frame)) AS min_digest,
+           max(md5(frame)) AS max_digest
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out plumbing (multimodal.sample_frame_chunks):
+    one binary payload → many frame rows through a single mapInPandas
+    stage (the video path's 1→N shape; a real demuxer plugs into the
+    ``demuxer`` seam). The deterministic stand-in chunks the payload
+    into 64-byte windows and keeps every 4th — which DuckDB replicates
+    byte-for-byte with character substrings, so per-media frame counts,
+    byte totals and frame content digests are all value-hashed. Both
+    sides pre-filter to ASCII-only docs (the whole driver corpus
+    today) so the char-vs-byte substring equivalence the oracle relies
+    on is enforced, not assumed."""
+    from cyborgdb_encrypted_vector_search_spark.operators import multimodal as M
+
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(F.octet_length("text") == F.length("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    frames = M.sample_frame_chunks(
+        M.documents_as_media(docs), frame_bytes=64, every_n=4
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("frame_bytes"),
+        F.min(F.md5("frame")).alias("min_digest"),
+        F.max(F.md5("frame")).alias("max_digest"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Coverage sweep: SimHash, prompt assembly (F6), JSON vector round-trip
 # (S3/F7), semi/as-of joins, range-frame windows, part/supplier tables,
@@ -6029,7 +6083,7 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Every catalog entry then holds a driver row at-or-after its
 # current implementation. Deferred to round 5 (r2 rows, unchanged
 # bodies): q21_sole_late_shipper, q_pivot_status_priority,
-# q16_supplier_breadth,
+# q16_supplier_breadth, q9_product_profit,
 # streaming_dedup_count, q2_min_cost_supplier,
 # q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
 # streaming_sliding_counts, streaming_static_join,
@@ -6061,6 +6115,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "crypto_key_rotation",
     "ann_ivf_incremental_append",
     "collection_query_filtered",
+    "multimodal_frame_sample",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -6098,7 +6153,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_events_range_join",
     "q_sample_hash",
     "q_sample_stratified",
-    "q9_product_profit",
     "ann_ivf_layout_search",
 )
 

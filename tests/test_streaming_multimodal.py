@@ -269,3 +269,28 @@ def test_stream_incremental_dedup_ttl_state_equals_exact(spark, sf_dir):
     }
     assert got == exact
     assert len(got) > 0
+
+
+def test_frame_sampling_fanout_and_demuxer_seam(spark):
+    """sample_frame_chunks is the video path's 1→N plumbing: the
+    deterministic chunker windows payloads (every_n keeps original
+    frame_idx for timestamp alignment), and a custom demuxer plugs
+    into the same dataflow unchanged."""
+    rows = [
+        (1, "video", b"a" * 200, None),   # 4 chunks of 64 -> idx 0 kept... 
+        (2, "video", b"xy", None),        # 1 chunk -> idx 0
+        (3, "video", None, None),         # null payload -> no frames
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.sample_frame_chunks(media, frame_bytes=64, every_n=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # media 1: 200 bytes -> chunks 0..3, every 2nd -> idx 0 (64B), idx 2 (64B)
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)] == b"a" * 64 and got[(1, 2)] == b"a" * 64
+    assert got[(2, 0)] == b"xy"
+
+    # the real-decoder seam: a demuxer yielding 3 fake "frames";
+    # every_n=2 keeps positions 0 and 2
+    demux = lambda payload: [b"F0", b"F1", b"F2"]
+    out2 = M.sample_frame_chunks(media.filter("media_id = 2"), every_n=2, demuxer=demux).collect()
+    assert {(r["frame_idx"], bytes(r["frame"])) for r in out2} == {(0, b"F0"), (2, b"F2")}
