@@ -3821,6 +3821,59 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
+@query("streaming_ivf_ingest", _IVF_LAYOUT_ORACLE)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN index maintenance end-to-end
+    (streaming/ingest.stream_append_to_ivf_layout): the embeddings
+    table is staged as four files and streamed with
+    maxFilesPerTrigger=1, so FOUR real micro-batches each assign their
+    vectors to the fixed centroids and append into the partitioned
+    layout via foreachBatch. The gated claim is the strongest one
+    available: probing the stream-grown index returns EXACTLY what a
+    from-scratch batch rebuild serves (DuckDB's full-corpus IVF
+    simulation — oracle shared with ann_ivf_layout_search and
+    ann_ivf_incremental_append). Streaming ingest and batch build are
+    interchangeable views of the same index."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    emb = load(spark, "embeddings", sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:ivf_stream_v1:{ctag}".encode()).hexdigest()[:10]
+    layout = _os.path.join(_tf.gettempdir(), f"ivf_stream_{tag}")
+    if not _os.path.isdir(layout):
+        staged = f"{layout}.src{_os.getpid()}"
+        (
+            emb.select("vec_id", "embedding", "label")
+            .repartitionByRange(4, "vec_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        tmp = f"{layout}.tmp{_os.getpid()}"
+        stream = S.read_embeddings_stream(
+            spark, staged, max_files_per_trigger=1
+        )
+        S.stream_append_to_ivf_layout(spark, stream, cent, tmp)
+        _publish_dir(tmp, layout)
+        import shutil as _sh
+
+        _sh.rmtree(staged, ignore_errors=True)
+    table = spark.read.parquet(layout)
+    target = [
+        r["embedding"] for r in emb.filter(F.col("vec_id") == 42).collect()
+    ][0]
+    res = A.ivf_search(table, cent, target, k=3, nprobe=2)
+    return res.select("vec_id", F.round("score", 7).alias("score"))
+
+
 _SQL_L2_QC = (
     "sqrt(list_sum(list_transform(range(1, 65), "
     "i -> ((c.centroid[i])::DOUBLE - (q.qv[i])::DOUBLE)"
@@ -6116,6 +6169,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_incremental_append",
     "collection_query_filtered",
     "multimodal_frame_sample",
+    "streaming_ivf_ingest",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -6152,7 +6206,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q22_idle_rich_customers",
     "q_events_range_join",
     "q_sample_hash",
-    "q_sample_stratified",
     "ann_ivf_layout_search",
 )
 

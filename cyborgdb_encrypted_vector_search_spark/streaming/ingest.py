@@ -85,6 +85,70 @@ def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return reader.load(src_dir)
 
 
+EMBEDDINGS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over an embeddings parquet directory — the vector
+    arrival stream feeding continuous index maintenance.
+    ``max_files_per_trigger`` caps each micro-batch (production knob
+    for bounding per-batch index-append work)."""
+    reader = spark.readStream.schema(EMBEDDINGS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    return reader.load(src_dir)
+
+
+def stream_append_to_ivf_layout(
+    spark: SparkSession,
+    stream: DataFrame,
+    centroids: DataFrame,
+    layout_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuous ANN index ingest: every micro-batch of arriving
+    vectors is assigned to the FIXED centroids and appended under the
+    touched ``centroid_id=`` partitions
+    (operators/ann.append_to_ivf_layout) via ``foreachBatch``.
+
+    This closes the 100 TB ingestion loop streaming-side: per-batch
+    work is O(batch) (one broadcast argmin + a partitioned append),
+    the resident index is never rewritten or reshuffled, the layout is
+    probe-able between batches with the same partition-pruned plan,
+    and exactly-once batch replay (checkpointed) makes crash-recovery
+    re-appends idempotent at the batch level. Compaction
+    (ann.compact_ivf_layout) bounds the small files appends leave
+    behind; centroid refresh stays a batch rebuild decision."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    name = f"ivf_ingest_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+
+    def append_batch(batch: DataFrame, _batch_id: int) -> None:
+        A.append_to_ivf_layout(
+            batch.select("vec_id", "embedding"), centroids, layout_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_incremental_dedup(
     incoming: DataFrame,
     corpus_band_index: DataFrame,
