@@ -3874,6 +3874,81 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 7).alias("score"))
 
 
+@query(
+    "streaming_collection_ingest",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           min({H.sql_fingerprint_md5('text')}) AS min_fp,
+           max({H.sql_fingerprint_md5('text')}) AS max_fp,
+           TRUE AS dim_ok
+    FROM documents
+    """,
+)
+def streaming_collection_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's main.py pipeline (read → embed → store,
+    src/main.py:11-16) as a CONTINUOUS job
+    (streaming/ingest.stream_ingest_documents_embedded): documents
+    staged as four files stream through the D1 Arrow-batched embed UDF
+    and append into a vector collection micro-batch by micro-batch.
+    Differential fidelity: doc count / distinct ids / min+max document
+    fingerprints of the STREAM-BUILT collection must equal DuckDB's
+    values over the source table — no document lost, duplicated or
+    mangled across batch boundaries. `dim_ok` (every stored embedding
+    is exactly 64-dim, none null) is Spark-computed; its oracle side
+    is a literal — the stub embedder isn't SQL-expressible, the same
+    documented exception as the search gates."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    docs = load(spark, "documents", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:collingest_v1:{ctag}".encode()).hexdigest()[:10]
+    base = _os.path.join(_tf.gettempdir(), f"coll_ingest_{tag}")
+    name = "coll_stream"
+    if not _os.path.isdir(base):
+        staged = f"{base}.src{_os.getpid()}"
+        (
+            docs.select("doc_id", "text", "lang", "source", "n_chars")
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        tmp = f"{base}.tmp{_os.getpid()}"
+        coll = Collection.create(spark, name, tmp, dim=64)
+        S.stream_ingest_documents_embedded(
+            spark, staged, coll, dim=64, max_files_per_trigger=1
+        )
+        _publish_dir(tmp, base)
+        import shutil as _sh
+
+        _sh.rmtree(staged, ignore_errors=True)
+    coll = Collection(spark, name, _os.path.join(base, name), 64)
+    scan = coll.scan()
+    return scan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+        F.min(H.fingerprint_md5(F.col("document"))).alias("min_fp"),
+        F.max(H.fingerprint_md5(F.col("document"))).alias("max_fp"),
+        (
+            F.sum(
+                F.when(
+                    F.col("embedding").isNull()
+                    | (F.size("embedding") != 64),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("dim_ok"),
+    )
+
+
 _SQL_L2_QC = (
     "sqrt(list_sum(list_transform(range(1, 65), "
     "i -> ((c.centroid[i])::DOUBLE - (q.qv[i])::DOUBLE)"
@@ -6136,8 +6211,8 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Every catalog entry then holds a driver row at-or-after its
 # current implementation. Deferred to round 5 (r2 rows, unchanged
 # bodies): q21_sole_late_shipper, q_pivot_status_priority,
-# q16_supplier_breadth, q9_product_profit,
-# streaming_dedup_count, q2_min_cost_supplier,
+# q16_supplier_breadth, q9_product_profit, q_sample_stratified,
+# q_sample_hash, streaming_dedup_count, q2_min_cost_supplier,
 # q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
 # streaming_sliding_counts, streaming_static_join,
 # dedup_incremental_minhash, streaming_session_windows,
@@ -6170,6 +6245,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "collection_query_filtered",
     "multimodal_frame_sample",
     "streaming_ivf_ingest",
+    "streaming_collection_ingest",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -6205,7 +6281,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
     "q_events_range_join",
-    "q_sample_hash",
     "ann_ivf_layout_search",
 )
 

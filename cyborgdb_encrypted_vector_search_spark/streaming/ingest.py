@@ -297,6 +297,55 @@ def stream_append_to_collection(
     q.awaitTermination()
 
 
+def stream_ingest_documents_embedded(
+    spark: SparkSession,
+    src_dir: str,
+    collection,
+    dim: int = 64,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous corpus ingest with EMBEDDING-AT-INGEST: the
+    documents stream flows through the D1 Arrow-batched embed UDF
+    (functions/embed.make_embed_udf — the model loads once per worker
+    process and is amortized across every micro-batch, exactly as in
+    batch) and each micro-batch appends into the vector collection.
+    This is the reference's main.py pipeline (read → embed → store,
+    src/main.py:11-16) promoted to a continuously-running job: new
+    corpus files become searchable collection rows with no batch
+    rebuild, checkpointed for idempotent replay."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+
+    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.load(src_dir)
+
+    udf = E.make_embed_udf(dim)
+    enriched = stream.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("document"),
+        udf(F.col("text")).cast("array<float>").alias("embedding"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+    )
+
+    def append_batch(batch: DataFrame, _batch_id: int) -> None:
+        collection.add(batch, id_col="id", metadata_col="metadata")
+
+    name = f"coll_ingest_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        enriched.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count via
     applyInPandasWithState — the 'arbitrary user-managed state' API
