@@ -69,3 +69,58 @@ def lang_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def char_ngram_lm(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Train a character n-gram language model: (gram, count) over the
+    lower-cased corpus. One explode + one shuffle (map-side combined);
+    the model is bounded by alphabet^n — a few hundred rows for ASCII
+    trigrams — so it BROADCASTS at any corpus size. The CCNet-style
+    quality-filter recipe trains this on a trusted corpus and scores
+    candidates against it; here train == score corpus, which the
+    differential gate exploits (every gram is in-vocabulary)."""
+    s = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - {n - 1}),"
+        f" i -> substring(lower({text_col}), i, {n}))"
+    )
+    return (
+        df.filter(F.length(s) >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_count"))
+    )
+
+
+def perplexity_bits(
+    df: DataFrame,
+    lm: DataFrame,
+    id_cols: tuple = ("doc_id",),
+    text_col: str = "text",
+    n: int = 3,
+    digits: int = 5,
+) -> DataFrame:
+    """Per-document mean surprisal in bits under the n-gram LM:
+    avg(-log2 p(gram)) with p = count/total — the perplexity-filter
+    score (high = out-of-distribution / low-quality text). Plan:
+    explode grams → BROADCAST join to the (bounded) LM → per-doc avg.
+    No UDF, no driver loop; the heavy side shuffles once on the doc
+    grouping."""
+    s = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - {n - 1}),"
+        f" i -> substring(lower({text_col}), i, {n}))"
+    )
+    total = lm.agg(F.sum("gram_count").cast("double").alias("__t"))
+    exploded = (
+        df.filter(F.length(s) >= n)
+        .select(*id_cols, F.explode(grams).alias("gram"))
+        .join(F.broadcast(lm), "gram")
+        .crossJoin(F.broadcast(total))
+    )
+    bits = F.log2(F.col("__t")) - F.log2(F.col("gram_count").cast("double"))
+    return exploded.groupBy(*id_cols).agg(
+        F.round(F.avg(bits), digits).alias("bits")
+    )

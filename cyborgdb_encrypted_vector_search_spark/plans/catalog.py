@@ -1533,6 +1533,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_perplexity_filter",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, lower(text) AS s FROM documents
+      WHERE octet_length(encode(text)) = strlen(text) AND strlen(text) >= 3
+    ),
+    pos AS (
+      SELECT doc_id, source, s, unnest(range(1, strlen(s) - 1)) AS i
+      FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, source, substring(s, CAST(i AS BIGINT), 3) AS g
+      FROM pos
+    ),
+    lm AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm),
+    scored AS (
+      SELECT doc_id, source,
+             round(avg(log2(tot.t) - log2(CAST(lm.c AS DOUBLE))), 5) AS bits
+      FROM grams JOIN lm USING (g), tot
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(bits AS DECIMAL(18,5))) AS DOUBLE) AS bits_sum,
+           CAST(sum(CASE WHEN bits > 7.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY source
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet/KenLM recipe, here
+    with a character-trigram LM trained JVM-side): per-doc mean
+    surprisal avg(-log2 p(gram)) under a corpus-trained model, docs
+    above 7.8 bits flagged as out-of-distribution. The LM is bounded
+    by alphabet³ (~400 rows on this corpus) so it broadcasts at any
+    scale; scoring is explode → broadcast join → per-doc avg — one
+    shuffle on the doc key, no UDF. DuckDB replicates the exact
+    training counts, probabilities and flag threshold, so per-source
+    doc counts, the score checksum and the flagged counts are all
+    value-hashed. ASCII pre-filter on both sides pins the
+    lower()/substring equivalence the oracle relies on."""
+    from cyborgdb_encrypted_vector_search_spark.operators import textops as TX
+
+    docs = (
+        load(spark, "documents", sf_dir)
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") >= 3)
+        )
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lm = TX.char_ngram_lm(docs, "text", n=3)
+    scored = TX.perplexity_bits(
+        docs, lm, id_cols=("doc_id", "source"), text_col="text", n=3
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("bits").cast("decimal(18,5)"))
+        .cast("double")
+        .alias("bits_sum"),
+        F.sum(F.when(F.col("bits") > 7.8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Coverage sweep: SimHash, prompt assembly (F6), JSON vector round-trip
 # (S3/F7), semi/as-of joins, range-frame windows, part/supplier tables,
@@ -6212,7 +6281,7 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # current implementation. Deferred to round 5 (r2 rows, unchanged
 # bodies): q21_sole_late_shipper, q_pivot_status_priority,
 # q16_supplier_breadth, q9_product_profit, q_sample_stratified,
-# q_sample_hash, streaming_dedup_count, q2_min_cost_supplier,
+# q_sample_hash, q_events_range_join, streaming_dedup_count, q2_min_cost_supplier,
 # q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
 # streaming_sliding_counts, streaming_static_join,
 # dedup_incremental_minhash, streaming_session_windows,
@@ -6246,6 +6315,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "streaming_ivf_ingest",
     "streaming_collection_ingest",
+    "text_perplexity_filter",
     # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
     # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
@@ -6280,7 +6350,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
-    "q_events_range_join",
     "ann_ivf_layout_search",
 )
 

@@ -338,3 +338,31 @@ def test_connected_components_merges_via_shared_node(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert comps == {1}
+
+
+def test_char_ngram_lm_and_perplexity_hand_computed(spark):
+    """Trigram LM + surprisal on a corpus small enough to verify by
+    hand: 'aaaa' contributes ['aaa','aaa'], 'aaab' ['aaa','aab'].
+    LM: aaa->3, aab->1, total 4. Doc1 bits = avg(-log2(3/4)) ;
+    doc2 = avg of (-log2(3/4), -log2(1/4))."""
+    import math
+
+    from cyborgdb_encrypted_vector_search_spark.operators import textops as TX
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "x")],  # 'x' too short -> dropped
+        "doc_id long, text string",
+    )
+    lm = {r["gram"]: r["gram_count"] for r in TX.char_ngram_lm(docs).collect()}
+    assert lm == {"aaa": 3, "aab": 1}
+    got = {
+        r["doc_id"]: r["bits"]
+        for r in TX.perplexity_bits(docs, TX.char_ngram_lm(docs)).collect()
+    }
+    b_aaa = -math.log2(3 / 4)
+    b_aab = -math.log2(1 / 4)
+    assert got[1] == round((b_aaa + b_aaa) / 2, 5)
+    assert got[2] == round((b_aaa + b_aab) / 2, 5)
+    assert 3 not in got
+    # the rarer-gram doc is the higher-surprisal (lower-quality) one
+    assert got[2] > got[1]
