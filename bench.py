@@ -45,6 +45,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_profile",
     "text_vocabulary_topk",
+    "text_perplexity_filter",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
