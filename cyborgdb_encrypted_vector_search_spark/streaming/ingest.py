@@ -74,11 +74,16 @@ DOCUMENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the documents parquet directory — the
     continuous-ingest corpus source (production: Kafka/object-store
-    notifications with the same downstream lineage)."""
+    notifications with the same downstream lineage).
+    ``max_files_per_trigger`` caps each micro-batch."""
     reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
         reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
         src_dir = os.path.dirname(src_dir)
@@ -316,13 +321,7 @@ def stream_ingest_documents_embedded(
     rebuild, checkpointed for idempotent replay."""
     from cyborgdb_encrypted_vector_search_spark.functions import embed as E
 
-    reader = spark.readStream.schema(DOCUMENTS_RAW_SCHEMA).format("parquet")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if src_dir.endswith(".parquet") and not os.path.isdir(src_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
-        src_dir = os.path.dirname(src_dir)
-    stream = reader.load(src_dir)
+    stream = read_documents_stream(spark, src_dir, max_files_per_trigger)
 
     udf = E.make_embed_udf(dim)
     enriched = stream.select(
