@@ -54,6 +54,9 @@ QUERIES = [
     # r3 additions (VERDICT r3 item 8)
     "collection_query_topk",
     "streaming_interval_join",
+    # r4 addition: broadcast-LM scoring — the model stays alphabet-bounded
+    # while the gram stream grows with the corpus
+    "text_perplexity_filter",
 ]
 
 
