@@ -1247,10 +1247,7 @@ def ann_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     assigned = ivf_index(spark, sf_dir)
     target = [
         r["embedding"]
@@ -1265,6 +1262,16 @@ def ann_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loops over batch operators; inherently non-SQL, driver records the
 # rows-only check)
 # ----------------------------------------------------------------------
+
+def _fixed_centroids(emb: DataFrame) -> DataFrame:
+    """The IVF gates' fixed deterministic quantizer: the first 8 stored
+    vectors as centroids (oracle-replicable, unlike k-means — the
+    k-means build path is gated separately in ann_ivf_kmeans_build)."""
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+
 
 def _search_target(spark: SparkSession, sf_dir: str):
     from cyborgdb_encrypted_vector_search_spark.functions import embed as _embed
@@ -3699,10 +3706,7 @@ def ann_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.operators import pq
 
     def make_search(emb):
-        cent = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").cast("int").alias("centroid_id"),
-            F.col("embedding").cast("array<double>").alias("centroid"),
-        )
+        cent = _fixed_centroids(emb)
         books = pq.train_codebooks(
             emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
         )
@@ -3821,10 +3825,7 @@ def ann_ivf_layout_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.operators import ann as A
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
     tag = _hl.md5(f"{sf_dir}:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"ivf_layout_{tag}")
@@ -3860,10 +3861,7 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.operators import ann as A
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
     tag = _hl.md5(f"{sf_dir}:ivf_incr_v1:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"ivf_incr_{tag}")
@@ -3911,10 +3909,7 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
     tag = _hl.md5(f"{sf_dir}:ivf_stream_v1:{ctag}".encode()).hexdigest()[:10]
     layout = _os.path.join(_tf.gettempdir(), f"ivf_stream_{tag}")
@@ -4078,10 +4073,7 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -4990,10 +4982,7 @@ def ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
 
     emb = load(spark, "embeddings", sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     assigned = ivf_index(spark, sf_dir)
     target = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
     res = _ann.ivf_search_adaptive(assigned, cent, target, k=3, factor=4)
@@ -5013,10 +5002,7 @@ def ann_ivfadc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.operators import pq
 
     def make_search(emb):
-        cent = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").cast("int").alias("centroid_id"),
-            F.col("embedding").cast("array<double>").alias("centroid"),
-        )
+        cent = _fixed_centroids(emb)
         residuals = pq.residual_frame(
             emb.select("vec_id", "embedding"), cent
         ).persist()
@@ -5091,10 +5077,7 @@ def _batch_pq_serve_parts(spark: SparkSession, sf_dir: str, kind: str) -> dict:
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     n = emb.count()
     qids = sorted({(i * n) // 5 + 1 for i in range(5)})
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("centroid"),
-    )
+    cent = _fixed_centroids(emb)
     if kind == "ivfpq":
         books = pq.train_codebooks(
             emb, m=8, nbits=4, seed=42, iters=10, sample_mod=3
