@@ -257,3 +257,27 @@ def test_ivf_layout_scan_prunes_to_probed_partitions(spark, sf_dir, cat):
     layout = os.path.join(tempfile.gettempdir(), f"ivf_layout_{tag}")
     n_parts = len(glob.glob(os.path.join(layout, "centroid_id=*")))
     assert n_parts == 8
+
+
+def test_time_partitioned_scan_prunes_to_window(spark, sf_dir, cat):
+    """The date-partitioned events layout must prune: the 3-day window
+    appears as a PartitionFilter on event_date (directories outside the
+    window are never read), while the layout on disk holds ~30 daily
+    partitions."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import tempfile
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+        _content_tag,
+    )
+
+    plan = X.physical_plan(cat["q_time_partitioned_events"].fn(spark, sf_dir))
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date[^\]]*\]", plan), plan
+    ctag = _content_tag(spark, sf_dir, "events", "event_id")
+    tag = hashlib.md5(f"{sf_dir}:tpart_v1:{ctag}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"events_bydate_{tag}")
+    n_parts = len(glob.glob(os.path.join(path, "event_date=*")))
+    assert n_parts >= 28  # ~one directory per January day
