@@ -45,9 +45,18 @@ def read_time_range(
     """Scan a time-partitioned table for [start_date, end_date]
     (inclusive): the ``event_date`` predicate is satisfied by partition
     pruning before any file IO — PartitionFilters in the scan, same
-    mechanism as the IVF layout's centroid probe."""
+    mechanism as the IVF layout's centroid probe.
+
+    The bounds are DAY-inclusive for both granularities: comparing
+    ``to_date(event_date)`` (not the raw partition value) keeps the
+    contract when the layout is hour-partitioned, where a raw
+    ``event_date <= '2024-01-12'`` would cast the bound to midnight and
+    silently drop the end day's later hours. ``to_date`` over a
+    partition column is deterministic and references only partition
+    values, so it stays in PartitionFilters and still prunes."""
     t = spark.read.parquet(path)
+    day = F.to_date(F.col("event_date"))
     return t.filter(
-        (F.col("event_date") >= F.lit(start_date))
-        & (F.col("event_date") <= F.lit(end_date))
+        (day >= F.to_date(F.lit(start_date)))
+        & (day <= F.to_date(F.lit(end_date)))
     )

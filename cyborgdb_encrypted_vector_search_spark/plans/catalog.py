@@ -98,14 +98,19 @@ def _publish_dir(tmp_path: str, final_path: str) -> None:
     nothing (rebuild) or the complete artifact — never the
     half-populated state that a write-then-marker sequence leaves
     behind on a crash between the two steps (which a later run would
-    then append into twice). If another process published first, our
-    copy is simply discarded."""
+    then append into twice). If another process published first
+    (EEXIST/ENOTEMPTY), our copy is simply discarded; any other
+    OSError is a real failure and re-raises so the caller doesn't
+    proceed to read a path that was never published."""
+    import errno as _errno
     import os as _os
     import shutil as _sh
 
     try:
         _os.rename(tmp_path, final_path)
-    except OSError:
+    except OSError as exc:
+        if exc.errno not in (_errno.EEXIST, _errno.ENOTEMPTY):
+            raise
         _sh.rmtree(tmp_path, ignore_errors=True)
 
 
@@ -470,7 +475,9 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.groupBy("event_type").agg(
         F.sum("__n").cast("bigint").alias("n_events"),
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        # count(user_id), not count(*): a NULL-user group must not be
+        # counted — count(DISTINCT user_id) semantics exclude NULL.
+        F.count("user_id").cast("bigint").alias("n_users"),
         F.sum("__val").cast("double").alias("total_value"),
         F.sum("__high").cast("bigint").alias("n_high_k"),
     )

@@ -408,20 +408,32 @@ class Collection:
 
     # -- encrypted variant (reference src/cyborgdb_store.py) -------------
     def add_encrypted(self, df: DataFrame, key: str, **kwargs) -> None:
-        """Store with AES-GCM-encrypted embedding + document columns."""
+        """Store with AES-GCM-encrypted embedding + document columns.
+
+        ``metadata_col`` (optional) names a MAP<STRING,STRING> column of
+        plaintext metadata to carry alongside the ciphertext; the
+        reserved ``embedding_ct`` entry is stripped from it first so a
+        round-trip (decrypt → re-encrypt, e.g. key rotation) can't
+        smuggle a stale ciphertext through."""
         staged = df
         emb = kwargs.pop("embedding_col", "embedding")
         doc = kwargs.pop("document_col", "document")
+        meta = kwargs.pop("metadata_col", None)
         staged = staged.withColumn(
             "__emb_ct", crypto.encrypt_vector(emb, key)
         ).withColumn("__doc_ct", crypto.encrypt_text(doc, key))
+        ct_map = F.create_map(F.lit("embedding_ct"), F.base64("__emb_ct"))
+        if meta is not None:
+            extra = F.map_filter(
+                F.coalesce(F.col(meta), F.create_map().cast("map<string,string>")),
+                lambda k, _v: k != F.lit("embedding_ct"),
+            )
+            ct_map = F.map_concat(extra, ct_map)
         out = staged.select(
             (F.col(kwargs["id_col"]).cast("string") if kwargs.get("id_col") else F.expr("uuid()")).alias("id"),
             F.base64("__doc_ct").alias("document"),
             F.array().cast("array<float>").alias("embedding"),
-            F.create_map(
-                F.lit("embedding_ct"), F.base64("__emb_ct")
-            ).alias("metadata"),
+            ct_map.alias("metadata"),
         )
         out.write.mode("append").parquet(self.path)
 
@@ -431,13 +443,21 @@ class Collection:
         return self.scan().select("id", F.col("metadata")["embedding_ct"].alias("embedding_ct"))
 
     def decrypt(self, key: str) -> DataFrame:
-        """Authorized read: decrypt embeddings + documents exactly."""
+        """Authorized read: decrypt embeddings + documents exactly.
+
+        ``metadata`` carries the record's plaintext metadata entries
+        (everything except the reserved ``embedding_ct`` ciphertext),
+        so consumers — key rotation in particular — see the full
+        record, not a lossy projection."""
         return self.scan().select(
             "id",
             crypto.decrypt_text(F.unbase64("document"), key).alias("document"),
             crypto.decrypt_vector(
                 F.unbase64(F.col("metadata")["embedding_ct"]), key
             ).alias("embedding"),
+            F.map_filter(
+                F.col("metadata"), lambda k, _v: k != F.lit("embedding_ct")
+            ).alias("metadata"),
         )
 
     def rotate_key(
@@ -450,9 +470,14 @@ class Collection:
         directory level and the old ciphertext survives until the
         cutover commits. AES-GCM draws fresh IVs, so rotated
         ciphertexts share nothing with the originals even where the
-        plaintext is identical. Returns the rotated collection."""
+        plaintext is identical. Plaintext metadata entries ride through
+        the rotation untouched (decrypt exposes them; add_encrypted
+        merges them back beside the fresh ciphertext). Returns the
+        rotated collection."""
         rotated = Collection.create(
             self.spark, self.name, dest_base_dir, dim=self.dim
         )
-        rotated.add_encrypted(self.decrypt(old_key), new_key, id_col="id")
+        rotated.add_encrypted(
+            self.decrypt(old_key), new_key, id_col="id", metadata_col="metadata"
+        )
         return rotated

@@ -115,6 +115,45 @@ def read_embeddings_stream(
     return reader.load(src_dir)
 
 
+def run_idempotent_batch(sink_path: str, stream_tag: str, batch_id: int, action) -> bool:
+    """Run ``action()`` for one foreachBatch invocation unless this
+    (stream, batch) was already committed to the sink.
+
+    foreachBatch is AT-LEAST-ONCE: after a crash, Structured Streaming
+    replays the last in-flight batch with the same ``batch_id``.  A
+    plain parquet append would duplicate that batch's rows; here a
+    commit marker ``<sink>/_stream_commits/<tag>-<id>`` is written
+    after the append succeeds and checked before each run, so the
+    normal replay path (batch re-runs because the checkpoint did not
+    record completion) is a no-op.  The residual window — a crash
+    between the data commit and the marker write — is the gap a
+    transactional table format (Delta/Iceberg txn log) closes in
+    production; with raw parquet it means a replayed batch can still
+    duplicate if the crash lands exactly between the two writes.
+    ``stream_tag`` (derived from the checkpoint location) keeps batch
+    ids from independent streams appending into the same sink from
+    colliding.  The ``_``-prefixed marker dir is invisible to Spark's
+    file listing, so readers of the sink never see it.
+
+    Returns True if the action ran, False if the batch was skipped."""
+    commit_dir = os.path.join(sink_path, "_stream_commits")
+    marker = os.path.join(commit_dir, f"{stream_tag}-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    action()
+    os.makedirs(commit_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("committed\n")
+    return True
+
+
+def _stream_tag(checkpoint_path: str) -> str:
+    """Stable short tag for one logical stream (its checkpoint dir)."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+
+
 def stream_append_to_ivf_layout(
     spark: SparkSession,
     stream: DataFrame,
@@ -129,20 +168,30 @@ def stream_append_to_ivf_layout(
 
     This closes the 100 TB ingestion loop streaming-side: per-batch
     work is O(batch) (one broadcast argmin + a partitioned append),
-    the resident index is never rewritten or reshuffled, the layout is
-    probe-able between batches with the same partition-pruned plan,
-    and exactly-once batch replay (checkpointed) makes crash-recovery
-    re-appends idempotent at the batch level. Compaction
+    the resident index is never rewritten or reshuffled, and the layout
+    is probe-able between batches with the same partition-pruned plan.
+    Delivery: foreachBatch is at-least-once; the sink records a
+    per-batch commit marker (run_idempotent_batch) so checkpointed
+    crash-recovery replays skip batches whose append already committed
+    — duplicates survive only a crash in the narrow window between the
+    parquet append and the marker write (see run_idempotent_batch for
+    the transactional-format production answer). Compaction
     (ann.compact_ivf_layout) bounds the small files appends leave
     behind; centroid refresh stays a batch rebuild decision."""
     from cyborgdb_encrypted_vector_search_spark.operators import ann as A
 
     name = f"ivf_ingest_{uuid.uuid4().hex[:8]}"
     ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    tag = _stream_tag(ckpt)
 
-    def append_batch(batch: DataFrame, _batch_id: int) -> None:
-        A.append_to_ivf_layout(
-            batch.select("vec_id", "embedding"), centroids, layout_path
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        run_idempotent_batch(
+            layout_path,
+            tag,
+            batch_id,
+            lambda: A.append_to_ivf_layout(
+                batch.select("vec_id", "embedding"), centroids, layout_path
+            ),
         )
 
     q = (
@@ -318,7 +367,10 @@ def stream_ingest_documents_embedded(
     This is the reference's main.py pipeline (read → embed → store,
     src/main.py:11-16) promoted to a continuously-running job: new
     corpus files become searchable collection rows with no batch
-    rebuild, checkpointed for idempotent replay."""
+    rebuild. Delivery matches stream_append_to_ivf_layout:
+    at-least-once foreachBatch with per-batch commit markers
+    (run_idempotent_batch), so checkpointed replays of an
+    already-committed batch skip instead of double-adding."""
     from cyborgdb_encrypted_vector_search_spark.functions import embed as E
 
     stream = read_documents_stream(spark, src_dir, max_files_per_trigger)
@@ -331,11 +383,18 @@ def stream_ingest_documents_embedded(
         F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
     )
 
-    def append_batch(batch: DataFrame, _batch_id: int) -> None:
-        collection.add(batch, id_col="id", metadata_col="metadata")
-
     name = f"coll_ingest_{uuid.uuid4().hex[:8]}"
     ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    tag = _stream_tag(ckpt)
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        run_idempotent_batch(
+            collection.path,
+            tag,
+            batch_id,
+            lambda: collection.add(batch, id_col="id", metadata_col="metadata"),
+        )
+
     q = (
         enriched.writeStream.foreachBatch(append_batch)
         .option("checkpointLocation", ckpt)
