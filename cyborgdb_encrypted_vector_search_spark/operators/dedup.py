@@ -631,3 +631,61 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def substring_window_pairs(
+    corpus: DataFrame,
+    window: int = 40,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring near-dup detection: pairs of documents sharing
+    ANY exact ``window``-char substring (the "exact substring
+    deduplication" family of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — re-shaped from their
+    suffix array to a hash-blocking dataflow Spark executes well).
+
+    Plan: every document emits its rolling windows (one codegen'd
+    ``transform(sequence(...))`` projection — no UDF), each window is
+    collapsed to a 64-bit xxhash so the shuffle carries (long, id)
+    pairs instead of 40-char strings, per-doc repeats are dropped, and
+    documents sharing a window hash become candidate pairs via a
+    bucketed self-join — identical shape to the LSH band join, so cost
+    is O(Σ bucket²) with buckets ~ true duplicates, never all-pairs.
+
+    ``max_df`` drops window hashes appearing in more than that many
+    documents (boilerplate headers/footers — the same stop-shingle
+    guard MinHash pipelines use) — at 100 TB this bounds the worst
+    bucket. Stride-1 windows are O(total chars): linear but heavy; a
+    production sweep strides one join side or winnows (see
+    winnow_fingerprints) first, paying a detection-length floor of
+    window+stride-1.
+    """
+    eligible = corpus.filter(F.length(text_col) >= window)
+    wins = eligible.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {window - 1}),"
+                f" i -> xxhash64(substring({text_col}, i, {window})))"
+            )
+        ).alias("wh"),
+    ).distinct()
+    if max_df is not None:
+        ok = (
+            wins.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("wh")
+        )
+        wins = wins.join(ok, "wh", "left_semi")
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,12 +45,29 @@ COLLECTION_SCHEMA = T.StructType(
 
 @dataclass
 class Collection:
-    """A named, Parquet-backed vector collection."""
+    """A named, Parquet-backed vector collection.
+
+    Two layouts:
+
+    - flat (default): a plain parquet dir; CRUD (delete/upsert) is a
+      full write-then-swap rewrite — fine for small/medium tables.
+    - bucket-partitioned (``create(..., buckets=N)``): rows land under
+      ``id_bucket=pmod(xxhash64(id), N)/`` partition dirs. Point-gets
+      prune to one bucket's files, and delete/upsert REWRITE ONLY THE
+      TOUCHED BUCKETS (partition-pruned read + per-bucket dir swap) —
+      at 100 TB a batch of deletes costs O(touched buckets), never a
+      full-table rewrite. The bucket count is recorded in a
+      ``_coll_meta.json`` sidecar (underscore-prefixed: invisible to
+      Spark's file listing) so any later opener sees the layout.
+    """
 
     spark: SparkSession
     name: str
     path: str
     dim: int | None = None
+    buckets: int | None = None
+
+    _META_FILE = "_coll_meta.json"
 
     # -- DDL ------------------------------------------------------------
     @classmethod
@@ -61,32 +78,71 @@ class Collection:
         base_dir: str,
         dim: int | None = None,
         exist_ok: bool = True,
+        buckets: int | None = None,
     ) -> "Collection":
         """Create-or-get (reference create→get fallback, src/cod.py:82-84)."""
         path = os.path.join(base_dir, name)
         exists = os.path.isdir(path)
         if exists and not exist_ok:
             raise FileExistsError(f"collection {name!r} already exists at {path}")
-        coll = cls(spark, name, path, dim)
+        coll = cls(spark, name, path, dim, buckets)
         if not exists:
-            spark.createDataFrame([], COLLECTION_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(path)
+            init = spark.createDataFrame([], COLLECTION_SCHEMA)
+            if buckets:
+                init = init.withColumn("id_bucket", F.lit(0).cast("int"))
+                init.write.mode("overwrite").partitionBy("id_bucket").parquet(
+                    path
+                )
+                import json as _json
+
+                with open(os.path.join(path, cls._META_FILE), "w") as fh:
+                    _json.dump({"buckets": buckets, "dim": dim}, fh)
+            else:
+                init.write.mode("overwrite").parquet(path)
         return coll
 
+    @property
+    def bucket_count(self) -> int | None:
+        """Bucket count of the layout (from the sidecar if this handle
+        was opened without one); None for flat collections."""
+        if self.buckets is None:
+            meta = os.path.join(self.path, self._META_FILE)
+            if os.path.isfile(meta):
+                import json as _json
+
+                with open(meta) as fh:
+                    self.buckets = _json.load(fh).get("buckets")
+        return self.buckets
+
+    def _bucket_expr(self, id_col: str = "id") -> Column:
+        return F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.bucket_count)).cast(
+            "int"
+        )
+
+    def _buckets_of(self, ids_df: DataFrame, id_col: str = "id") -> list[int]:
+        """The bucket set a batch of ids lands in — computed WITH
+        Spark's own xxhash64 (never re-implemented driver-side), and
+        bounded by the bucket count, so the collect is tiny."""
+        return sorted(
+            r["b"]
+            for r in ids_df.select(
+                self._bucket_expr(id_col).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+
     # -- writes ---------------------------------------------------------
-    def add(
+    def _project_rows(
         self,
         df: DataFrame,
         id_col: str | None = None,
         document_col: str = "document",
         embedding_col: str = "embedding",
         metadata_col: str | None = None,
-    ) -> None:
-        """Batch append (replaces the reference's per-record add loop,
-        src/chromadb_store.py:7-8). Generates UUID ids when none given
-        (reference src/cod.py:68); enforces the dim constraint the
-        reference never checked."""
+    ) -> DataFrame:
+        """Normalize arbitrary input columns to the collection schema
+        (shared by add and upsert)."""
         out = df
         if id_col is None:
             out = out.withColumn("id", F.expr("uuid()"))
@@ -105,10 +161,49 @@ class Collection:
             out = out.filter(
                 F.col("embedding").isNull() | dim_check("embedding", self.dim)
             )
-        out.write.mode("append").parquet(self.path)
+        return out
+
+    def add(
+        self,
+        df: DataFrame,
+        id_col: str | None = None,
+        document_col: str = "document",
+        embedding_col: str = "embedding",
+        metadata_col: str | None = None,
+    ) -> None:
+        """Batch append (replaces the reference's per-record add loop,
+        src/chromadb_store.py:7-8). Generates UUID ids when none given
+        (reference src/cod.py:68); enforces the dim constraint the
+        reference never checked."""
+        out = self._project_rows(
+            df, id_col, document_col, embedding_col, metadata_col
+        )
+        if self.bucket_count:
+            out.withColumn("id_bucket", self._bucket_expr()).write.mode(
+                "append"
+            ).partitionBy("id_bucket").parquet(self.path)
+        else:
+            out.write.mode("append").parquet(self.path)
 
     # -- reads ----------------------------------------------------------
     def scan(self) -> DataFrame:
+        """Full scan, layout-independent schema: the bucketed layout's
+        partition column is dropped so consumers see the same four
+        columns either way (use _scan_raw for bucket-aware plans)."""
+        df = self._scan_raw()
+        return df.drop("id_bucket") if "id_bucket" in df.columns else df
+
+    def _scan_raw(self) -> DataFrame:
+        if self.bucket_count:
+            import glob as _glob
+
+            # an empty bucketed table has no partition dirs to infer a
+            # schema from (fresh create, or every bucket deleted) —
+            # return the declared empty frame instead of failing
+            if not _glob.glob(os.path.join(self.path, "id_bucket=*")):
+                return self.spark.createDataFrame(
+                    [], COLLECTION_SCHEMA
+                ).withColumn("id_bucket", F.lit(0).cast("int"))
         return self.spark.read.parquet(self.path)
 
     def extract_embeddings(self) -> DataFrame:
@@ -125,6 +220,17 @@ class Collection:
         cols = include or ["id", "document", "embedding", "metadata"]
         if "id" not in cols:
             cols = ["id", *cols]
+        if self.bucket_count:
+            # prune to the buckets the requested ids hash into: the
+            # id_bucket IN (...) predicate is a PartitionFilter, so the
+            # point-get reads only those buckets' files
+            ids_df = self.spark.createDataFrame(
+                [(i,) for i in ids], "id string"
+            )
+            src = self._scan_raw().filter(
+                F.col("id_bucket").isin(self._buckets_of(ids_df))
+            )
+            return src.select(*cols).filter(F.col("id").isin(ids))
         return self.scan().select(*cols).filter(F.col("id").isin(ids))
 
     def query(
@@ -264,9 +370,19 @@ class Collection:
         import shutil
 
         staged = self.path + ".compacting"
-        df = self.scan().repartition(target_partitions)
-        n = df.count()
-        df.write.mode("overwrite").parquet(staged)
+        if self.bucket_count:
+            # keep the bucket layout: one hash-partitioned write keyed
+            # by id_bucket folds each bucket's small files into one
+            df = self._scan_raw().repartition("id_bucket")
+            n = df.count()
+            df.write.mode("overwrite").partitionBy("id_bucket").parquet(staged)
+            meta = os.path.join(self.path, self._META_FILE)
+            if os.path.isfile(meta):
+                shutil.copy(meta, os.path.join(staged, self._META_FILE))
+        else:
+            df = self.scan().repartition(target_partitions)
+            n = df.count()
+            df.write.mode("overwrite").parquet(staged)
         old = self.path + ".old"
         shutil.move(self.path, old)
         shutil.move(staged, self.path)
@@ -288,11 +404,54 @@ class Collection:
         shutil.rmtree(old)
         return n
 
+    def _rewrite_buckets(self, ids_df: DataFrame, new_rows: DataFrame | None) -> int:
+        """Partition-pruned CRUD core for the bucketed layout: read
+        ONLY the buckets the incoming ids hash into (id_bucket IN (...)
+        is a PartitionFilter), anti-join the ids out, optionally union
+        replacement rows, stage the result partitioned, then swap just
+        the touched bucket dirs. Untouched buckets are never read,
+        never rewritten — the 100 TB CRUD contract. A bucket left empty
+        by a pure delete is removed (staging has no dir for it).
+        Returns the number of touched buckets."""
+        import shutil
+
+        affected = self._buckets_of(ids_df)
+        if not affected:
+            return 0
+        incoming = ids_df.select(F.col("id").cast("string").alias("id")).distinct()
+        keep = (
+            self._scan_raw()
+            .filter(F.col("id_bucket").isin(affected))
+            .join(F.broadcast(incoming), "id", "left_anti")
+        )
+        out = keep
+        if new_rows is not None:
+            out = keep.unionByName(
+                new_rows.withColumn("id_bucket", self._bucket_expr())
+            )
+        staged = self.path + ".crud_stage"
+        out.write.mode("overwrite").partitionBy("id_bucket").parquet(staged)
+        for b in affected:
+            old_dir = os.path.join(self.path, f"id_bucket={b}")
+            new_dir = os.path.join(staged, f"id_bucket={b}")
+            if os.path.isdir(old_dir):
+                shutil.rmtree(old_dir)
+            if os.path.isdir(new_dir):
+                shutil.move(new_dir, old_dir)
+        shutil.rmtree(staged, ignore_errors=True)
+        return len(affected)
+
     def delete(self, ids: list[str]) -> int:
         """Batch delete by a SMALL caller-provided id list: the
         NOT-IN predicate pushes into the scan. For id sets of
         DataFrame scale use ``delete_matching`` — never materialize a
-        big id list on the driver."""
+        big id list on the driver. On a bucketed layout only the
+        touched buckets are rewritten; flat layouts pay the full
+        write-then-swap. Returns rows remaining (flat) or touched
+        buckets (bucketed)."""
+        if self.bucket_count:
+            ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+            return self._rewrite_buckets(ids_df, None)
         keep = self.scan().filter(~F.col("id").isin(ids))
         return self._swap_in(keep, ".deleting")
 
@@ -307,13 +466,26 @@ class Collection:
 
     def delete_matching(self, ids_df: DataFrame, id_col: str = "id") -> int:
         """Batch delete of every id present in ``ids_df`` via left-anti
-        join — fully distributed. Returns rows remaining."""
+        join — fully distributed. Bucketed layouts rewrite only the
+        touched buckets; flat layouts swap the full table."""
+        if self.bucket_count:
+            return self._rewrite_buckets(
+                ids_df.select(F.col(id_col).cast("string").alias("id")), None
+            )
         return self._swap_in(self._without(ids_df, id_col), ".deleting")
 
     def upsert(self, df: DataFrame, id_col: str = "id", **kwargs) -> None:
         """Batch upsert: anti-join out the incoming ids, then append
         the new rows. Both halves are distributed jobs — at ingest
-        scale the incoming batch never lands on the driver."""
+        scale the incoming batch never lands on the driver. On a
+        bucketed layout the old-row removal and the new-row insert land
+        in ONE partition-pruned rewrite of just the touched buckets."""
+        if self.bucket_count:
+            new_rows = self._project_rows(df, id_col=id_col, **kwargs)
+            self._rewrite_buckets(
+                df.select(F.col(id_col).cast("string").alias("id")), new_rows
+            )
+            return
         self.delete_matching(df, id_col=id_col)
         self.add(df, id_col=id_col, **kwargs)
 

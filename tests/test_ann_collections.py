@@ -944,3 +944,190 @@ def test_compact_ivf_layout_preserves_content_and_prunes(spark, sf_dir, tmp_path
     assert [(r["vec_id"], round(r["score"], 9)) for r in a.collect()] == [
         (r["vec_id"], round(r["score"], 9)) for r in b.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (operators/quant.py)
+# ---------------------------------------------------------------------------
+
+def test_sq8_encode_reconstruction_error_bounded(spark, sf_dir):
+    """Decode(encode(x)) is within half a quantization step per
+    dimension of the unit vector — the SQ8 contract."""
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mins, maxs = Q.sq8_train(emb)
+    scales = Q._scales(mins, maxs)
+    enc = Q.sq8_encode(emb, mins, maxs)
+    dec = enc.select(
+        "vec_id",
+        V.l2_normalize("embedding").alias("unit"),
+        Q.sq8_decode_expr("codes", mins, maxs).alias("approx"),
+    )
+    err = dec.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "unit", "approx", lambda a, b: F.abs(a - b).cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("max_abs_err")
+    ).collect()[0]["max_abs_err"]
+    # worst case: half a step (+ float32 slack) on the widest dimension
+    assert err <= max(scales) / 2 + 1e-4
+
+
+def test_sq8_search_recall_and_plan_shape(spark, sf_dir):
+    """SQ8 top-k matches exact kNN at small scale, the approximate
+    pass reads only (vec_id, codes) — column pruning is the 4x IO win
+    — and the global candidate cut plans as TakeOrderedAndProject."""
+    from cyborgdb_encrypted_vector_search_spark.operators import knn
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mins, maxs = Q.sq8_train(emb)
+    enc = Q.sq8_encode(emb, mins, maxs)
+    t = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    res = Q.sq8_search(enc, mins, maxs, t, k=10, oversample=8)
+    got = [r["vec_id"] for r in res.collect()]
+    q = spark.createDataFrame([(7, t)], "qid long, qvec array<float>")
+    want = [
+        r["vec_id"]
+        for r in knn.knn_join(
+            q, emb, k=10, query_id_col="qid", query_vec_col="qvec"
+        ).collect()
+    ]
+    assert len(set(got) & set(want)) >= 9  # recall@10 >= 0.9 at sf0.001
+
+    # persisted-code-table read (the serving shape): codes-only scan
+    enc.write.mode("overwrite").parquet("/tmp/sq8_codes_test")
+    stored = spark.read.parquet("/tmp/sq8_codes_test")
+    plan = (
+        Q.sq8_search(stored, mins, maxs, t, k=10, oversample=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the approximate-pass scan must NOT read the embedding column
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    codes_scans = [ln for ln in scans if "codes" in ln]
+    assert codes_scans and any(
+        "embedding" not in ln.split("ReadSchema")[-1] for ln in codes_scans
+    )
+
+
+def test_sq8_batch_matches_single(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mins, maxs = Q.sq8_train(emb)
+    enc = Q.sq8_encode(emb, mins, maxs)
+    qids = [3, 11, 25]
+    rows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    batch = Q.sq8_batch_search(enc, mins, maxs, queries, k=5, oversample=8)
+    got = {
+        qid: [r["vec_id"] for r in batch.filter(F.col("qid") == qid).collect()]
+        for qid in qids
+    }
+    for r in rows:
+        single = Q.sq8_search(
+            enc, mins, maxs, r["embedding"], k=5, oversample=8
+        )
+        assert got[r["vec_id"]] == [x["vec_id"] for x in single.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Bucket-partitioned collection CRUD (partition-pruned delete/upsert)
+# ---------------------------------------------------------------------------
+
+def _bucket_files(path):
+    import glob as _g
+    import os as _o
+
+    return {
+        _o.path.basename(d): sorted(
+            _o.path.basename(f) for f in _g.glob(_o.path.join(d, "*.parquet"))
+        )
+        for d in _g.glob(_o.path.join(path, "id_bucket=*"))
+    }
+
+
+def test_bucketed_crud_touches_only_affected_buckets(spark, tmp_path):
+    c = Collection.create(spark, "crud", str(tmp_path), dim=2, buckets=8)
+    df = spark.createDataFrame(
+        [(str(i), f"doc{i}", [float(i), 1.0]) for i in range(200)],
+        "id string, document string, embedding array<float>",
+    )
+    c.add(df, id_col="id")
+    before = _bucket_files(c.path)
+
+    touched = c.delete(["5", "17", "42"])
+    after = before_del = _bucket_files(c.path)
+    unchanged = [b for b in before if after.get(b) == before[b]]
+    # deletes rewrote at most 3 buckets; every other bucket kept its
+    # exact files (no full-table rewrite)
+    assert touched <= 3
+    assert len(unchanged) >= len(before) - 3
+    assert c.scan().count() == 197
+
+    up = spark.createDataFrame(
+        [("7", "doc7_v2", [70.0, 1.0]), ("900", "new", [9.0, 9.0])],
+        "id string, document string, embedding array<float>",
+    )
+    c.upsert(up, id_col="id")
+    after_up = _bucket_files(c.path)
+    unchanged = [b for b in before_del if after_up.get(b) == before_del[b]]
+    assert len(unchanged) >= len(before_del) - 2
+    got = {r["id"]: r["document"] for r in c.get(["7", "900", "8"]).collect()}
+    assert got == {"7": "doc7_v2", "900": "new", "8": "doc8"}
+    assert c.scan().count() == 198
+
+    # point-get prunes: the scan's PartitionFilters constrain id_bucket
+    plan = c.get(["7"])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "id_bucket" in pf
+
+    # layout survives reopening without metadata (sidecar) and compact
+    reopened = Collection(spark, "crud", c.path)
+    assert reopened.bucket_count == 8
+    n = reopened.compact()
+    assert n == 198
+    assert reopened.scan().count() == 198
+    per = _bucket_files(c.path)
+    assert per and max(len(v) for v in per.values()) <= 1
+    assert reopened.bucket_count == 8  # meta survived the swap
+
+
+def test_bucketed_scan_schema_matches_flat(spark, tmp_path):
+    """Consumers see the same 4-column schema regardless of layout."""
+    flat = Collection.create(spark, "flat", str(tmp_path / "f"), dim=2)
+    bkt = Collection.create(spark, "bkt", str(tmp_path / "b"), dim=2, buckets=4)
+    df = spark.createDataFrame(
+        [("1", "d", [1.0, 2.0])],
+        "id string, document string, embedding array<float>",
+    )
+    flat.add(df, id_col="id")
+    bkt.add(df, id_col="id")
+    assert flat.scan().columns == bkt.scan().columns
+    # delete leaving a bucket empty removes its dir outright
+    bkt.delete(["1"])
+    assert bkt.scan().count() == 0

@@ -366,3 +366,36 @@ def test_char_ngram_lm_and_perplexity_hand_computed(spark):
     assert 3 not in got
     # the rarer-gram doc is the higher-surprisal (lower-quality) one
     assert got[2] > got[1]
+
+
+def test_substring_window_pairs_detection_and_max_df(spark):
+    """Planted shared 40-char run is found; short docs and sub-window
+    overlaps are not; max_df drops boilerplate-window pairs."""
+    shared = "x" * 25 + "the quick brown fox jumps over the dog" + "y" * 25
+    docs = [
+        (1, shared),
+        (2, "PREFIX " + shared[20:] + " SUFFIX"),   # shares a 40+ char run with 1
+        (3, "completely different content that is long enough to qualify ok"),
+        (4, "tiny"),                                  # < window: never emits
+        (5, shared[:30] + " divergent tail that breaks the window run"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.substring_window_pairs(df, window=40).collect()
+    }
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
+    assert (1, 3) not in got and (2, 3) not in got
+
+    # boilerplate guard: a 40-char header shared by everyone disappears
+    # when max_df < corpus size
+    header = "B" * 40
+    boiler = spark.createDataFrame(
+        [(i, header + f" unique tail {i} padded out to be long") for i in range(6)],
+        "doc_id long, text string",
+    )
+    all_pairs = dedup.substring_window_pairs(boiler, window=40).count()
+    guarded = dedup.substring_window_pairs(boiler, window=40, max_df=3).count()
+    assert all_pairs == 15  # 6 choose 2 via the shared header
+    assert guarded == 0
