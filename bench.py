@@ -35,9 +35,11 @@ HEADLINE = [
     "ann_ivf_layout_search",
     "ann_ivfpq_batch_topk",
     "ann_ivfadc_batch_topk",
+    "ann_sq8_batch_topk",
     "streaming_incremental_dedup",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_substring_pairs",
     "dedup_simhash_groups",
     "dedup_embedding_neardup",
     "dedup_incremental_minhash",
@@ -64,6 +66,8 @@ HEADLINE = [
     # the pair prices the decrypt-in-plan overhead directly
     "collection_query_topk",
     "collection_query_encrypted",
+    # bucketed CRUD (r5): create+add+upsert+delete+audit as one job
+    "collection_upsert_delete",
 ]
 
 
@@ -97,6 +101,7 @@ def main() -> None:
     serve_only = {
         "ann_ivfpq_batch_serve": C.ivfpq_batch_serve,
         "ann_ivfadc_batch_serve": C.ivfadc_batch_serve,
+        "ann_sq8_batch_serve": C.sq8_batch_serve,
     }
 
     timings: dict[str, float] = {}

@@ -6537,66 +6537,63 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
 # text_pii_scan, text_pack_windows (+ all r3-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r1-only driver rows — stale (dedup_simhash_groups) or staleness
-    # risk via shared-helper evolution; re-verify all 13 first
-    "dedup_simhash_groups",
-    "dedup_simhash",
-    "dedup_connected_components",
+    # new in r5: SQ8 quantized ANN, bucketed CRUD, exact-substring dedup
+    "ann_sq8_search_topk",
+    "ann_sq8_batch_topk",
+    "collection_upsert_delete",
+    "dedup_substring_pairs",
+    # changed in r5: Collection layout/refactor (bucketed scan/add/get,
+    # decrypt metadata passthrough, rotation metadata carry-through)
     "collection_lifecycle",
-    "json_vector_roundtrip",
-    "q_cube_lineitem",
-    "q_like_regex_filter",
-    "q_part_brand_stats",
-    "q_percentiles",
-    "q_semi_join_active",
-    "q_supplier_nation",
-    "q_window_running_total",
-    "text_winnow_profile",
-    # new in r4: encrypted store + retrieval as one gated dataflow,
-    # batch key rotation, incremental IVF append
-    "collection_query_encrypted",
-    "crypto_key_rotation",
-    "ann_ivf_incremental_append",
-    "collection_query_filtered",
-    "multimodal_frame_sample",
-    "streaming_ivf_ingest",
-    "streaming_collection_ingest",
-    "text_perplexity_filter",
-    "q_time_partitioned_events",
-    # changed in r4: rounding/oracle/populate fixes
     "collection_query_topk",
-    # changed in r4: ALPHABET now reference-verbatim (src/app.py:62)
-    "search_evolutionary",
-    "search_greedy",
-    "search_invert_both",
-    # changed in r4: two-sided recall oracles (DuckDB computes its own
-    # prefilter+rerank recall instead of TRUE AS recall_ok)
-    "ann_ivf_kmeans_build",
-    "ann_pq_search_topk",
-    "ann_ivfpq_search_topk",
-    "ann_ivfpq_batch_topk",
-    "ann_ivfadc_search_topk",
-    "ann_ivfadc_batch_topk",
-    # changed in r4: gate watermark made split-proof
-    "streaming_interval_join",
-    # backfill: r2-verified-only, least recently checked, catalog order
-    "text_profile",
-    "q_events_user_gaps",
-    "streaming_hourly_counts",
-    "q_events_asof_signup",
-    "streaming_stateful_user_counts",
-    "q_skew_salted_join",
-    "vector_dim_stats",
-    "q_argmax_order",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "ann_ivf_layout_search",
+    "collection_query_filtered",
+    "collection_query_encrypted",
+    "crypto_roundtrip",
+    "crypto_key_rotation",
+    "source_csv_roundtrip",
+    "source_json_collection",
+    "source_orc_roundtrip",
+    "json_vector_roundtrip",
+    "vector_point_get",
+    "vector_scan_stats",
+    "text_pack_windows",
+    # changed in r5: idempotent foreachBatch sinks
+    "streaming_collection_ingest",
+    "streaming_ivf_ingest",
+    # changed in r5: NULL-user n_users fix; day-inclusive hour bounds
+    "q_events_json_agg",
+    "q_time_partitioned_events",
+    # backfill: r2-verified-only (least recently checked), r2 row order
+    "q22_idle_rich_customers",
+    "q_events_range_join",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q9_product_profit",
+    "q16_supplier_breadth",
+    "q21_sole_late_shipper",
+    "q_pivot_status_priority",
+    "streaming_dedup_count",
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q20_heavy_shippers",
+    "q_grouping_sets_orders",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    "dedup_incremental_minhash",
+    "streaming_session_windows",
+    "text_vocabulary_topk",
+    "text_repetition_stats",
+    "text_bpe_merge_counts",
+    "dedup_incremental_verified",
+    "ann_ivf_adaptive_topk",
+    "pipeline_corpus_curation",
+    "text_decontaminate",
+    "q_sample_mixture",
+    "text_pii_scan",
+    # fill to the 50-entry driver window with r3-verified core serving
+    "knn_topk_cosine",
+    "knn_batch_topk",
+    "knn_prompt_reconstruction",
 )
 
 
