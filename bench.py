@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_ivfpq_batch_topk",
     "ann_ivfadc_batch_topk",
     "ann_sq8_batch_topk",
+    "ann_ivfsq_search_topk",
     "streaming_incremental_dedup",
     "dedup_exact_groups",
     "dedup_minhash_pairs",

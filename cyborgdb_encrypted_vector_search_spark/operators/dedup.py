@@ -671,21 +671,23 @@ def substring_window_pairs(
                 f" i -> xxhash64(substring({text_col}, i, {window})))"
             )
         ).alias("wh"),
-    ).distinct()
+    )
+    # ONE shuffle does per-doc dedup + grouping: collect_set per window
+    # hash (map-side partial sets combine), then pairs are generated
+    # NARROWLY from each sorted group — no second shuffle for a
+    # self-join, and max_df is a free size() filter on the group.
+    groups = wins.groupBy("wh").agg(F.collect_set("doc_id").alias("ds"))
     if max_df is not None:
-        ok = (
-            wins.groupBy("wh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("wh")
-        )
-        wins = wins.join(ok, "wh", "left_semi")
-    a, b = wins.alias("a"), wins.alias("b")
+        groups = groups.filter(F.size("ds") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, "wh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        groups.filter(F.size("ds") >= 2)
+        .select(F.array_sort("ds").alias("ds"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -234,3 +234,56 @@ def sq8_batch_search(
         .filter(F.col("__r") <= k)
         .select(query_id_col, id_col, "score")
     )
+
+
+def build_ivfsq_layout(
+    df: DataFrame,
+    centroids: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF+SQ8 index (FAISS ``IVFx,SQ8``):
+    rows assigned to their nearest centroid and byte-encoded, written
+    partitioned by ``centroid_id``. A probe query then combines BOTH
+    compressions: partition pruning skips the unprobed inverted lists
+    entirely, and the approximate pass inside the probed lists reads
+    only the 4x-smaller codes column. The full-precision vector rides
+    along in the same partition for the exact re-rank, touched for
+    just the shortlist."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    assigned = A.assign_centroids(df, centroids, vec_col)
+    enc = sq8_encode(assigned, mins, maxs, vec_col=vec_col)
+    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfsq_search(
+    layout: DataFrame,
+    centroids: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    target,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+SQ8 probe search: nearest ``nprobe`` centroids (driver-side
+    over the tiny centroid table, like ann.ivf_search), then the SQ8
+    approximate-fold + exact re-rank runs over ONLY the probed
+    partitions — ``centroid_id IN (...)`` is a PartitionFilter on a
+    materialized layout, so unprobed lists cost zero IO."""
+    t = V.literal_vector([float(x) for x in target])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.withColumn("__d", V.l2_distance("centroid", t))
+        .orderBy(F.asc("__d"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    probed = layout.filter(F.col("centroid_id").isin(probe_ids))
+    return sq8_search(
+        probed, mins, maxs, target, k=k, oversample=oversample, id_col=id_col
+    )

@@ -1634,6 +1634,54 @@ def q_time_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_time_partitioned_hourly",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-11' AND DATE '2024-01-12'
+    GROUP BY event_type
+    """,
+)
+def q_time_partitioned_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-granularity time-partitioned layout: one partition dir per
+    hour (the finer lakehouse ingest grain for high-rate streams), a
+    2-day window scanned through read_time_range. Exercises the
+    DAY-INCLUSIVE bound contract on hour partitions — the window
+    compares to_date(partition value), so the end day's late hours are
+    kept (a raw <= comparison would cast the bound to midnight and
+    silently drop them; caught in round 4's advisory review). n_hours
+    counts distinct partition values inside the window, proving hour
+    resolution survives the layout round-trip; the predicate still
+    prunes (to_date over a partition column stays in PartitionFilters,
+    pinned by tests)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    ev = load(spark, "events", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "events", "event_id")
+    tag = _hl.md5(f"{sf_dir}:tpart_hr_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"events_byhour_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        L.build_time_partitioned(ev, "ts", tmp, granularity="hour")
+        _publish_dir(tmp, path)
+    window = L.read_time_range(spark, path, "2024-01-11", "2024-01-12")
+    return window.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_date").cast("bigint").alias("n_hours"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
     "text_perplexity_filter",
     """
     WITH docs AS (
@@ -5230,6 +5278,49 @@ def sq8_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfsq_search_topk", _recall_oracle_sql("ivfsq_nprobe4"))
+def ann_ivfsq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+SQ8 index (operators/quant.build_ivfsq_layout —
+    FAISS ``IVFx,SQ8``): byte codes written under ``centroid_id=``
+    partitions, probes prune partitions AND the approximate pass reads
+    only the codes column inside them — the two compressions multiply
+    (nprobe/nlist of the IO, then 4x smaller again). Gated on
+    recall@10 ≥ 0.5 vs exact kNN (measured 0.74 at sf0.01 — the loss
+    is IVF pruning under the fixed quantizer, same as the IVFPQ
+    family), ground truth checksummed against DuckDB."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as _q
+
+    p = _sq8_parts(spark, sf_dir)
+    emb = p["emb"]
+    cent = _fixed_centroids(emb)
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:ivfsq_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"ivfsq_layout_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        _q.build_ivfsq_layout(emb, cent, p["mins"], p["maxs"], tmp)
+        _publish_dir(tmp, path)
+    layout = spark.read.parquet(path)
+    targets = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(p["qids"])).collect()
+    }
+    approx = None
+    for qid, t in sorted(targets.items()):
+        a = _q.ivfsq_search(
+            layout, cent, p["mins"], p["maxs"], t, k=10, nprobe=4
+        ).select(
+            F.lit(qid).cast("bigint").alias("qid"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+        )
+        approx = a if approx is None else approx.unionByName(a)
+    return _recall_result(emb, p["qids"], approx, "ivfsq_nprobe4", 0.5, 10)
+
+
 # ----------------------------------------------------------------------
 # Batch-PQ SERVING paths (bench-only, not gated): the recall gates above
 # deliberately pay for exact-kNN ground truth + checksum on top of the
@@ -6537,11 +6628,14 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
 # text_pii_scan, text_pack_windows (+ all r3-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # new in r5: SQ8 quantized ANN, bucketed CRUD, exact-substring dedup
+    # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
+    # CRUD, exact-substring dedup, hour-grain time partitioning
     "ann_sq8_search_topk",
     "ann_sq8_batch_topk",
+    "ann_ivfsq_search_topk",
     "collection_upsert_delete",
     "dedup_substring_pairs",
+    "q_time_partitioned_hourly",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
     # decrypt metadata passthrough, rotation metadata carry-through)
     "collection_lifecycle",
@@ -6592,8 +6686,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_pii_scan",
     # fill to the 50-entry driver window with r3-verified core serving
     "knn_topk_cosine",
-    "knn_batch_topk",
-    "knn_prompt_reconstruction",
 )
 
 

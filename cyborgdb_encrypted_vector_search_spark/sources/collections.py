@@ -179,9 +179,17 @@ class Collection:
             df, id_col, document_col, embedding_col, metadata_col
         )
         if self.bucket_count:
-            out.withColumn("id_bucket", self._bucket_expr()).write.mode(
-                "append"
-            ).partitionBy("id_bucket").parquet(self.path)
+            # shuffle once by bucket before the partitioned write: each
+            # append lands ONE file per touched bucket instead of
+            # (input partitions x buckets) small files — the shuffle is
+            # O(batch) and keeps every later bucket-pruned read cheap
+            (
+                out.withColumn("id_bucket", self._bucket_expr())
+                .repartition(self.bucket_count, F.col("id_bucket"))
+                .write.mode("append")
+                .partitionBy("id_bucket")
+                .parquet(self.path)
+            )
         else:
             out.write.mode("append").parquet(self.path)
 
@@ -210,6 +218,36 @@ class Collection:
         """The 'leak': full scan of all vectors (reference
         src/chromadb_store.py:10-12). Column-pruned to the embedding."""
         return self.scan().select("id", "embedding")
+
+    def count(self) -> int:
+        """Record count (Chroma's ``collection.count()``): a
+        column-pruned count(*) over the parquet footers."""
+        return self.scan().count()
+
+    def peek(self, n: int = 10) -> DataFrame:
+        """First ``n`` records by id (Chroma's ``collection.peek()``);
+        ordered so the result is deterministic — plans as a global
+        top-k (TakeOrderedAndProject), never a full sort."""
+        return self.scan().orderBy(F.asc("id")).limit(n)
+
+    def get_where(
+        self,
+        where: dict[str, str],
+        include: list[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Metadata-filtered get (Chroma's ``collection.get(where=...,
+        limit=...)``): every (key, value) pair must match the record's
+        metadata map. The map-lookup equality is a codegen'd scan
+        predicate — no join, no shuffle."""
+        cols = include or ["id", "document", "embedding", "metadata"]
+        if "id" not in cols:
+            cols = ["id", *cols]
+        df = self.scan()
+        for k, v in where.items():
+            df = df.filter(F.col("metadata")[k] == F.lit(v))
+        df = df.select(*cols)
+        return df.orderBy(F.asc("id")).limit(limit) if limit else df
 
     def get(self, ids: list[str], include: list[str] | None = None) -> DataFrame:
         """Point lookup by id(s) (reference src/cod.py:107-120).
@@ -430,7 +468,12 @@ class Collection:
                 new_rows.withColumn("id_bucket", self._bucket_expr())
             )
         staged = self.path + ".crud_stage"
-        out.write.mode("overwrite").partitionBy("id_bucket").parquet(staged)
+        (
+            out.repartition(max(len(affected), 1), F.col("id_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(staged)
+        )
         for b in affected:
             old_dir = os.path.join(self.path, f"id_bucket={b}")
             new_dir = os.path.join(staged, f"id_bucket={b}")
@@ -653,3 +696,35 @@ class Collection:
             self.decrypt(old_key), new_key, id_col="id", metadata_col="metadata"
         )
         return rotated
+
+
+def list_collections(base_dir: str) -> list[str]:
+    """Names of the collections under ``base_dir`` (Chroma's
+    ``client.list_collections()``): any subdirectory holding a parquet
+    table or a collection meta sidecar."""
+    if not os.path.isdir(base_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(base_dir)):
+        p = os.path.join(base_dir, name)
+        if not os.path.isdir(p):
+            continue
+        if (
+            os.path.isfile(os.path.join(p, "_SUCCESS"))
+            or os.path.isfile(os.path.join(p, Collection._META_FILE))
+            or any(f.endswith(".parquet") for f in os.listdir(p))
+        ):
+            out.append(name)
+    return out
+
+
+def delete_collection(base_dir: str, name: str) -> bool:
+    """Drop a collection (Chroma's ``client.delete_collection()``).
+    Returns False if it does not exist."""
+    import shutil
+
+    p = os.path.join(base_dir, name)
+    if not os.path.isdir(p):
+        return False
+    shutil.rmtree(p)
+    return True

@@ -1131,3 +1131,41 @@ def test_bucketed_scan_schema_matches_flat(spark, tmp_path):
     # delete leaving a bucket empty removes its dir outright
     bkt.delete(["1"])
     assert bkt.scan().count() == 0
+
+
+def test_chroma_api_surface(spark, tmp_path):
+    """count/peek/get_where/list_collections/delete_collection parity
+    with the Chroma client API the reference builds on."""
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        delete_collection,
+        list_collections,
+    )
+
+    base = str(tmp_path)
+    c = Collection.create(spark, "api", base, dim=2)
+    df = spark.createDataFrame(
+        [
+            ("3", "c", [1.0, 0.0], {"lang": "en"}),
+            ("1", "a", [0.0, 1.0], {"lang": "en"}),
+            ("2", "b", [1.0, 1.0], {"lang": "de"}),
+        ],
+        "id string, document string, embedding array<float>, "
+        "metadata map<string,string>",
+    )
+    c.add(df, id_col="id", metadata_col="metadata")
+
+    assert c.count() == 3
+    assert [r["id"] for r in c.peek(2).collect()] == ["1", "2"]
+    plan = c.peek(2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    en = c.get_where({"lang": "en"})
+    assert sorted(r["id"] for r in en.collect()) == ["1", "3"]
+    assert c.get_where({"lang": "en"}, limit=1).collect()[0]["id"] == "1"
+    assert c.get_where({"lang": "xx"}).count() == 0
+
+    assert list_collections(base) == ["api"]
+    Collection.create(spark, "второй", base, dim=2)  # second one
+    assert len(list_collections(base)) == 2
+    assert delete_collection(base, "api") is True
+    assert delete_collection(base, "api") is False
+    assert list_collections(base) == ["второй"]
