@@ -4262,6 +4262,53 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot_revenue_parts",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS gross,
+             sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+               AS discount_amt,
+             sum(CAST(l_extendedprice * l_tax AS DECIMAL(18,4))) AS tax_amt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, component, CAST(amount AS DOUBLE) AS amount
+    FROM (
+      SELECT l_returnflag, 'gross' AS component, gross AS amount FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'discount_amt', discount_amt FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'tax_amt', tax_amt FROM agg
+    )
+    """,
+)
+def q_unpivot_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-returnflag revenue components widened by the
+    aggregate, then folded to (component, amount) rows with
+    DataFrame.unpivot — the inverse of q_pivot_status_priority,
+    completing the reshape pair. One aggregation shuffle; the unpivot
+    itself is a narrow Expand (each row fans to 3, no exchange)."""
+    li = load(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("gross"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        ).alias("discount_amt"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_tax")).cast("decimal(18,4)")
+        ).alias("tax_amt"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["gross", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    ).select("l_returnflag", "component", F.col("amount").cast("double").alias("amount"))
+
+
+@query(
     "streaming_dedup_count",
     """
     SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
@@ -6636,6 +6683,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "collection_upsert_delete",
     "dedup_substring_pairs",
     "q_time_partitioned_hourly",
+    "q_unpivot_revenue_parts",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
     # decrypt metadata passthrough, rotation metadata carry-through)
     "collection_lifecycle",
@@ -6684,8 +6732,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "q_sample_mixture",
     "text_pii_scan",
-    # fill to the 50-entry driver window with r3-verified core serving
-    "knn_topk_cosine",
 )
 
 

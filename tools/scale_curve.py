@@ -57,6 +57,11 @@ QUERIES = [
     # r4 addition: broadcast-LM scoring — the model stays alphabet-bounded
     # while the gram stream grows with the corpus
     "text_perplexity_filter",
+    # r5 additions: window-hash group pairs (linear gram stream, one
+    # grouping shuffle) and bucketed CRUD (cost tracks touched buckets,
+    # which stays FIXED as the table grows)
+    "dedup_substring_pairs",
+    "collection_upsert_delete",
 ]
 
 
@@ -102,9 +107,13 @@ def main() -> None:
     cat = entries()
     from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
 
-    # Serve twin: dedup_simhash_wide's GATE carries an O(n^2)
-    # brute-force ground truth; the curve times the production path.
-    extra = {"dedup_simhash_wide_serve": C.simhash_wide_serve}
+    # Serve twins: dedup_simhash_wide's GATE carries an O(n^2)
+    # brute-force ground truth, and the SQ8 gate carries exact-kNN
+    # ground truth; the curve times the production paths.
+    extra = {
+        "dedup_simhash_wide_serve": C.simhash_wide_serve,
+        "ann_sq8_batch_serve": C.sq8_batch_serve,
+    }
 
     for scale in scales:
         sf_dir = base if scale == 1 else os.path.join(tmp, f"scale_curve_{scale}x")
