@@ -4309,6 +4309,87 @@ def q_unpivot_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_collection_upsert",
+    f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           min({H.sql_fingerprint_md5('text')}) AS min_fp,
+           max({H.sql_fingerprint_md5('text')}) AS max_fp
+    FROM final
+    """,
+)
+def streaming_collection_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous UPSERT ingest (streaming/ingest.stream_upsert_documents):
+    two staged arrival files — the full corpus, then updated versions of
+    every 5th document — flow through foreachBatch upserts into a
+    BUCKET-PARTITIONED collection (one micro-batch per file, arrival
+    order pinned by file mtimes). Last write wins per id: the final
+    collection must hold exactly one row per document with the v2 text
+    for the updated set — n_rows == n_ids proves upsert semantics (a
+    plain append would double the updated ids), and the min/max text
+    fingerprints must equal DuckDB's over the simulated final state.
+    Per-batch cost is O(batch + touched buckets): the CDC-style ingest
+    shape that keeps a 100 TB collection current without rescans."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    docs = load(spark, "documents", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:collupsert_v1:{ctag}".encode()).hexdigest()[:10]
+    base = _os.path.join(_tf.gettempdir(), f"coll_upsert_{tag}")
+    name = "coll_up"
+    if not _os.path.isdir(base):
+        import glob as _glob
+
+        staged = f"{base}.src{_os.getpid()}"
+        v1 = docs.select("doc_id", "text", "lang", "source", "n_chars")
+        v1.coalesce(1).write.mode("overwrite").parquet(staged)
+        t0 = _time.time()
+        for f in _glob.glob(_os.path.join(staged, "*.parquet")):
+            _os.utime(f, (t0 - 60, t0 - 60))
+        v2 = v1.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" v2"))
+        )
+        v2.coalesce(1).write.mode("append").parquet(staged)
+        for f in _glob.glob(_os.path.join(staged, "*.parquet")):
+            if _os.path.getmtime(f) > t0 - 30:
+                _os.utime(f, (t0, t0))
+        tmp = f"{base}.tmp{_os.getpid()}"
+        coll = Collection.create(spark, name, tmp, dim=64, buckets=8)
+        S.stream_upsert_documents(
+            spark, staged, coll, max_files_per_trigger=1
+        )
+        _publish_dir(tmp, base)
+        import shutil as _sh
+
+        _sh.rmtree(staged, ignore_errors=True)
+    coll = Collection(spark, name, _os.path.join(base, name), 64)
+    return coll.scan().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+        F.sum(F.col("document").like("% v2").cast("int"))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.min(H.fingerprint_md5(F.col("document"))).alias("min_fp"),
+        F.max(H.fingerprint_md5(F.col("document"))).alias("max_fp"),
+    )
+
+
+@query(
     "streaming_dedup_count",
     """
     SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
@@ -6684,6 +6765,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_substring_pairs",
     "q_time_partitioned_hourly",
     "q_unpivot_revenue_parts",
+    "streaming_collection_upsert",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
     # decrypt metadata passthrough, rotation metadata carry-through)
     "collection_lifecycle",

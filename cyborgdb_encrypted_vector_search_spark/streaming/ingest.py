@@ -496,3 +496,57 @@ def stream_interval_join(
         & (c["c_ts"] < p["p_ts"]),
         "inner",
     ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+
+
+def stream_upsert_documents(
+    spark: SparkSession,
+    src_dir: str,
+    collection,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous UPSERT ingest: each micro-batch of arriving documents
+    is upserted by id into a bucket-partitioned collection — the
+    continuous dedup-by-key pipeline (CDC-style: a re-delivered or
+    updated record REPLACES its previous version instead of appending a
+    duplicate). Composes the round-5 pieces end to end: per-batch cost
+    is O(batch + touched buckets) (Collection.upsert rewrites only the
+    id_bucket dirs the batch hashes into — the resident collection is
+    never rescanned), and the idempotent commit markers
+    (run_idempotent_batch) keep crash-recovery replays from re-applying
+    a committed batch. Requires a bucketed collection: a flat layout
+    would pay a full-table rewrite per micro-batch."""
+    if not collection.bucket_count:
+        raise ValueError(
+            "stream_upsert_documents requires a bucket-partitioned "
+            "collection (create with buckets=N) — per-batch upsert "
+            "into a flat layout is a full-table rewrite"
+        )
+    stream = read_documents_stream(spark, src_dir, max_files_per_trigger)
+    rows = stream.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("document"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+    )
+    name = f"coll_upsert_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    tag = _stream_tag(ckpt)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        run_idempotent_batch(
+            collection.path,
+            tag,
+            batch_id,
+            lambda: collection.upsert(
+                batch, id_col="id", metadata_col="metadata"
+            ),
+        )
+
+    q = (
+        rows.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

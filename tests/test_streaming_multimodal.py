@@ -294,3 +294,14 @@ def test_frame_sampling_fanout_and_demuxer_seam(spark):
     demux = lambda payload: [b"F0", b"F1", b"F2"]
     out2 = M.sample_frame_chunks(media.filter("media_id = 2"), every_n=2, demuxer=demux).collect()
     assert {(r["frame_idx"], bytes(r["frame"])) for r in out2} == {(0, b"F0"), (2, b"F2")}
+
+
+def test_stream_upsert_requires_bucketed_collection(spark, tmp_path):
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    flat = Collection.create(spark, "flat_up", str(tmp_path), dim=2)
+    with pytest.raises(ValueError, match="bucket-partitioned"):
+        S.stream_upsert_documents(spark, str(tmp_path / "src"), flat)
