@@ -37,6 +37,7 @@ HEADLINE = [
     "ann_ivfadc_batch_topk",
     "ann_sq8_batch_topk",
     "ann_ivfsq_search_topk",
+    "ann_ivfsq_batch_topk",
     "streaming_incremental_dedup",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
@@ -103,6 +104,7 @@ def main() -> None:
         "ann_ivfpq_batch_serve": C.ivfpq_batch_serve,
         "ann_ivfadc_batch_serve": C.ivfadc_batch_serve,
         "ann_sq8_batch_serve": C.sq8_batch_serve,
+        "ann_ivfsq_batch_serve": C.ivfsq_batch_serve,
     }
 
     timings: dict[str, float] = {}

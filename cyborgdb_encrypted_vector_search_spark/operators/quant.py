@@ -287,3 +287,67 @@ def ivfsq_search(
     return sq8_search(
         probed, mins, maxs, target, k=k, oversample=oversample, id_col=id_col
     )
+
+
+def ivfsq_search_batch(
+    layout: DataFrame,
+    centroids: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch IVF+SQ8: every query's probe + quantized scan + re-rank as
+    ONE declarative plan (no per-query driver jobs — the batch shape of
+    ann.ivf_search_batch applied to the compressed layout):
+
+    1. queries x centroids (broadcast) -> per-query nprobe lists;
+    2. the probe list broadcasts and hash-joins the layout on
+       centroid_id — a code row is scored only against queries that
+       probed its list, and the join reads the CODES column (the
+       decode is a projection on top), never the full-precision one;
+    3. approximate-cosine window keeps oversample*k per query;
+    4. exact re-rank joins the survivors back to the full-precision
+       column (broadcast — the shortlist is tiny) and takes top-k.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    cent = centroids.select("centroid_id", "centroid")
+    wp = Window.partitionBy("__qid").orderBy(F.asc("__cd"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__cd", V.l2_distance("__qvec", "centroid"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "centroid_id")
+    )
+    approx_vec = sq8_decode_expr("codes", mins, maxs)
+    wk = Window.partitionBy("__qid").orderBy(
+        F.desc("approx_score"), F.asc(id_col)
+    )
+    shortlist = (
+        layout.select(id_col, "centroid_id", "codes")
+        .join(F.broadcast(probes), "centroid_id")
+        .withColumn("approx_score", V.cosine(approx_vec, "__qvec"))
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= oversample * k)
+        .select("__qid", "__qvec", id_col)
+    )
+    wr = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        layout.select(id_col, "embedding")
+        .join(F.broadcast(shortlist), id_col)
+        .withColumn("score", V.cosine("embedding", "__qvec"))
+        .withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "score")
+    )

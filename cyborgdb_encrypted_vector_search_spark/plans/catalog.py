@@ -5406,6 +5406,26 @@ def sq8_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfsq_layout(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    """Build (once, content-tagged) and read the materialized IVF+SQ8
+    layout the composed gates and serving twin share."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as _q
+
+    cent = _fixed_centroids(p["emb"])
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:ivfsq_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"ivfsq_layout_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        _q.build_ivfsq_layout(p["emb"], cent, p["mins"], p["maxs"], tmp)
+        _publish_dir(tmp, path)
+    return spark.read.parquet(path)
+
+
 @query("ann_ivfsq_search_topk", _recall_oracle_sql("ivfsq_nprobe4"))
 def ann_ivfsq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF+SQ8 index (operators/quant.build_ivfsq_layout —
@@ -5416,23 +5436,12 @@ def ann_ivfsq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 ≥ 0.5 vs exact kNN (measured 0.74 at sf0.01 — the loss
     is IVF pruning under the fixed quantizer, same as the IVFPQ
     family), ground truth checksummed against DuckDB."""
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
     from cyborgdb_encrypted_vector_search_spark.operators import quant as _q
 
     p = _sq8_parts(spark, sf_dir)
     emb = p["emb"]
     cent = _fixed_centroids(emb)
-    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
-    tag = _hl.md5(f"{sf_dir}:ivfsq_v1:{ctag}".encode()).hexdigest()[:10]
-    path = _os.path.join(_tf.gettempdir(), f"ivfsq_layout_{tag}")
-    if not _os.path.isdir(path):
-        tmp = f"{path}.tmp{_os.getpid()}"
-        _q.build_ivfsq_layout(emb, cent, p["mins"], p["maxs"], tmp)
-        _publish_dir(tmp, path)
-    layout = spark.read.parquet(path)
+    layout = _ivfsq_layout(spark, sf_dir, p)
     targets = {
         r["vec_id"]: r["embedding"]
         for r in emb.filter(F.col("vec_id").isin(p["qids"])).collect()
@@ -5447,6 +5456,45 @@ def ann_ivfsq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         approx = a if approx is None else approx.unionByName(a)
     return _recall_result(emb, p["qids"], approx, "ivfsq_nprobe4", 0.5, 10)
+
+
+@query("ann_ivfsq_batch_topk", _recall_oracle_sql("ivfsq_batch_nprobe4"))
+def ann_ivfsq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF+SQ8 (operators/quant.ivfsq_search_batch): every
+    recall-gate query's probe + quantized scan + exact re-rank as ONE
+    declarative plan — broadcast probe lists hash-join the compressed
+    layout on centroid_id (a code row is scored only against queries
+    that probed its list), approximate-cosine window keeps the
+    shortlist, exact re-rank broadcasts it back. No per-query driver
+    jobs. Gated on recall@10 ≥ 0.5 vs exact kNN, ground truth
+    checksummed against DuckDB."""
+    p = _sq8_parts(spark, sf_dir)
+    approx = ivfsq_batch_serve(spark, sf_dir).select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+    )
+    return _recall_result(
+        p["emb"], p["qids"], approx, "ivfsq_batch_nprobe4", 0.5, 10
+    )
+
+
+def ivfsq_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ann_ivfsq_batch_topk (bench-only): the one-plan
+    probe + quantized scan + re-rank over the cached layout."""
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as _q
+
+    p = _sq8_parts(spark, sf_dir)
+    layout = _ivfsq_layout(spark, sf_dir, p)
+    return _q.ivfsq_search_batch(
+        layout,
+        _fixed_centroids(p["emb"]),
+        p["mins"],
+        p["maxs"],
+        p["queries"],
+        k=10,
+        nprobe=4,
+        oversample=8,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -6761,6 +6809,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_sq8_search_topk",
     "ann_sq8_batch_topk",
     "ann_ivfsq_search_topk",
+    "ann_ivfsq_batch_topk",
     "collection_upsert_delete",
     "dedup_substring_pairs",
     "q_time_partitioned_hourly",
@@ -6812,6 +6861,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_adaptive_topk",
     "pipeline_corpus_curation",
     "text_decontaminate",
+    # positions 51-52: past the driver's 50-entry window this round —
+    # they stay r2-verified and MUST lead the r6 rotation
     "q_sample_mixture",
     "text_pii_scan",
 )

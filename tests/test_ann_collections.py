@@ -1169,3 +1169,45 @@ def test_chroma_api_surface(spark, tmp_path):
     assert delete_collection(base, "api") is True
     assert delete_collection(base, "api") is False
     assert list_collections(base) == ["второй"]
+
+
+def test_ivfsq_batch_matches_single_and_prunes(spark, sf_dir, tmp_path):
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as Q
+    from cyborgdb_encrypted_vector_search_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = ann.kmeans_centroids(emb, k=4, seed=7)
+    mins, maxs = Q.sq8_train(emb)
+    path = str(tmp_path / "ivfsq")
+    Q.build_ivfsq_layout(emb, cent, mins, maxs, path)
+    layout = spark.read.parquet(path)
+
+    qids = [2, 9, 31]
+    rows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    batch = Q.ivfsq_search_batch(
+        layout, cent, mins, maxs, queries, k=5, nprobe=2
+    )
+    got = {
+        qid: [r["vec_id"] for r in batch.filter(F.col("qid") == qid).collect()]
+        for qid in qids
+    }
+    for r in rows:
+        single = Q.ivfsq_search(
+            layout, cent, mins, maxs, r["embedding"], k=5, nprobe=2
+        )
+        assert got[r["vec_id"]] == [x["vec_id"] for x in single.collect()]
+
+    # the single-query path partition-prunes the materialized layout
+    plan = (
+        Q.ivfsq_search(layout, cent, mins, maxs, rows[0]["embedding"], k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
