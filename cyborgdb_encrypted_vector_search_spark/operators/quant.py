@@ -351,3 +351,28 @@ def ivfsq_search_batch(
         .filter(F.col("__r") <= k)
         .select(F.col("__qid").alias(query_id_col), id_col, "score")
     )
+
+
+def append_to_ivfsq_layout(
+    df: DataFrame,
+    centroids: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of the compressed index: assign ONLY
+    the new batch to the fixed centroids, byte-encode it with the
+    FIXED corpus bounds, and append under the touched ``centroid_id=``
+    directories — O(batch) ingest for the IVF+SQ8 layout, same
+    contract as ann.append_to_ivf_layout. Bounds stay fixed between
+    rebuilds (like centroids): a drifting distribution that escapes
+    the trained [min,max] only saturates codes 0/255 for the escaping
+    dimensions — quantization degrades gracefully and the exact
+    re-rank still corrects the shortlist; persistent saturation is a
+    rebuild trigger, not an append concern."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann as A
+
+    assigned = A.assign_centroids(df, centroids, vec_col)
+    enc = sq8_encode(assigned, mins, maxs, vec_col=vec_col)
+    enc.write.mode("append").partitionBy("centroid_id").parquet(path)

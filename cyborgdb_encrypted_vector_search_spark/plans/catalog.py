@@ -5478,6 +5478,59 @@ def ann_ivfsq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfsq_incremental_append", _recall_oracle_sql("ivfsq_incr_nprobe4"))
+def ann_ivfsq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the COMPRESSED index
+    (operators/quant.append_to_ivfsq_layout): the IVF+SQ8 layout is
+    built from only the first half of the corpus, the rest arrives as
+    three appends (assign to fixed centroids + encode with fixed
+    bounds + append under touched partitions — O(batch) ingest), then
+    the recall-gate query set searches the grown layout in one batch
+    plan. Recall contract identical to the full-build gates; the exact
+    equality claim (incrementally-grown layout rows == from-scratch
+    rebuild rows, probe results identical) is pinned in
+    tests/test_ann_collections.py where same-engine quantization
+    boundaries are deterministic."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as _q
+
+    p = _sq8_parts(spark, sf_dir)
+    emb = p["emb"]
+    cent = _fixed_centroids(emb)
+    ctag = _content_tag(spark, sf_dir, "embeddings", "vec_id")
+    tag = _hl.md5(f"{sf_dir}:ivfsq_incr_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"ivfsq_incr_{tag}")
+    if not _os.path.isdir(path):
+        n = emb.count()
+        tmp = f"{path}.tmp{_os.getpid()}"
+        _q.build_ivfsq_layout(
+            emb.filter(F.col("vec_id") <= n // 2), cent, p["mins"], p["maxs"], tmp
+        )
+        cuts = [n // 2, 5 * n // 8, 3 * n // 4, n]
+        for lo, hi in zip(cuts, cuts[1:]):
+            _q.append_to_ivfsq_layout(
+                emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= hi)),
+                cent,
+                p["mins"],
+                p["maxs"],
+                tmp,
+            )
+        _publish_dir(tmp, path)
+    layout = spark.read.parquet(path)
+    approx = _q.ivfsq_search_batch(
+        layout, cent, p["mins"], p["maxs"], p["queries"], k=10, nprobe=4
+    ).select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+    )
+    return _recall_result(
+        emb, p["qids"], approx, "ivfsq_incr_nprobe4", 0.5, 10
+    )
+
+
 def ivfsq_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving twin of ann_ivfsq_batch_topk (bench-only): the one-plan
     probe + quantized scan + re-rank over the cached layout."""
@@ -6810,6 +6863,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_sq8_batch_topk",
     "ann_ivfsq_search_topk",
     "ann_ivfsq_batch_topk",
+    "ann_ivfsq_incremental_append",
     "collection_upsert_delete",
     "dedup_substring_pairs",
     "q_time_partitioned_hourly",
@@ -6860,9 +6914,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_verified",
     "ann_ivf_adaptive_topk",
     "pipeline_corpus_curation",
-    "text_decontaminate",
-    # positions 51-52: past the driver's 50-entry window this round —
+    # positions 51-53: past the driver's 50-entry window this round —
     # they stay r2-verified and MUST lead the r6 rotation
+    "text_decontaminate",
     "q_sample_mixture",
     "text_pii_scan",
 )

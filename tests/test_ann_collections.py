@@ -1211,3 +1211,44 @@ def test_ivfsq_batch_matches_single_and_prunes(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_ivfsq_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incrementally-grown compressed layout == from-scratch rebuild:
+    identical (vec_id, centroid_id, codes) rows, identical probe
+    results — append-ingest loses nothing."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ann
+    from cyborgdb_encrypted_vector_search_spark.operators import quant as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = ann.kmeans_centroids(emb, k=4, seed=7)
+    mins, maxs = Q.sq8_train(emb)
+    n = emb.count()
+
+    full = str(tmp_path / "full")
+    Q.build_ivfsq_layout(emb, cent, mins, maxs, full)
+    incr = str(tmp_path / "incr")
+    Q.build_ivfsq_layout(
+        emb.filter(F.col("vec_id") <= n // 2), cent, mins, maxs, incr
+    )
+    Q.append_to_ivfsq_layout(
+        emb.filter(F.col("vec_id") > n // 2), cent, mins, maxs, incr
+    )
+
+    def rows(path):
+        return sorted(
+            (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(path)
+            .select("vec_id", "centroid_id", "codes")
+            .collect()
+        )
+
+    assert rows(incr) == rows(full)
+    t = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    a = Q.ivfsq_search(spark.read.parquet(incr), cent, mins, maxs, t, k=5, nprobe=2)
+    b = Q.ivfsq_search(spark.read.parquet(full), cent, mins, maxs, t, k=5, nprobe=2)
+    assert [(r["vec_id"], round(r["score"], 9)) for r in a.collect()] == [
+        (r["vec_id"], round(r["score"], 9)) for r in b.collect()
+    ]
