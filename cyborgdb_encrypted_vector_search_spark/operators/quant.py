@@ -146,9 +146,14 @@ def sq8_search(
     Stage 1 folds codes against the query-specific literal weights
     (see module docstring) and takes the global ``oversample*k`` —
     TakeOrderedAndProject over a codes-only columnar scan. Stage 2
-    re-scores ONLY those candidates with exact cosine from the
-    full-precision column and returns the final top-k (score = exact
-    cosine, desc, vec_id tie-break)."""
+    collects the shortlist ids (bounded: oversample*k of them) and
+    re-scores them with exact cosine behind an id IN (...) predicate —
+    the filter PUSHES INTO the parquet scan (PushedFilters + row-group
+    stats skipping), so the full-precision column is read for the
+    shortlist's row groups only, never full-scanned. A broadcast join
+    here instead would stream the entire embedding column past the
+    join — the difference between O(k) and O(N) IO at 100 TB."""
+    spark = encoded.sparkSession
     q = V.normalize_py(list(target))
     scales = _scales(mins, maxs)
     bias = float(sum(m * qi for m, qi in zip(mins, q)))
@@ -164,9 +169,17 @@ def sq8_search(
         .orderBy(F.desc("approx_score"), F.asc(id_col))
         .limit(oversample * k)
         .select(id_col, "approx_score")
+        .collect()
     )
-    exact = encoded.select(id_col, vec_col).join(
-        F.broadcast(cands), id_col
+    approx_by_id = {r[id_col]: r["approx_score"] for r in cands}
+    shortlist = spark.createDataFrame(
+        [(i, s) for i, s in approx_by_id.items()],
+        f"{id_col} long, approx_score double",
+    )
+    exact = (
+        encoded.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(list(approx_by_id)))
+        .join(F.broadcast(shortlist), id_col)
     )
     scored = exact.withColumn(
         "score", V.cosine(vec_col, V.literal_vector(list(target)))
@@ -196,7 +209,14 @@ def sq8_batch_search(
     every broadcast query), take per-query ``oversample*k`` by
     approximate cosine via the generic broadcast-kNN plan, then
     re-rank the candidate union exact. Corpus never shuffles; the only
-    window is over candidates."""
+    window is over candidates.
+
+    Note the FLAT layout's re-rank join streams the (id, embedding)
+    projection of the whole table past the broadcast — column-pruned
+    but not row-bounded. That is inherent to an unpartitioned index; at
+    100 TB use the IVF+SQ8 layout, whose batch re-rank is partition
+    pruned (ivfsq_search_batch), or the single-query path, whose
+    shortlist pushes an id IN (...) into the scan (sq8_search)."""
     approx_corpus = encoded.select(
         id_col, sq8_decode_expr(code_col, mins, maxs).alias("__avec")
     )
@@ -340,12 +360,16 @@ def ivfsq_search_batch(
         .withColumn("approx_score", V.cosine(approx_vec, "__qvec"))
         .withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= oversample * k)
-        .select("__qid", "__qvec", id_col)
+        .select("__qid", "__qvec", "centroid_id", id_col)
     )
+    # re-rank joins on (centroid_id, id): the broadcast join on the
+    # PARTITION column lets dynamic partition pruning restrict the
+    # full-precision read to the probed partitions — without it this
+    # scan would stream the entire embedding column past the join
     wr = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc(id_col))
     return (
-        layout.select(id_col, "embedding")
-        .join(F.broadcast(shortlist), id_col)
+        layout.select("centroid_id", id_col, "embedding")
+        .join(F.broadcast(shortlist), ["centroid_id", id_col])
         .withColumn("score", V.cosine("embedding", "__qvec"))
         .withColumn("__r", F.row_number().over(wr))
         .filter(F.col("__r") <= k)

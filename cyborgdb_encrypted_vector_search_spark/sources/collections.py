@@ -467,7 +467,11 @@ class Collection:
             out = keep.unionByName(
                 new_rows.withColumn("id_bucket", self._bucket_expr())
             )
-        staged = self.path + ".crud_stage"
+        # pid-suffixed staging: two concurrent CRUD jobs on the same
+        # collection must not share a staging dir (last-writer-wins on
+        # the bucket swap below is the documented concurrency model,
+        # but a shared stage would interleave FILES, not buckets)
+        staged = f"{self.path}.crud_stage{os.getpid()}"
         (
             out.repartition(max(len(affected), 1), F.col("id_bucket"))
             .write.mode("overwrite")
