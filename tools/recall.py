@@ -49,6 +49,11 @@ def main() -> None:
         for r in emb.filter(F.col("vec_id").isin(qids)).collect()
     }
 
+    from cyborgdb_encrypted_vector_search_spark.operators import quant
+
+    sq_mins, sq_maxs = quant.sq8_train(emb)
+    sq_codes = quant.sq8_encode(emb, sq_mins, sq_maxs).persist()
+
     lsh = R.lsh_index(spark, sf_dir)          # (.., unit, vnorm, bucket)
     ivf = R.ivf_index(spark, sf_dir)          # (.., centroid_id)
     cent = emb.filter(F.col("vec_id") < 8).select(
@@ -102,6 +107,9 @@ def main() -> None:
         methods["ivfadc_nprobe4"] = lambda: pq.ivfadc_search(
             res_codes, cent, res_books, t, k=k, nprobe=4, rerank_df=emb
         )
+        methods["sq8_rerank"] = lambda: quant.sq8_search(
+            sq_codes, sq_mins, sq_maxs, t, k=k, oversample=8
+        )
         for name, fn in methods.items():
             hits[name] = hits.get(name, 0) + len(ids(fn()) & truth)
 
@@ -118,6 +126,14 @@ def main() -> None:
         "ivfpq_batch_nprobe4": pq.ivfpq_search_batch(
             ivf_codes, cent, books, queries_df, k=k, nprobe=4, rerank_df=emb
         ),
+        "sq8_batch": quant.sq8_batch_search(
+            sq_codes, sq_mins, sq_maxs,
+            queries_df.select(
+                F.col("query_id").alias("qid"),
+                F.col("query_vec").alias("qvec"),
+            ),
+            k=k, oversample=8,
+        ).withColumnsRenamed({"qid": "query_id"}),
     }
     for name, df in batch_results.items():
         rows = df.select("query_id", "vec_id").collect()
