@@ -32,7 +32,9 @@ Spark shape (everything JVM-side, no UDF anywhere):
           whole-stage codegen end to end, global top-k as
           TakeOrderedAndProject. The top ``oversample*k`` candidates
           are re-ranked with exact cosine from the full-precision
-          vectors (a broadcast semi-join — candidates are tiny).
+          vectors behind an id IN (...) scan predicate (single-query)
+          or a partition-pruned join (IVF+SQ8 batch) — the re-rank
+          never full-scans the embedding column.
 
 At 100 TB: the approximate pass reads ONLY the codes column (columnar
 pruning; 64 B/row at dim=64 vs 256 B float32), the full-precision

@@ -1263,3 +1263,49 @@ def test_ivfsq_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], round(r["score"], 9)) for r in a.collect()] == [
         (r["vec_id"], round(r["score"], 9)) for r in b.collect()
     ]
+
+
+def test_bucketed_crud_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a seeded random sequence of add/upsert/delete
+    batches applied to both a bucketed Collection and a plain dict must
+    end in the same state — covers deleting nonexistent ids, repeated
+    upserts of the same id, emptying buckets, and interleavings no
+    single handwritten case hits."""
+    import random
+
+    rng = random.Random(20260814)
+    c = Collection.create(spark, "model", str(tmp_path), dim=2, buckets=4)
+    model: dict[str, str] = {}
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, d, [1.0, float(len(d))]) for i, d in rows],
+            "id string, document string, embedding array<float>",
+        )
+
+    universe = [str(i) for i in range(40)]
+    for step in range(12):
+        op = rng.choice(["add", "upsert", "delete", "delete"])
+        ids = rng.sample(universe, rng.randint(1, 6))
+        if op == "add":
+            fresh = [i for i in ids if i not in model]
+            if not fresh:
+                continue
+            rows = [(i, f"doc{i}s{step}") for i in fresh]
+            c.add(frame(rows), id_col="id")
+            model.update(rows)
+        elif op == "upsert":
+            rows = [(i, f"doc{i}s{step}") for i in ids]
+            c.upsert(frame(rows), id_col="id")
+            model.update(rows)
+        else:
+            c.delete(ids)
+            for i in ids:
+                model.pop(i, None)
+
+    got = {r["id"]: r["document"] for r in c.scan().collect()}
+    assert got == model
+    # point-get agrees for a sample of present and absent ids
+    sample = rng.sample(universe, 8)
+    got_pg = {r["id"]: r["document"] for r in c.get(sample).collect()}
+    assert got_pg == {i: model[i] for i in sample if i in model}
