@@ -662,16 +662,7 @@ def substring_window_pairs(
     winnow_fingerprints) first, paying a detection-length floor of
     window+stride-1.
     """
-    eligible = corpus.filter(F.length(text_col) >= window)
-    wins = eligible.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col}) - {window - 1}),"
-                f" i -> xxhash64(substring({text_col}, i, {window})))"
-            )
-        ).alias("wh"),
-    )
+    wins = window_hashes(corpus, window, id_col, text_col)
     # ONE shuffle does per-doc dedup + grouping: collect_set per window
     # hash (map-side partial sets combine), then pairs are generated
     # NARROWLY from each sorted group — no second shuffle for a
@@ -689,5 +680,74 @@ def substring_window_pairs(
         .select(F.array_sort("ds").alias("ds"))
         .select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def window_hashes(
+    corpus: DataFrame,
+    window: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, wh) rolling-window hash frame: every ``window``-char
+    substring of each document collapsed to a 64-bit xxhash — one
+    codegen'd transform + explode, no UDF. This IS the persisted
+    corpus index of the exact-substring dedup family (analogous to the
+    MinHash band index): build once per corpus version, probe per
+    batch. Per-doc repeats are NOT dropped here (the consumers'
+    groupBy/join dedups them with the same shuffle they already pay)."""
+    eligible = corpus.filter(F.length(text_col) >= window)
+    return eligible.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {window - 1}),"
+                f" i -> xxhash64(substring({text_col}, i, {window})))"
+            )
+        ).alias("wh"),
+    )
+
+
+def incremental_substring_matches(
+    base: DataFrame,
+    batch: DataFrame,
+    window: int = 40,
+    max_df: int | None = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_windows: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental exact-substring dedup: match ONLY the new ingest
+    batch against the existing corpus — (batch_id, base_id) pairs
+    sharing any exact ``window``-char substring. The corpus side is the
+    persisted window-hash index (``base_windows``, see window_hashes /
+    registry.window_hash_index) scanned once; the batch side is small
+    and BROADCASTS into the join, so per-batch cost is O(batch +
+    index scan), never O(corpus²) and never re-windowing the corpus.
+    ``max_df`` drops corpus window hashes appearing in more than that
+    many corpus documents (boilerplate; an index-build-time property —
+    at 100 TB you store the df count next to the hash)."""
+    idx = (
+        base_windows
+        if base_windows is not None
+        else window_hashes(base, window, id_col, text_col)
+    ).select("doc_id", "wh").distinct()
+    if max_df is not None:
+        ok = (
+            idx.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("wh")
+        )
+        idx = idx.join(ok, "wh", "left_semi")
+    bw = (
+        window_hashes(batch, window, id_col, text_col)
+        .select(F.col("doc_id").alias("batch_id"), "wh")
+        .distinct()
+    )
+    return (
+        idx.join(F.broadcast(bw), "wh")
+        .select("batch_id", F.col("doc_id").alias("base_id"))
         .distinct()
     )

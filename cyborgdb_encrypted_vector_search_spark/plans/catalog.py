@@ -655,6 +655,74 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_substring",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40
+    ),
+    base_off AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+      FROM base
+    ),
+    base_w AS (
+      SELECT DISTINCT doc_id, substring(text, i, 40) AS w FROM base_off
+    ),
+    ok AS (SELECT w FROM base_w GROUP BY w HAVING count(*) <= 100),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text || ' zz qq ww' AS text
+      FROM documents WHERE length(text || ' zz qq ww') >= 40
+    ),
+    batch_off AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+      FROM batch
+    ),
+    batch_w AS (
+      SELECT DISTINCT doc_id, substring(text, i, 40) AS w FROM batch_off
+    )
+    SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS base_id
+    FROM batch_w b
+    JOIN base_w c ON b.w = c.w
+    WHERE c.w IN (SELECT w FROM ok)
+    """,
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup
+    (operators/dedup.incremental_substring_matches): a new ingest batch
+    (suffix-perturbed copies) matched against the PERSISTED corpus
+    window-hash index (registry.window_hash_index — built once per
+    corpus version, scanned per batch, batch side broadcast). Closes
+    the incremental-path story for the substring family the way
+    dedup_incremental_minhash does for MinHash: per-batch cost O(batch
+    + index scan), never re-windowing the corpus. Oracle re-derives the
+    pairs joining on RAW substrings with the same corpus-side max_df
+    guard, so the hash blocking stays differentially verified."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        window_hash_index,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(dp)
+    )
+    batch = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    pairs = dedup.incremental_substring_matches(
+        base,
+        batch,
+        window=40,
+        max_df=100,
+        base_windows=window_hash_index(spark, sf_dir),
+    )
+    return pairs.select(
+        F.col("batch_id").cast("bigint"), F.col("base_id").cast("bigint")
+    )
+
+
+@query(
     "dedup_jaccard_verified",
     f"""
     WITH corpus AS ({_CORPUS2X_NEAR_SQL}),
@@ -4262,6 +4330,57 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_user_state",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM seq
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S'),
+                    'current') AS valid_to
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: the events log folded
+    into per-user state VERSION intervals — a new version only where
+    the state actually changes (lag filter), valid_to = next version's
+    valid_from (lead), open interval marked 'current'. The standard
+    lakehouse dimension-history derivation; one shuffle on user_id
+    serves both windows (change detection and versioning use the same
+    partitioning, so Catalyst plans a single Exchange)."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+    )
+
+
+@query(
     "q_unpivot_revenue_parts",
     """
     WITH agg AS (
@@ -6868,6 +6987,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_substring_pairs",
     "q_time_partitioned_hourly",
     "q_unpivot_revenue_parts",
+    "q_scd2_user_state",
+    "dedup_incremental_substring",
     "streaming_collection_upsert",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
     # decrypt metadata passthrough, rotation metadata carry-through)
@@ -6912,10 +7033,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "text_bpe_merge_counts",
     "dedup_incremental_verified",
+    # past the driver's 50-entry window this round — they stay
+    # r2-verified and MUST lead the r6 rotation
     "ann_ivf_adaptive_topk",
     "pipeline_corpus_curation",
-    # positions 51-53: past the driver's 50-entry window this round —
-    # they stay r2-verified and MUST lead the r6 rotation
     "text_decontaminate",
     "q_sample_mixture",
     "text_pii_scan",

@@ -178,6 +178,25 @@ def minhash_band_index(
     return _cached_view(spark, view, build)
 
 
+def window_hash_index(
+    spark: SparkSession, sf_dir: str | None = None, window: int = 40
+) -> DataFrame:
+    """Cached (doc_id, wh) rolling-window hash index over documents —
+    the persisted corpus artifact every incremental exact-substring
+    batch probes (built once per corpus version, never re-windowed)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup
+
+    d = sf_dir or DEFAULT_SF_DIR
+    view = f"window_hash_index_{window}_{_tag(d)}"
+
+    def build() -> DataFrame:
+        docs = load(spark, "documents", d).select("doc_id", "text")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return dedup.window_hashes(docs, window).distinct()
+
+    return _cached_view(spark, view, build)
+
+
 def shingle_index(
     spark: SparkSession, sf_dir: str | None = None, shingle_len: int = 3
 ) -> DataFrame:
