@@ -124,3 +124,42 @@ def perplexity_bits(
     return exploded.groupBy(*id_cols).agg(
         F.round(F.avg(bits), digits).alias("bits")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the RAG/embedding-pipeline preprocessing step (a long document
+    becomes N windows that each fit the embedder's context). Chunks
+    start every ``size - overlap`` chars; the final chunk is the last
+    full-or-short window that reaches the end of the document, so
+    every character lands in >= 1 chunk and short docs yield exactly
+    one. Pure codegen (sequence + transform + posexplode): no UDF, no
+    shuffle — chunking is a projection, and at 100 TB it runs inside
+    the ingest scan. Returns (id, chunk_idx, chunk) rows."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.length(text_col), F.lit(1)) - F.lit(size) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    n_chunks = F.greatest(n_chunks, F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.substring(
+            F.col(text_col), (i * stride + F.lit(1)).cast("int"), size
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )

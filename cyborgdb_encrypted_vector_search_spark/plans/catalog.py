@@ -930,6 +930,51 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", X.token_count(t).cast("bigint").alias("n_tokens"))
 
 
+@query(
+    "text_chunk_windows",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(1 + CAST(floor(
+               (greatest(length(text), 1) - 200 + 149) / 150.0) AS INT),
+               1) AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(n_chunks)) AS chunk_idx,
+             text
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(length(substring(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200))
+                AS BIGINT) AS chunk_len,
+           {H.sql_fingerprint_md5("substring(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200)")}
+             AS chunk_fp
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding pipelines
+    (operators/textops.chunk_documents): every document split into
+    200-char windows with 50-char overlap (stride 150), final chunk
+    reaching the end, short docs yielding exactly one — the RAG
+    preprocessing step between the corpus and the embed UDF. Pure
+    projection (sequence + transform + posexplode inside the scan, no
+    shuffle); every chunk's length and md5 fingerprint value-hashed
+    against DuckDB deriving the identical windows."""
+    from cyborgdb_encrypted_vector_search_spark.operators import textops
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    chunks = textops.chunk_documents(docs, size=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        H.fingerprint_md5(F.col("chunk")).alias("chunk_fp"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Set operations / relational extras
 # ----------------------------------------------------------------------
@@ -6988,6 +7033,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_time_partitioned_hourly",
     "q_unpivot_revenue_parts",
     "q_scd2_user_state",
+    "text_chunk_windows",
     "dedup_incremental_substring",
     "streaming_collection_upsert",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
@@ -7032,9 +7078,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocabulary_topk",
     "text_repetition_stats",
     "text_bpe_merge_counts",
-    "dedup_incremental_verified",
     # past the driver's 50-entry window this round — they stay
     # r2-verified and MUST lead the r6 rotation
+    "dedup_incremental_verified",
     "ann_ivf_adaptive_topk",
     "pipeline_corpus_curation",
     "text_decontaminate",

@@ -399,3 +399,33 @@ def test_substring_window_pairs_detection_and_max_df(spark):
     guarded = dedup.substring_window_pairs(boiler, window=40, max_df=3).count()
     assert all_pairs == 15  # 6 choose 2 via the shared header
     assert guarded == 0
+
+
+def test_chunk_documents_coverage_and_edges(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 50),            # short: exactly one chunk
+            (2, "b" * 200),           # exact size: one chunk
+            (3, "c" * 201),           # one char over: two chunks
+            (4, "d" * 350),           # 1 + ceil(150/150) = 2 chunks
+            (5, "e" * 351),           # 3 chunks
+            (6, ""),                  # empty: one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.chunk_documents(docs, size=200, overlap=50).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    counts = {k: len(v) for k, v in by.items()}
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 1}
+    # overlap: consecutive chunks share the trailing/leading 50 chars
+    c5 = [c for _, c in sorted(by[5])]
+    assert c5[0][150:] == c5[1][:50]
+    # coverage: rebuilding the doc from strides reproduces it exactly
+    rebuilt = c5[0] + c5[1][50:] + c5[2][50:]
+    assert rebuilt == "e" * 351
+    with pytest.raises(ValueError):
+        textops.chunk_documents(docs, size=50, overlap=50)
