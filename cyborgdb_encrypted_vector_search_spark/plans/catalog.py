@@ -4426,6 +4426,56 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rank_family_orders",
+    """
+    WITH top_cust AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+    )
+    SELECT o_custkey, n_orders,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INT)
+             AS quartile,
+           round(percent_rank() OVER w, 7) AS prk
+    FROM top_cust
+    WINDOW w AS (ORDER BY n_orders DESC, o_custkey)
+    """,
+)
+def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family in one plan — rank / dense_rank /
+    ntile / percent_rank over customer order activity (SURVEY.md §2.5
+    window breadth; row_number is covered by every top-k gate). Global
+    windows like these are the one shape that CAN'T scale as written
+    (single-partition sort); the 100 TB formulations are range
+    partitioning + per-partition rank with offset merge, or the ntile
+    via approx quantile cutpoints — both documented in docs/COSTS.md.
+    Ties are broken by o_custkey on every window so both engines rank
+    identically."""
+    o = load(spark, "orders", sf_dir)
+    top = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    w2 = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return top.select(
+        "o_custkey",
+        "n_orders",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w2).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 7).alias("prk"),
+    )
+
+
+@query(
     "q_unpivot_revenue_parts",
     """
     WITH agg AS (
@@ -7033,6 +7083,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_time_partitioned_hourly",
     "q_unpivot_revenue_parts",
     "q_scd2_user_state",
+    "q_rank_family_orders",
     "text_chunk_windows",
     "dedup_incremental_substring",
     "streaming_collection_upsert",
@@ -7077,9 +7128,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_session_windows",
     "text_vocabulary_topk",
     "text_repetition_stats",
-    "text_bpe_merge_counts",
     # past the driver's 50-entry window this round — they stay
     # r2-verified and MUST lead the r6 rotation
+    "text_bpe_merge_counts",
     "dedup_incremental_verified",
     "ann_ivf_adaptive_topk",
     "pipeline_corpus_curation",
