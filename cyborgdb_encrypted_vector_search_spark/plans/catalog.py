@@ -931,6 +931,98 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_rag_ingest",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(1 + CAST(floor(
+               (greatest(length(text), 1) - 200 + 149) / 150.0) AS INT),
+               1) AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(n_chunks)) AS chunk_idx,
+             text
+      FROM n
+    ),
+    c AS (
+      SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+               AS id,
+             substring(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200)
+               AS chunk
+      FROM chunks
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+           min({H.sql_fingerprint_md5('chunk')}) AS min_fp,
+           max({H.sql_fingerprint_md5('chunk')}) AS max_fp,
+           TRUE AS dim_ok,
+           TRUE AS self_retrieval_ok
+    FROM c
+    """,
+)
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern RAG ingest pipeline END TO END: documents →
+    overlapping-window chunks (textops.chunk_documents, in-scan
+    projection) → D1 Arrow-batched embed UDF per chunk → vector
+    collection (chunk id = doc:idx) → retrieval. Chunk fidelity
+    (count / distinct ids / min+max chunk fingerprints of the STORED
+    collection) is value-hashed against DuckDB deriving the identical
+    windows; `dim_ok` (every stored embedding exactly 64-dim) and
+    `self_retrieval_ok` (querying with a stored chunk's embedding
+    returns that chunk as the top hit — Collection.query, the
+    reference's src/cod.py:124-129 flow) are Spark-computed, oracle
+    literals: the stub embedder isn't SQL-expressible, the same
+    documented exception as streaming_collection_ingest."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+    from cyborgdb_encrypted_vector_search_spark.operators import textops
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        Collection,
+    )
+
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:rag_ingest_v1:{ctag}".encode()).hexdigest()[:10]
+    base = _os.path.join(_tf.gettempdir(), f"rag_coll_{tag}")
+    name = "rag_chunks"
+    if not _os.path.isdir(base):
+        docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+        chunks = textops.chunk_documents(docs, size=200, overlap=50)
+        udf = E.make_embed_udf(64)
+        rows = chunks.select(
+            F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("id"),
+            F.col("chunk").alias("document"),
+            udf(F.col("chunk")).cast("array<float>").alias("embedding"),
+        )
+        tmp = f"{base}.tmp{_os.getpid()}"
+        coll = Collection.create(spark, name, tmp, dim=64)
+        coll.add(rows, id_col="id")
+        _publish_dir(tmp, base)
+    coll = Collection(spark, name, _os.path.join(base, name), 64)
+    scan = coll.scan()
+    fidelity = scan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+        F.min(H.fingerprint_md5(F.col("document"))).alias("min_fp"),
+        F.max(H.fingerprint_md5(F.col("document"))).alias("max_fp"),
+        (
+            F.count(F.lit(1))
+            == F.sum((F.size("embedding") == 64).cast("int"))
+        ).alias("dim_ok"),
+    )
+    probe = coll.get(["0:0"], include=["embedding"]).collect()
+    top = coll.query(
+        query_embeddings=[list(probe[0]["embedding"])], n_results=1
+    ).collect()
+    ok = bool(top) and top[0]["id"] == "0:0"
+    return fidelity.withColumn("self_retrieval_ok", F.lit(ok))
+
+
+@query(
     "text_chunk_windows",
     f"""
     WITH n AS (
@@ -7085,6 +7177,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_scd2_user_state",
     "q_rank_family_orders",
     "text_chunk_windows",
+    "pipeline_rag_ingest",
     "dedup_incremental_substring",
     "streaming_collection_upsert",
     # changed in r5: Collection layout/refactor (bucketed scan/add/get,
@@ -7127,9 +7220,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "streaming_session_windows",
     "text_vocabulary_topk",
-    "text_repetition_stats",
     # past the driver's 50-entry window this round — they stay
     # r2-verified and MUST lead the r6 rotation
+    "text_repetition_stats",
     "text_bpe_merge_counts",
     "dedup_incremental_verified",
     "ann_ivf_adaptive_topk",
