@@ -1,0 +1,162 @@
+"""Sparse ranked retrieval: BM25 over an inverted-postings dataflow.
+
+The reference retrieves by dense-vector similarity only (ChromaDB kNN,
+src/cod.py:124-129). A production RAG stack pairs that with SPARSE
+lexical retrieval — BM25 over an inverted index — and fuses or reranks
+the two. This module is the Spark-first formulation of the sparse leg:
+
+- postings/doc-stats are plain aggregations over the tokenized corpus
+  (one shuffle on (doc, term), map-side partial counts);
+- a query batch joins INTO the postings on term, with the query-term
+  side broadcast — the classic inverted-index probe: only postings for
+  query terms are touched, never the whole index;
+- per-(query, doc) scores sum term contributions through
+  DECIMAL(18,6), so partial-aggregation order cannot change a score
+  (the same determinism rule the relational gates use for sums);
+- top-k per query is a rank-limited window (WindowGroupLimit —
+  per-partition partial top-k before the shuffle).
+
+At 100 TB the postings table is the big side and stays put, bucketed
+by term; each query batch is small and broadcasts. Nothing here is
+per-row Python — tokenize, tf, idf, and the BM25 formula are all
+built-in-function codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.functions import text as X
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf, dl): term frequencies plus the document's token
+    length, from one tokenize + explode + two-level aggregate."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), X.tokens(text_col).alias("toks")
+    )
+    return (
+        toks.select("doc", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per query by BM25 (k1=1.2, b=0.75, the Robertson/
+    Lucene idf ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Returns (query_id, doc, score DOUBLE, rank). Ties break on doc id
+    ascending. ``queries`` is assumed small (a serving batch): its
+    exploded terms broadcast into the postings join, so the probe
+    touches only matching postings — the inverted-index access path,
+    not a corpus scan per query.
+    """
+    postings = doc_postings(docs, doc_id_col, doc_text_col)
+    # corpus stats: N and avgdl — one tiny agg, broadcast as a literal
+    # join (1 row; bounded at any scale)
+    stats = postings.groupBy("doc").agg(F.first("dl").alias("dl"))
+    n_docs, avgdl = stats.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    n_docs = int(n_docs)
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(X.tokens(query_text_col))).alias("term"),
+        )
+    )
+    # document frequency only for query terms: postings pre-filtered by
+    # the broadcast term list, then counted — idf never materializes
+    # for the full vocabulary
+    matched = postings.join(F.broadcast(qterms), "term")
+    df_t = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (idf * tf_norm).cast("decimal(18,6)")
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc")
+        .agg(F.sum("contrib").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_bm25_scored(
+    queries_cte: str,
+    docs_table: str = "documents",
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+) -> str:
+    """DuckDB CTE chain computing the identical BM25 scores, for
+    two-sided oracles: given a CTE ``q(query_id, query_text)`` named by
+    ``queries_cte``, defines ``bm25(query_id, doc, score)``."""
+    toks = X.sql_tokens(doc_text)
+    qtoks = X.sql_tokens("query_text")
+    return f"""
+    postings AS (
+      SELECT {doc_id} AS doc, t.term, len({toks}) AS dl,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM {docs_table}, unnest({toks}) AS t(term)
+      GROUP BY doc, t.term, dl
+    ),
+    corpus AS (
+      SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n,
+             (SELECT avg(dl) FROM (SELECT DISTINCT doc, dl FROM postings))
+               AS avgdl
+      FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, t.term
+      FROM {queries_cte}, unnest({qtoks}) AS t(term)
+    ),
+    df_t AS (
+      SELECT term, CAST(count(DISTINCT doc) AS DOUBLE) AS df
+      FROM postings WHERE term IN (SELECT term FROM qterms)
+      GROUP BY term
+    ),
+    bm25 AS (
+      SELECT q.query_id, p.doc,
+             CAST(sum(CAST(
+               ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * ({K1} + 1))
+               / (p.tf + {K1} * (1 - {B} + {B} * p.dl / c.avgdl))
+             AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM qterms q
+      JOIN postings p ON p.term = q.term
+      JOIN df_t d ON d.term = q.term, corpus c
+      GROUP BY q.query_id, p.doc
+    )
+    """

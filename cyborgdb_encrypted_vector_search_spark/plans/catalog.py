@@ -1022,6 +1022,142 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fidelity.withColumn("self_retrieval_ok", F.lit(ok))
 
 
+def _rag_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic retrieval query batch: the first 8 tokens of docs
+    0-2 as query strings (content-derived, so the gate tracks the
+    testdata; small by construction — a serving batch)."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(X.tokens("text"), 1, 8), " ").alias("query_text"),
+    )
+
+
+_RAG_QUERIES_SQL = f"""
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(list_slice({X.sql_tokens('text')}, 1, 8), ' ')
+               AS query_text
+      FROM documents WHERE doc_id IN (0, 1, 2)
+    )
+"""
+
+
+def _bm25_sql_prefix() -> str:
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    return "WITH " + _RAG_QUERIES_SQL + "," + R.sql_bm25_scored("q")
+
+
+def _mk_text_bm25_sql() -> str:
+    return (
+        _bm25_sql_prefix()
+        + """
+    , ranked AS (
+      SELECT query_id, doc, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc
+             ) AS rank
+      FROM bm25
+    )
+    SELECT query_id, doc, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+    )
+
+
+@query("text_bm25_topk", None)  # sql attached below (needs retrieval import)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse ranked retrieval: BM25 top-5 per query over the document
+    corpus (operators/retrieval.bm25_topk) — the lexical leg of the
+    hybrid RAG retrieval stack the reference's dense-only kNN implies.
+    Inverted-index access path: the query-term batch BROADCASTS into
+    the postings join, so only postings for query terms are read;
+    per-score term contributions sum through DECIMAL(18,6) so the
+    result is partial-aggregation-order independent; top-5 is a
+    rank-limited window. Oracle: DuckDB derives identical postings,
+    idf, and BM25 sums from the same corpus."""
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = load(spark, "documents", sf_dir)
+    out = R.bm25_topk(_rag_queries(spark, sf_dir), docs, k=5)
+    return out.select("query_id", "doc", "score", "rank")
+
+
+CATALOG["text_bm25_topk"].sql = _mk_text_bm25_sql()
+
+
+def _mk_rag_rerank_sql() -> str:
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+
+    return (
+        _bm25_sql_prefix()
+        + f"""
+    , cand AS (
+      SELECT query_id, doc, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc
+             ) AS r0
+      FROM bm25
+    ),
+    rr AS (
+      SELECT c.query_id, c.doc, c.score,
+             {RR.sql_cross_score('q.query_text', 'd.text')} AS rerank_score
+      FROM cand c
+      JOIN q USING (query_id)
+      JOIN documents d ON d.doc_id = c.doc
+      WHERE c.r0 <= 20
+    ),
+    final AS (
+      SELECT query_id, doc, rerank_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rerank_score DESC, score DESC, doc
+             ) AS rank
+      FROM rr
+    )
+    SELECT query_id, doc, rerank_score, CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 3
+    """
+    )
+
+
+@query("pipeline_rag_rerank", None)  # sql attached below
+def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval FUNNEL end to end: BM25 shortlist (top-20 per
+    query, inverted-index probe) → pairwise cross-encoder rerank over
+    shortlist × query only → top-3. The rerank stage is the seam where
+    the expensive model plugs in (functions/rerank.make_cross_encoder_udf,
+    load-once-per-executor like the embed seam); the shipped default is
+    the deterministic lexical scorer (token-set Jaccard, pure built-in
+    array functions), which keeps the WHOLE two-stage pipeline
+    two-sided oracle-checkable. The funnel is the scale story: the
+    cross scorer touches k candidates per query, never the corpus."""
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = load(spark, "documents", sf_dir)
+    queries = _rag_queries(spark, sf_dir)
+    cand = R.bm25_topk(queries, docs, k=20)
+    enriched = cand.join(F.broadcast(queries), "query_id").join(
+        docs.select(F.col("doc_id").alias("doc"), "text"), "doc"
+    )
+    rr = enriched.withColumn(
+        "rerank_score", RR.cross_score("query_text", "text")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.desc("score"), F.col("doc").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc", "rerank_score", "rank")
+    )
+
+
+CATALOG["pipeline_rag_rerank"].sql = _mk_rag_rerank_sql()
+
+
 @query(
     "text_chunk_windows",
     f"""
@@ -1883,6 +2019,75 @@ def q_time_partitioned_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)"))
         .cast("double")
         .alias("total_value"),
+    )
+
+
+@query(
+    "q_zorder_pruned_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-03-31'
+      AND l_partkey BETWEEN 100 AND 600
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (multi-dimensional clustering) layout
+    (operators/layout.build_zorder_layout): lineitem rewritten in
+    Z-curve order over (ship day, part key), then a two-dimensional box
+    query — a date window AND a part-key range — runs against the
+    clustered copy. Partition-by-column can prune only one dimension;
+    the Z-layout makes BOTH predicates effective data skipping: every
+    file covers a tight (day, part) rectangle, so parquet footer
+    min/max stats reject files outside the box (skip rate pinned from
+    the footers by tests/test_plans.py). Differential claim: the
+    clustered copy computes exactly the original table's answer. This
+    is the compaction-time layout job for 100 TB fact tables (Delta/
+    Iceberg OPTIMIZE ZORDER BY), built from plain arithmetic +
+    repartitionByRange — no custom reader, no extra stored bytes."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    li = load(spark, "lineitem", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "lineitem", "l_orderkey")
+    tag = _hl.md5(f"{sf_dir}:zorder_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"lineitem_zorder_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        L.build_zorder_layout(
+            li.withColumn(
+                "ship_day", F.datediff("l_shipdate", F.lit("1970-01-01"))
+            ),
+            "ship_day",
+            "l_partkey",
+            tmp,
+            bits=14,
+            n_files=64,
+        )
+        _publish_dir(tmp, path)
+    epoch = _dt.date(1970, 1, 1)
+    lo = (_dt.date(1994, 1, 1) - epoch).days
+    hi = (_dt.date(1994, 3, 31) - epoch).days
+    box = L.read_zorder_box(
+        spark, path, "ship_day", "l_partkey", lo, hi, 100, 600
+    )
+    return box.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
     )
 
 

@@ -226,3 +226,61 @@ def test_heavy_model_loads_once_per_executor_and_dim_propagates(
     ).collect()
     assert top[0]["id"] == "7"
     assert top[0]["score"] > 0.999
+
+
+def test_cross_encoder_seam_loads_once_and_reorders(spark, tmp_path):
+    """The rerank seam's real-model path: a non-picklable pairwise
+    scorer with the sentence-transformers CrossEncoder surface
+    (predict over (query, doc) pairs) plugs into
+    make_cross_encoder_udf, loads at most once per worker process, and
+    its scores reorder a candidate list — the funnel's expensive stage
+    runs model code only on shortlist rows."""
+    import glob
+    import os
+    import threading
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+
+    marker_dir = str(tmp_path / "xenc_loads")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    class HeavyCrossEncoder:
+        def __init__(self, mdir):
+            self._lock = threading.Lock()  # unpicklable
+            with open(
+                os.path.join(mdir, f"{os.getpid()}_{uuid.uuid4().hex}"), "w"
+            ) as f:
+                f.write(str(os.getpid()))
+
+        def predict(self, pairs):
+            # longer shared prefix => higher score; deterministic
+            out = []
+            for q, d in pairs:
+                n = 0
+                for a, b in zip(q, d):
+                    if a != b:
+                        break
+                    n += 1
+                out.append(float(n))
+            return out
+
+    udf = RR.make_cross_encoder_udf(
+        lambda: HeavyCrossEncoder(marker_dir), tag=f"xenc-{uuid.uuid4().hex}"
+    )
+    rows = [("abcdef", "abcxyz", i) for i in range(20)] + [
+        ("abcdef", "abcdeq", i) for i in range(20, 40)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_text string, text string, doc long"
+    ).repartition(4)
+    scored = df.withColumn("s", udf("query_text", "text"))
+    got = {r["doc"]: r["s"] for r in scored.collect()}
+    assert got[0] == 3.0 and got[25] == 5.0
+    # load-once: at most one marker per executor python worker process
+    pids = {open(p).read() for p in glob.glob(os.path.join(marker_dir, "*"))}
+    markers = glob.glob(os.path.join(marker_dir, "*"))
+    assert len(markers) == len(pids)
+    assert 1 <= len(pids) <= 4

@@ -429,3 +429,27 @@ def test_chunk_documents_coverage_and_edges(spark):
     assert rebuilt == "e" * 351
     with pytest.raises(ValueError):
         textops.chunk_documents(docs, size=50, overlap=50)
+
+
+def test_zvalue_interleaves_bits(spark):
+    """zvalue must equal the textbook bit-interleave (x even positions,
+    y odd), so curve locality — and therefore the layout's skipping
+    guarantee — is real, not approximate."""
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    def ref(x, y, bits=14):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 16), (16383, 16383)]
+    df = spark.createDataFrame(cases, "x int, y int").withColumn(
+        "z", L.zvalue(F.col("x"), F.col("y"), bits=14)
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == ref(x, y), (x, y)

@@ -281,3 +281,75 @@ def test_time_partitioned_scan_prunes_to_window(spark, sf_dir, cat):
     path = os.path.join(tempfile.gettempdir(), f"events_bydate_{tag}")
     n_parts = len(glob.glob(os.path.join(path, "event_date=*")))
     assert n_parts >= 28  # ~one directory per January day
+
+
+def test_zorder_layout_files_skip_outside_box(spark, sf_dir, cat):
+    """The Z-ordered lineitem copy must make BOTH box predicates
+    effective data skipping: each file's footer min/max over (ship_day,
+    l_partkey) covers a tight rectangle, so most files' stats ranges
+    don't intersect the gate's query box at all — the parquet reader
+    rejects them without decoding a page. Pinned from the footers
+    directly (the same stats the reader consults)."""
+    import datetime
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+        _content_tag,
+    )
+
+    df = cat["q_zorder_pruned_scan"].fn(spark, sf_dir)
+    df.collect()  # builds the layout on first run
+    plan = X.physical_plan(df)
+    assert "PushedFilters" in plan and "ship_day" in plan, plan
+
+    ctag = _content_tag(spark, sf_dir, "lineitem", "l_orderkey")
+    tag = hashlib.md5(f"{sf_dir}:zorder_v1:{ctag}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lineitem_zorder_{tag}")
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= 16
+
+    epoch = datetime.date(1970, 1, 1)
+    x_lo = (datetime.date(1994, 1, 1) - epoch).days
+    x_hi = (datetime.date(1994, 3, 31) - epoch).days
+    y_lo, y_hi = 100, 600
+
+    def ranges(md, col):
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        return min(mins), max(maxs)
+
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        xmn, xmx = ranges(md, "ship_day")
+        ymn, ymx = ranges(md, "l_partkey")
+        if xmx >= x_lo and xmn <= x_hi and ymx >= y_lo and ymn <= y_hi:
+            hit += 1
+    # the box covers a few % of the (day, part) area; a linear layout
+    # leaves every file intersecting on the unsorted dimension, the
+    # z-layout leaves only the files whose rectangle the box touches
+    assert hit / len(files) <= 0.5, (hit, len(files))
+
+
+def test_bm25_probe_broadcasts_query_terms(spark, sf_dir, cat):
+    """The BM25 retrieval plan must be an inverted-index PROBE, not a
+    corpus-side shuffle join: the exploded query-term batch (and the
+    derived idf table) broadcast into the postings join, and the final
+    per-query top-k is a rank-limited window."""
+    df = cat["text_bm25_topk"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the postings side must never sort-merge against the query batch
+    assert "SortMergeJoin" not in plan, plan
