@@ -3309,6 +3309,71 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sketch_rollup_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.15 * count(DISTINCT user_id) AS rollup_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the pattern that makes distinct counts
+    affordable at 100 TB: per-(event_type, day) HLL sketches are
+    PRECOMPUTED once and persisted as a binary column in a daily rollup
+    table (here /tmp, content-tagged; in production the ingest job's
+    output), then any later distinct-count query merges sketches with
+    hll_union_agg — touching one tiny row per day instead of the raw
+    events. Datasketches HLL union is lossless (sketch of a union ==
+    union of sketches — pinned exactly vs the direct one-pass sketch by
+    tests/test_plans.py), so the rollup answers ANY day-range query
+    with the same accuracy as a full scan. Gate shape follows
+    q_approx_sketches: exact n_users/n_days are value-hashed; rollup_ok
+    asserts the merged estimate lands within 15% of exact, and the
+    oracle computes the SAME tolerance over DuckDB's own HLL — both
+    engines' sketches must independently meet the contract."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    ev = load(spark, "events", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "events", "event_id")
+    tag = _hl.md5(f"{sf_dir}:hllroll_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"events_hll_daily_{tag}")
+    if not _os.path.isdir(path):
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.hll_sketch_agg("user_id").alias("users_sketch"),
+            F.countDistinct("user_id").cast("bigint").alias("day_users"),
+        )
+        tmp = f"{path}.tmp{_os.getpid()}"
+        daily.write.parquet(tmp)
+        _publish_dir(tmp, path)
+    daily = spark.read.parquet(path)
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias(
+            "est_users"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return merged.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users",
+        (
+            F.abs(F.col("est_users") - F.col("n_users"))
+            <= 0.15 * F.col("n_users")
+        ).alias("rollup_ok"),
+    )
+
+
+@query(
     "vector_dim_stats",
     """
     SELECT dim_idx,

@@ -353,3 +353,28 @@ def test_bm25_probe_broadcasts_query_terms(spark, sf_dir, cat):
     assert "WindowGroupLimit" in plan, plan
     # the postings side must never sort-merge against the query batch
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_rollup_merge_is_lossless(spark, sf_dir):
+    """Datasketches HLL union must be exactly lossless: merging the
+    per-day sketches yields the SAME estimate as one direct sketch over
+    all rows — the property that lets a daily rollup table answer any
+    day-range distinct-count with full-scan accuracy. (The gate's
+    tolerance boolean can't see a silent merge degradation; this pins
+    exact equality.)"""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, "events", sf_dir)
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    )
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("m"))
+    )
+    rows = direct.join(merged, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert r["d"] == r["m"], r
