@@ -70,6 +70,12 @@ HEADLINE = [
     "collection_query_encrypted",
     # bucketed CRUD (r5): create+add+upsert+delete+audit as one job
     "collection_upsert_delete",
+    # r5 late additions: multi-dim clustered scan, sparse retrieval +
+    # rerank funnel, sketch-rollup distinct counts
+    "q_zorder_pruned_scan",
+    "text_bm25_topk",
+    "pipeline_rag_rerank",
+    "q_sketch_rollup_users",
 ]
 
 

@@ -46,14 +46,63 @@ def doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(col) -> "F.Column":
+    return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str, path: str) -> None:
+    """Materialize the inverted index once (the build side of sparse
+    retrieval), PARTITIONED by a term-hash bucket — the sparse twin of
+    the IVF centroid layout: a query batch touches only the
+    ``term_bucket=`` directories its terms hash into (PartitionFilters,
+    zero bytes read elsewhere), so probe cost scales with query terms,
+    not index size. At 100 TB this is the one-time index job; doc
+    count and length stats are derivable from the postings themselves
+    (distinct (doc, dl))."""
+    p = doc_postings(docs, id_col, text_col)
+    (
+        p.withColumn("term_bucket", term_bucket(F.col("term")))
+        .write.partitionBy("term_bucket")
+        .parquet(path)
+    )
+    # corpus stats (N, avgdl) as build-time metadata: one tiny sidecar
+    # row, so serving never scans the index for its constants. The
+    # leading underscore keeps the sidecar invisible to a parquet read
+    # of the index root.
+    (
+        p.groupBy("doc")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.parquet(f"{path}/_stats")
+    )
+
+
+def read_postings(spark, path: str) -> tuple[DataFrame, int, float]:
+    """Open a persisted index: (postings, n_docs, avgdl)."""
+    st = spark.read.parquet(f"{path}/_stats").first()
+    return (
+        spark.read.parquet(path),
+        int(st["n_docs"]),
+        float(st["avgdl"]) if st["avgdl"] else 1.0,
+    )
+
+
 def bm25_topk(
     queries: DataFrame,
-    docs: DataFrame,
+    docs: DataFrame = None,
     k: int = 10,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     doc_id_col: str = "doc_id",
     doc_text_col: str = "text",
+    postings: DataFrame = None,
+    corpus_stats: tuple = None,
 ) -> DataFrame:
     """Top-k docs per query by BM25 (k1=1.2, b=0.75, the Robertson/
     Lucene idf ln(1 + (N-df+0.5)/(df+0.5))).
@@ -62,15 +111,20 @@ def bm25_topk(
     ascending. ``queries`` is assumed small (a serving batch): its
     exploded terms broadcast into the postings join, so the probe
     touches only matching postings — the inverted-index access path,
-    not a corpus scan per query.
+    not a corpus scan per query. Pass a prebuilt ``postings`` frame
+    (build_postings) to probe a persisted index; deriving it inline
+    from ``docs`` re-tokenizes the corpus once per downstream branch
+    and is only for small/ad-hoc use.
     """
-    postings = doc_postings(docs, doc_id_col, doc_text_col)
-    # corpus stats: N and avgdl — one tiny agg, broadcast as a literal
-    # join (1 row; bounded at any scale)
-    stats = postings.groupBy("doc").agg(F.first("dl").alias("dl"))
-    n_docs, avgdl = stats.agg(
-        F.count(F.lit(1)), F.avg("dl")
-    ).first()
+    if postings is None:
+        postings = doc_postings(docs, doc_id_col, doc_text_col)
+    if corpus_stats is not None:
+        # persisted index: (N, avgdl) come from build-time metadata —
+        # serving never scans the index for its constants
+        n_docs, avgdl = corpus_stats
+    else:
+        stats = postings.groupBy("doc").agg(F.first("dl").alias("dl"))
+        n_docs, avgdl = stats.agg(F.count(F.lit(1)), F.avg("dl")).first()
     n_docs = int(n_docs)
     avgdl = float(avgdl) if avgdl else 1.0
 
@@ -80,6 +134,18 @@ def bm25_topk(
             F.explode(F.array_distinct(X.tokens(query_text_col))).alias("term"),
         )
     )
+    if "term_bucket" in postings.columns:
+        # persisted bucketed index: prune to the query terms' buckets
+        # BEFORE any join — the serving batch is small, so collecting
+        # its distinct bucket ids is bounded (≤ N_TERM_BUCKETS), and
+        # the IN-list lands in PartitionFilters on the layout read
+        buckets = [
+            r[0]
+            for r in qterms.select(term_bucket(F.col("term")))
+            .distinct()
+            .collect()
+        ]
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
     # document frequency only for query terms: postings pre-filtered by
     # the broadcast term list, then counted — idf never materializes
     # for the full vocabulary

@@ -1033,6 +1033,29 @@ def _rag_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rag_postings(spark: SparkSession, sf_dir: str):
+    """Build-once persisted inverted index over documents (the sparse
+    twin of the IVF layout build): term-bucket-partitioned,
+    content-tagged, published atomically, corpus stats as sidecar
+    metadata. Returns (postings, n_docs, avgdl); both BM25 gates probe
+    this table instead of re-tokenizing the corpus per plan branch."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:postings_v2:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"doc_postings_{tag}")
+    if not _os.path.isdir(path):
+        docs = load(spark, "documents", sf_dir)
+        tmp = f"{path}.tmp{_os.getpid()}"
+        R.build_postings(docs, "doc_id", "text", tmp)
+        _publish_dir(tmp, path)
+    return R.read_postings(spark, path)
+
+
 _RAG_QUERIES_SQL = f"""
     q AS (
       SELECT doc_id AS query_id,
@@ -1079,8 +1102,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf, and BM25 sums from the same corpus."""
     from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
 
-    docs = load(spark, "documents", sf_dir)
-    out = R.bm25_topk(_rag_queries(spark, sf_dir), docs, k=5)
+    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    out = R.bm25_topk(
+        _rag_queries(spark, sf_dir),
+        k=5,
+        postings=postings,
+        corpus_stats=(n_docs, avgdl),
+    )
     return out.select("query_id", "doc", "score", "rank")
 
 
@@ -1138,7 +1166,10 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     queries = _rag_queries(spark, sf_dir)
-    cand = R.bm25_topk(queries, docs, k=20)
+    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    cand = R.bm25_topk(
+        queries, k=20, postings=postings, corpus_stats=(n_docs, avgdl)
+    )
     enriched = cand.join(F.broadcast(queries), "query_id").join(
         docs.select(F.col("doc_id").alias("doc"), "text"), "doc"
     )
@@ -7433,6 +7464,12 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
 # text_pii_scan, text_pack_windows (+ all r3-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
+    # new in r5 (late additions): z-order layout, BM25 retrieval,
+    # rerank funnel, HLL rollup — never driver-verified, lead the window
+    "q_zorder_pruned_scan",
+    "text_bm25_topk",
+    "pipeline_rag_rerank",
+    "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
     "ann_sq8_search_topk",
@@ -7486,12 +7523,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q20_heavy_shippers",
     "q_grouping_sets_orders",
     "streaming_sliding_counts",
+    # past the driver's 50-entry window this round (displaced by the 4
+    # late-r5 additions above) — they stay r2-verified and MUST lead
+    # the r6 rotation
     "streaming_static_join",
     "dedup_incremental_minhash",
     "streaming_session_windows",
     "text_vocabulary_topk",
-    # past the driver's 50-entry window this round — they stay
-    # r2-verified and MUST lead the r6 rotation
     "text_repetition_stats",
     "text_bpe_merge_counts",
     "dedup_incremental_verified",

@@ -353,6 +353,14 @@ def test_bm25_probe_broadcasts_query_terms(spark, sf_dir, cat):
     assert "WindowGroupLimit" in plan, plan
     # the postings side must never sort-merge against the query batch
     assert "SortMergeJoin" not in plan, plan
+    # the persisted index probe prunes to the query terms' buckets:
+    # term_bucket IN (...) must land in PartitionFilters (zero bytes
+    # read from unprobed directories)
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*term_bucket[^\]]*\]", plan
+    ), plan
 
 
 def test_hll_rollup_merge_is_lossless(spark, sf_dir):
