@@ -62,6 +62,13 @@ QUERIES = [
     # which stays FIXED as the table grows)
     "dedup_substring_pairs",
     "collection_upsert_delete",
+    # late-r5 additions: clustered box scan (build amortized by
+    # min-of-2), partition-pruned BM25 probe + rerank funnel, and the
+    # sketch-rollup merge (query cost tracks days, not events)
+    "q_zorder_pruned_scan",
+    "text_bm25_topk",
+    "pipeline_rag_rerank",
+    "q_sketch_rollup_users",
 ]
 
 
