@@ -75,6 +75,7 @@ HEADLINE = [
     "q_zorder_pruned_scan",
     "text_bm25_topk",
     "pipeline_rag_rerank",
+    "pipeline_hybrid_rrf",
     "q_sketch_rollup_users",
 ]
 

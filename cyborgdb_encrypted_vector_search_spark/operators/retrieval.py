@@ -180,6 +180,42 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list, k_const: int = 60, topk: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings — the standard hybrid-
+    retrieval combiner (sparse BM25 + dense ANN in production; any
+    frames with (query_id, doc, rank) fuse identically).
+
+    score(q, d) = Σ_rankers 1/(k + rank_i(q, d)), summed through
+    DECIMAL(18,8) so ranker order can't change a score. RRF needs no
+    score calibration between rankers — only ranks — which is why it
+    is the default fusion in hybrid search engines. Cost: the inputs
+    are already top-k shortlists (k·|queries| rows each), so fusion is
+    a toy-sized groupBy + window regardless of corpus size."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select("query_id", "doc", "rank") for r in rankings],
+    )
+    contrib = (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).cast(
+        "decimal(18,8)"
+    )
+    scored = (
+        u.withColumn("c", contrib)
+        .groupBy("query_id", "doc")
+        .agg(F.sum("c").cast("double").alias("rrf_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def sql_bm25_scored(
     queries_cte: str,
     docs_table: str = "documents",

@@ -1189,6 +1189,93 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["pipeline_rag_rerank"].sql = _mk_rag_rerank_sql()
 
 
+def _mk_hybrid_rrf_sql() -> str:
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+
+    return (
+        _bm25_sql_prefix()
+        + f"""
+    , btop AS (
+      SELECT query_id, doc,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc
+             ) AS rank
+      FROM bm25
+      QUALIFY rank <= 20
+    ),
+    jr AS (
+      SELECT q.query_id, d.doc_id AS doc,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {RR.sql_cross_score('q.query_text', 'd.text')} DESC,
+                        d.doc_id
+             ) AS rank
+      FROM q, documents d
+    ),
+    jtop AS (SELECT query_id, doc, rank FROM jr WHERE rank <= 20),
+    unioned AS (
+      SELECT * FROM btop UNION ALL SELECT * FROM jtop
+    ),
+    fused AS (
+      SELECT query_id, doc,
+             CAST(sum(CAST(1.0 / (60 + rank) AS DECIMAL(18,8)))
+                  AS DOUBLE) AS rrf_score
+      FROM unioned GROUP BY query_id, doc
+    ),
+    final AS (
+      SELECT query_id, doc, rrf_score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc
+             ) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc, rrf_score, CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 5
+    """
+    )
+
+
+@query("pipeline_hybrid_rrf", None)  # sql attached below
+def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse): two independent rankers' top-20
+    shortlists — the BM25 inverted-index probe and a pairwise lexical
+    scorer (the cross_score seam, scoring every (query, doc) pair as a
+    broadcast map over the corpus scan) — fused by Σ 1/(60+rank) and
+    cut to top-5. RRF compares only RANKS, never raw scores, so any
+    ranker with a (query_id, doc, rank) shortlist plugs in — in
+    production the second leg is the dense ANN index (same output
+    shape, see ann_ivf_batch_topk); here both legs are
+    SQL-expressible, keeping the fusion two-sided oracle-checked.
+    Fusion itself is shortlist-sized work regardless of corpus."""
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = load(spark, "documents", sf_dir)
+    queries = _rag_queries(spark, sf_dir)
+    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    btop = R.bm25_topk(
+        queries, k=20, postings=postings, corpus_stats=(n_docs, avgdl)
+    ).select("query_id", "doc", "rank")
+    jw = Window.partitionBy("query_id").orderBy(
+        F.desc("jscore"), F.col("doc").asc()
+    )
+    jtop = (
+        docs.select(F.col("doc_id").alias("doc"), "text")
+        .crossJoin(F.broadcast(queries))
+        .withColumn("jscore", RR.cross_score("query_text", "text"))
+        .withColumn("rank", F.row_number().over(jw))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc", "rank")
+    )
+    return R.rrf_fuse([btop, jtop], k_const=60, topk=5).select(
+        "query_id", "doc", "rrf_score", "rank"
+    )
+
+
+CATALOG["pipeline_hybrid_rrf"].sql = _mk_hybrid_rrf_sql()
+
+
 @query(
     "text_chunk_windows",
     f"""
@@ -7469,6 +7556,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_zorder_pruned_scan",
     "text_bm25_topk",
     "pipeline_rag_rerank",
+    "pipeline_hybrid_rrf",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7522,10 +7610,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q11_important_part_value",
     "q20_heavy_shippers",
     "q_grouping_sets_orders",
-    "streaming_sliding_counts",
-    # past the driver's 50-entry window this round (displaced by the 4
+    # past the driver's 50-entry window this round (displaced by the 5
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "streaming_sliding_counts",
     "streaming_static_join",
     "dedup_incremental_minhash",
     "streaming_session_windows",
