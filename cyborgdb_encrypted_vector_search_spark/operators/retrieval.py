@@ -53,43 +53,73 @@ def term_bucket(col) -> "F.Column":
     return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
+def _partial_stats(p: DataFrame) -> DataFrame:
+    """One MERGEABLE stats row for a postings frame: (n_docs, sum_dl).
+    Integer sums merge exactly (order-free in double up to 2^53), so
+    avgdl derived at read time is bit-identical however many partial
+    rows the sidecar accumulates."""
+    return (
+        p.groupBy("doc")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+
+
 def build_postings(docs: DataFrame, id_col: str, text_col: str, path: str) -> None:
     """Materialize the inverted index once (the build side of sparse
     retrieval), PARTITIONED by a term-hash bucket — the sparse twin of
     the IVF centroid layout: a query batch touches only the
     ``term_bucket=`` directories its terms hash into (PartitionFilters,
     zero bytes read elsewhere), so probe cost scales with query terms,
-    not index size. At 100 TB this is the one-time index job; doc
-    count and length stats are derivable from the postings themselves
-    (distinct (doc, dl))."""
+    not index size. At 100 TB this is the one-time index job; corpus
+    stats land as mergeable sidecar rows (the leading underscore keeps
+    the sidecar invisible to a parquet read of the index root)."""
     p = doc_postings(docs, id_col, text_col)
     (
         p.withColumn("term_bucket", term_bucket(F.col("term")))
         .write.partitionBy("term_bucket")
         .parquet(path)
     )
-    # corpus stats (N, avgdl) as build-time metadata: one tiny sidecar
-    # row, so serving never scans the index for its constants. The
-    # leading underscore keeps the sidecar invisible to a parquet read
-    # of the index root.
+    _partial_stats(p).write.parquet(f"{path}/_stats")
+
+
+def append_postings(
+    docs_batch: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """O(batch) incremental index maintenance: tokenize ONLY the new
+    documents, append their postings under the term buckets they touch
+    (partitioned append — resident postings are never read or
+    rewritten, the same ingest shape as append_to_ivf_layout), and
+    append one partial-stats row. Batches must carry previously-unseen
+    doc ids (append, not upsert); because per-doc postings are disjoint
+    across batches, the grown index is row-identical to a from-scratch
+    rebuild — which is exactly what the incremental gate asserts."""
+    p = doc_postings(docs_batch, id_col, text_col)
     (
-        p.groupBy("doc")
-        .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-        )
-        .write.parquet(f"{path}/_stats")
+        p.withColumn("term_bucket", term_bucket(F.col("term")))
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(path)
     )
+    _partial_stats(p).write.mode("append").parquet(f"{path}/_stats")
 
 
 def read_postings(spark, path: str) -> tuple[DataFrame, int, float]:
-    """Open a persisted index: (postings, n_docs, avgdl)."""
-    st = spark.read.parquet(f"{path}/_stats").first()
+    """Open a persisted index: (postings, n_docs, avgdl), stats merged
+    across however many partial rows build + appends left behind."""
+    st = (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs"), F.sum("sum_dl"))
+        .first()
+    )
+    n = int(st[0] or 0)
     return (
         spark.read.parquet(path),
-        int(st["n_docs"]),
-        float(st["avgdl"]) if st["avgdl"] else 1.0,
+        n,
+        (float(st[1]) / n) if n else 1.0,
     )
 
 

@@ -1046,7 +1046,7 @@ def _rag_postings(spark: SparkSession, sf_dir: str):
     from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
 
     ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
-    tag = _hl.md5(f"{sf_dir}:postings_v2:{ctag}".encode()).hexdigest()[:10]
+    tag = _hl.md5(f"{sf_dir}:postings_v3:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"doc_postings_{tag}")
     if not _os.path.isdir(path):
         docs = load(spark, "documents", sf_dir)
@@ -1113,6 +1113,56 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG["text_bm25_topk"].sql = _mk_text_bm25_sql()
+
+
+@query("text_bm25_incremental", None)  # sql attached below
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the INVERTED index
+    (operators/retrieval.append_postings): the index is built from only
+    the even-id half of the corpus, the odd half arrives as two
+    appends — each tokenizes ONLY its batch and appends postings under
+    the touched term buckets plus one mergeable stats row; resident
+    postings are never read or rewritten (O(batch) ingest, the sparse
+    twin of ann_ivf_incremental_append). The gate then runs the
+    standard BM25 top-5 against the GROWN index and value-hashes it
+    against the oracle's full-corpus BM25 — equality holds because
+    per-doc postings are disjoint across batches and the merged stats
+    sums are exact, so the grown index is indistinguishable from a
+    from-scratch build."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:postings_incr_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"doc_postings_incr_{tag}")
+    if not _os.path.isdir(path):
+        docs = load(spark, "documents", sf_dir)
+        tmp = f"{path}.tmp{_os.getpid()}"
+        R.build_postings(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", tmp
+        )
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        R.append_postings(
+            odd.filter(F.col("doc_id") % 4 == 1), "doc_id", "text", tmp
+        )
+        R.append_postings(
+            odd.filter(F.col("doc_id") % 4 == 3), "doc_id", "text", tmp
+        )
+        _publish_dir(tmp, path)
+    postings, n_docs, avgdl = R.read_postings(spark, path)
+    out = R.bm25_topk(
+        _rag_queries(spark, sf_dir),
+        k=5,
+        postings=postings,
+        corpus_stats=(n_docs, avgdl),
+    )
+    return out.select("query_id", "doc", "score", "rank")
+
+
+CATALOG["text_bm25_incremental"].sql = _mk_text_bm25_sql()
 
 
 def _mk_rag_rerank_sql() -> str:
@@ -7557,6 +7607,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",
     "pipeline_rag_rerank",
     "pipeline_hybrid_rrf",
+    "text_bm25_incremental",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7609,10 +7660,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q20_heavy_shippers",
-    "q_grouping_sets_orders",
-    # past the driver's 50-entry window this round (displaced by the 5
+    # past the driver's 50-entry window this round (displaced by the 6
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "q_grouping_sets_orders",
     "streaming_sliding_counts",
     "streaming_static_join",
     "dedup_incremental_minhash",

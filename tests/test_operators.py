@@ -453,3 +453,43 @@ def test_zvalue_interleaves_bits(spark):
     got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
     for x, y in cases:
         assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_append_postings_never_rewrites_resident_files(spark, tmp_path):
+    """Incremental index maintenance must be APPEND-shaped: growing the
+    postings index by a batch adds new files under the touched term
+    buckets and one partial-stats row, while every resident file stays
+    byte-identical — O(batch) ingest, the property that makes the
+    index maintainable at 100 TB."""
+    import glob
+    import os
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} common word{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "postings")
+    R.build_postings(docs.filter("doc_id < 20"), "doc_id", "text", path)
+
+    def snapshot():
+        out = {}
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            st = os.stat(f)
+            out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    R.append_postings(docs.filter("doc_id >= 20"), "doc_id", "text", path)
+    after = snapshot()
+    # every pre-append file survives unchanged; new files were added
+    for f, sig in before.items():
+        assert after.get(f) == sig, f
+    assert len(after) > len(before)
+    # merged stats equal a from-scratch build's
+    _, n, avgdl = R.read_postings(spark, path)
+    full = str(tmp_path / "postings_full")
+    R.build_postings(docs, "doc_id", "text", full)
+    _, n2, avgdl2 = R.read_postings(spark, full)
+    assert (n, avgdl) == (n2, avgdl2)
