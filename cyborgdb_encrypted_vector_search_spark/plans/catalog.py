@@ -1165,6 +1165,57 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["text_bm25_incremental"].sql = _mk_text_bm25_sql()
 
 
+@query("streaming_bm25_ingest", None)  # sql attached below
+def streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous SPARSE-index maintenance end-to-end
+    (streaming/ingest.stream_append_to_postings): the documents table
+    is staged as four files and streamed with maxFilesPerTrigger=1, so
+    four real micro-batches each tokenize their documents and append
+    postings + a mergeable stats row into the term-bucket-partitioned
+    index via foreachBatch (idempotent per-batch commit markers). The
+    gated claim mirrors streaming_ivf_ingest on the sparse side: BM25
+    over the STREAM-GROWN index value-hashes equal to the oracle's
+    full-corpus formulation — streaming ingest and batch build are
+    interchangeable views of the same inverted index."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+    from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
+
+    ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
+    tag = _hl.md5(f"{sf_dir}:postings_stream_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"doc_postings_stream_{tag}")
+    if not _os.path.isdir(path):
+        docs = load(spark, "documents", sf_dir)
+        staged = f"{path}.src{_os.getpid()}"
+        (
+            docs.select("doc_id", "text", "lang", "source", "n_chars")
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        tmp = f"{path}.tmp{_os.getpid()}"
+        stream = S.read_documents_stream(spark, staged, max_files_per_trigger=1)
+        S.stream_append_to_postings(spark, stream, tmp)
+        _publish_dir(tmp, path)
+        import shutil as _sh
+
+        _sh.rmtree(staged, ignore_errors=True)
+    postings, n_docs, avgdl = R.read_postings(spark, path)
+    out = R.bm25_topk(
+        _rag_queries(spark, sf_dir),
+        k=5,
+        postings=postings,
+        corpus_stats=(n_docs, avgdl),
+    )
+    return out.select("query_id", "doc", "score", "rank")
+
+
+CATALOG["streaming_bm25_ingest"].sql = _mk_text_bm25_sql()
+
+
 def _mk_rag_rerank_sql() -> str:
     from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
 
@@ -7608,6 +7659,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_rag_rerank",
     "pipeline_hybrid_rrf",
     "text_bm25_incremental",
+    "streaming_bm25_ingest",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7659,10 +7711,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_count",
     "q2_min_cost_supplier",
     "q11_important_part_value",
-    "q20_heavy_shippers",
-    # past the driver's 50-entry window this round (displaced by the 6
+    # past the driver's 50-entry window this round (displaced by the 7
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "q20_heavy_shippers",
     "q_grouping_sets_orders",
     "streaming_sliding_counts",
     "streaming_static_join",

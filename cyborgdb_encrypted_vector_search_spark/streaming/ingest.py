@@ -550,3 +550,44 @@ def stream_upsert_documents(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_append_to_postings(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuous SPARSE-index ingest: every micro-batch of arriving
+    documents is tokenized and its postings appended under the touched
+    ``term_bucket=`` partitions (operators/retrieval.append_postings)
+    via ``foreachBatch`` — the inverted-index twin of
+    stream_append_to_ivf_layout. Per-batch work is O(batch) (tokenize
+    the batch, partitioned append, one mergeable stats row); resident
+    postings are never read or rewritten, and the index is BM25-
+    probe-able between batches with the same partition-pruned plan.
+    Delivery matches the other sinks: at-least-once foreachBatch with
+    per-batch commit markers (run_idempotent_batch), so checkpointed
+    replays of an already-committed batch skip instead of
+    double-appending."""
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    name = f"postings_ingest_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    tag = _stream_tag(ckpt)
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        run_idempotent_batch(
+            index_path,
+            tag,
+            batch_id,
+            lambda: R.append_postings(batch, "doc_id", "text", index_path),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
