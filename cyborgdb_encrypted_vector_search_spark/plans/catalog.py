@@ -3528,6 +3528,84 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+      (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_funnel,
+      (SELECT CAST(coalesce(sum(epoch_us(p.t3) - epoch_us(v.t1)), 0)
+                   AS BIGINT)
+       FROM p JOIN v ON v.user_id = p.user_id) AS total_conv_us
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence FUNNEL analysis (view → click → purchase): per
+    user, the first view, the first click strictly after it, the first
+    purchase strictly after that — the product-analytics conversion
+    query. Step k is one filtered aggregate joined to step k-1 on
+    user_id with the ordering predicate in the join condition. Scale
+    shape: each step frame is ≤1 row per user — tiny next to the event
+    stream — so the step side broadcasts (the measured plan: 5 BHJ, 0
+    SMJ, the event scan's exchanges reused 4x); with user counts past
+    broadcast size every groupBy/join keys on user_id, so the steps
+    co-partition and adding a funnel step adds one co-partitioned
+    join, never a fresh shuffle of the raw events.
+    Conversion time sums in integer MICROSECONDS (order-free exact;
+    second-granularity truncation differs between engines on
+    fractional-second timestamps)."""
+    ev = load(spark, "events", sf_dir)
+
+    def first_after(prev: DataFrame, prev_t: str, etype: str, out_t: str):
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "t1", "click", "t2")
+    p = first_after(c, "t2", "purchase", "t3")
+    conv = p.join(v, "user_id").select(
+        F.expr("timestampdiff(MICROSECOND, t1, t3)").alias("us")
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+        )
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("bigint").alias("n_funnel")))
+        .crossJoin(
+            conv.agg(
+                F.coalesce(F.sum("us"), F.lit(0))
+                .cast("bigint")
+                .alias("total_conv_us")
+            )
+        )
+    )
+
+
+@query(
     "q_sketch_rollup_users",
     """
     SELECT event_type,
@@ -7660,6 +7738,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_hybrid_rrf",
     "text_bm25_incremental",
     "streaming_bm25_ingest",
+    "q_events_funnel",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7710,10 +7789,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_pivot_status_priority",
     "streaming_dedup_count",
     "q2_min_cost_supplier",
-    "q11_important_part_value",
-    # past the driver's 50-entry window this round (displaced by the 7
+    # past the driver's 50-entry window this round (displaced by the 8
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "q11_important_part_value",
     "q20_heavy_shippers",
     "q_grouping_sets_orders",
     "streaming_sliding_counts",
