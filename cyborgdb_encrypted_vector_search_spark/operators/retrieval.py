@@ -292,3 +292,32 @@ def sql_bm25_scored(
       GROUP BY q.query_id, p.doc
     )
     """
+
+
+def compact_postings(spark, src_path: str, dest_path: str, max_tasks: int = 8) -> None:
+    """Compact an append-grown postings index into ``dest_path``.
+
+    Every append_postings batch (and every streaming micro-batch) adds
+    at least one file per touched ``term_bucket=`` directory plus one
+    sidecar stats row, so a long-running ingest accumulates small
+    files and probe-time listing cost creeps up. Same maintenance
+    shape as ann.compact_ivf_layout: read → ``coalesce(max_tasks)``
+    (narrow, no Exchange) → rewrite ``partitionBy(term_bucket)``; the
+    accumulated partial-stats rows collapse to ONE merged row (integer
+    sums — exact). The caller swaps ``dest_path`` in atomically so
+    probes never see a half-compacted index."""
+    df = spark.read.parquet(src_path)
+    (
+        df.coalesce(max_tasks)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(dest_path)
+    )
+    (
+        spark.read.parquet(f"{src_path}/_stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .write.parquet(f"{dest_path}/_stats")
+    )

@@ -493,3 +493,45 @@ def test_append_postings_never_rewrites_resident_files(spark, tmp_path):
     R.build_postings(docs, "doc_id", "text", full)
     _, n2, avgdl2 = R.read_postings(spark, full)
     assert (n, avgdl) == (n2, avgdl2)
+
+
+def test_compact_postings_preserves_content_and_stats(spark, tmp_path):
+    """Compaction of an append-grown postings index must preserve the
+    postings multiset and the merged stats exactly while cutting the
+    file count — the maintenance op that keeps a streamed index's
+    probe cost flat."""
+    import glob
+    import os
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} shared word{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "grown")
+    R.build_postings(docs.filter("doc_id < 10"), "doc_id", "text", path)
+    R.append_postings(
+        docs.filter("doc_id >= 10 and doc_id < 20"), "doc_id", "text", path
+    )
+    R.append_postings(docs.filter("doc_id >= 20"), "doc_id", "text", path)
+
+    dest = str(tmp_path / "compact")
+    R.compact_postings(spark, path, dest, max_tasks=2)
+
+    def rows(p):
+        return sorted(
+            (r["doc"], r["term"], r["tf"], r["dl"], r["term_bucket"])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(path) == rows(dest)
+    _, n1, a1 = R.read_postings(spark, path)
+    _, n2, a2 = R.read_postings(spark, dest)
+    assert (n1, a1) == (n2, a2)
+    n_files = lambda p: len(
+        glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+    )
+    assert n_files(dest) < n_files(path)
+    # stats sidecar collapsed to one row
+    assert spark.read.parquet(f"{dest}/_stats").count() == 1
