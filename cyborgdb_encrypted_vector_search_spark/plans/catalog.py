@@ -3606,6 +3606,55 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.w) // 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM firstw f JOIN act a USING (user_id)
+    WHERE date_diff('day', f.cohort, a.w) // 7 BETWEEN 0 AND 3
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION matrix — the companion analytics shape to the
+    funnel: users grouped by the week of their first event, counted in
+    each subsequent week they remain active (offsets 0-3). Both sides
+    are user-keyed aggregates joined on user_id (first-touch cohort ≤1
+    row/user broadcasts; the distinct-activity frame reuses the same
+    event scan), and week arithmetic stays in integer days (div 7 on
+    Monday-truncated dates — exact in both engines, no timestamp
+    truncation ambiguity)."""
+    ev = load(spark, "events", sf_dir)
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    j = act.join(F.broadcast(firstw), "user_id").withColumn(
+        "week_offset",
+        F.expr("CAST(datediff(w, cohort) div 7 AS INT)"),
+    )
+    return (
+        j.filter(F.col("week_offset").between(0, 3))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
     "q_sketch_rollup_users",
     """
     SELECT event_type,
@@ -7739,6 +7788,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_bm25_incremental",
     "streaming_bm25_ingest",
     "q_events_funnel",
+    "q_events_retention",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7788,10 +7838,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q21_sole_late_shipper",
     "q_pivot_status_priority",
     "streaming_dedup_count",
-    "q2_min_cost_supplier",
-    # past the driver's 50-entry window this round (displaced by the 8
+    # past the driver's 50-entry window this round (displaced by the 9
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "q2_min_cost_supplier",
     "q11_important_part_value",
     "q20_heavy_shippers",
     "q_grouping_sets_orders",
