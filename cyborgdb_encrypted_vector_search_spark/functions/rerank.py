@@ -36,8 +36,17 @@ def cross_score(query_col: Column | str, doc_col: Column | str) -> Column:
     are empty. Pure built-in array functions — JVM-side, no UDF."""
     q = F.array_distinct(X.tokens(query_col))
     d = F.array_distinct(X.tokens(doc_col))
-    union = F.size(F.array_union(q, d))
-    inter = F.size(F.array_intersect(q, d))
+    return cross_score_arrays(q, d)
+
+
+def cross_score_arrays(q_toks: Column, d_toks: Column) -> Column:
+    """cross_score over PRE-TOKENIZED distinct-token arrays. In a
+    candidates × queries join, tokenize each side ONCE below the join
+    (a projection per doc / per query) and pay only the set
+    intersect/union per pair — same values as cross_score on the raw
+    texts, linear tokenization instead of per-pair."""
+    union = F.size(F.array_union(q_toks, d_toks))
+    inter = F.size(F.array_intersect(q_toks, d_toks))
     return F.when(union == 0, F.lit(0.0)).otherwise(
         F.round(inter.cast("double") / union.cast("double"), 7)
     )

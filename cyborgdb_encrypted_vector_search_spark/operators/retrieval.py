@@ -53,6 +53,26 @@ def term_bucket(col) -> "F.Column":
     return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
+def _partial_df(p: DataFrame) -> DataFrame:
+    """Per-term document frequencies for a postings frame — standard
+    inverted-index metadata, written as a MERGEABLE sidecar (batches
+    are doc-disjoint, so per-term counts ADD across build/appends).
+    Serving reads df from here instead of re-counting the postings,
+    and uses it for max-df pruning before any postings are touched."""
+    return p.groupBy("term").agg(
+        F.countDistinct("doc").cast("bigint").alias("df")
+    )
+
+
+def read_term_df(spark, path: str) -> DataFrame:
+    """(term, df) merged across build + append partial rows."""
+    return (
+        spark.read.parquet(f"{path}/_df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+
+
 def _partial_stats(p: DataFrame) -> DataFrame:
     """One MERGEABLE stats row for a postings frame: (n_docs, sum_dl).
     Integer sums merge exactly (order-free in double up to 2^53), so
@@ -84,6 +104,7 @@ def build_postings(docs: DataFrame, id_col: str, text_col: str, path: str) -> No
         .parquet(path)
     )
     _partial_stats(p).write.parquet(f"{path}/_stats")
+    _partial_df(p).write.parquet(f"{path}/_df")
 
 
 def append_postings(
@@ -105,6 +126,7 @@ def append_postings(
         .parquet(path)
     )
     _partial_stats(p).write.mode("append").parquet(f"{path}/_stats")
+    _partial_df(p).write.mode("append").parquet(f"{path}/_df")
 
 
 def read_postings(spark, path: str) -> tuple[DataFrame, int, float]:
@@ -133,6 +155,8 @@ def bm25_topk(
     doc_text_col: str = "text",
     postings: DataFrame = None,
     corpus_stats: tuple = None,
+    term_df: DataFrame = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k docs per query by BM25 (k1=1.2, b=0.75, the Robertson/
     Lucene idf ln(1 + (N-df+0.5)/(df+0.5))).
@@ -145,7 +169,17 @@ def bm25_topk(
     (build_postings) to probe a persisted index; deriving it inline
     from ``docs`` re-tokenizes the corpus once per downstream branch
     and is only for small/ad-hoc use.
-    """
+
+    ``term_df`` (read_term_df) supplies document frequencies from
+    index metadata so serving never re-counts postings for idf.
+    ``max_df_frac`` enables standard MAX-DF PRUNING: query terms
+    appearing in more than that fraction of documents are dropped
+    BEFORE the postings join. This is the lever that keeps probe cost
+    sublinear in corpus size — a near-stopword term's posting list is
+    O(corpus) while its idf ≈ ln(1+ε) contributes ~nothing to the
+    ranking; Lucene/WAND engines cut the same work via stopword lists
+    and impact ordering. The threshold comparison is integer-exact
+    (df <= floor(frac·N)) so both engines agree on the cut."""
     if postings is None:
         postings = doc_postings(docs, doc_id_col, doc_text_col)
     if corpus_stats is not None:
@@ -164,11 +198,31 @@ def bm25_topk(
             F.explode(F.array_distinct(X.tokens(query_text_col))).alias("term"),
         )
     )
+    # document frequency per query term: from index metadata when
+    # available (no postings scan), else counted from the postings
+    if term_df is not None:
+        df_t = term_df.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).select("term", "df")
+    else:
+        df_t = (
+            postings.join(
+                F.broadcast(qterms.select("term").distinct()), "term"
+            )
+            .groupBy("term")
+            .agg(F.countDistinct("doc").alias("df"))
+        )
+    if max_df_frac is not None:
+        import math as _math
+
+        cut = int(_math.floor(max_df_frac * n_docs))
+        df_t = df_t.filter(F.col("df") <= cut)
+        qterms = qterms.join(F.broadcast(df_t.select("term")), "term")
     if "term_bucket" in postings.columns:
-        # persisted bucketed index: prune to the query terms' buckets
-        # BEFORE any join — the serving batch is small, so collecting
-        # its distinct bucket ids is bounded (≤ N_TERM_BUCKETS), and
-        # the IN-list lands in PartitionFilters on the layout read
+        # persisted bucketed index: prune to the (surviving) query
+        # terms' buckets BEFORE any join — the serving batch is small,
+        # so collecting its distinct bucket ids is bounded
+        # (≤ N_TERM_BUCKETS), and the IN-list lands in PartitionFilters
         buckets = [
             r[0]
             for r in qterms.select(term_bucket(F.col("term")))
@@ -176,17 +230,7 @@ def bm25_topk(
             .collect()
         ]
         postings = postings.filter(F.col("term_bucket").isin(buckets))
-    # document frequency only for query terms: postings pre-filtered by
-    # the broadcast term list, then counted — idf never materializes
-    # for the full vocabulary
     matched = postings.join(F.broadcast(qterms), "term")
-    df_t = (
-        postings.join(
-            F.broadcast(qterms.select("term").distinct()), "term"
-        )
-        .groupBy("term")
-        .agg(F.countDistinct("doc").alias("df"))
-    )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -321,3 +365,4 @@ def compact_postings(spark, src_path: str, dest_path: str, max_tasks: int = 8) -
         )
         .write.parquet(f"{dest_path}/_stats")
     )
+    read_term_df(spark, src_path).write.parquet(f"{dest_path}/_df")

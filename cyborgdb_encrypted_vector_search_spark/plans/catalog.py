@@ -1046,14 +1046,15 @@ def _rag_postings(spark: SparkSession, sf_dir: str):
     from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
 
     ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
-    tag = _hl.md5(f"{sf_dir}:postings_v3:{ctag}".encode()).hexdigest()[:10]
+    tag = _hl.md5(f"{sf_dir}:postings_v4:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"doc_postings_{tag}")
     if not _os.path.isdir(path):
         docs = load(spark, "documents", sf_dir)
         tmp = f"{path}.tmp{_os.getpid()}"
         R.build_postings(docs, "doc_id", "text", tmp)
         _publish_dir(tmp, path)
-    return R.read_postings(spark, path)
+    postings, n_docs, avgdl = R.read_postings(spark, path)
+    return postings, n_docs, avgdl, R.read_term_df(spark, path)
 
 
 _RAG_QUERIES_SQL = f"""
@@ -1102,12 +1103,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf, and BM25 sums from the same corpus."""
     from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
 
-    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    postings, n_docs, avgdl, term_df = _rag_postings(spark, sf_dir)
     out = R.bm25_topk(
         _rag_queries(spark, sf_dir),
         k=5,
         postings=postings,
         corpus_stats=(n_docs, avgdl),
+        term_df=term_df,
     )
     return out.select("query_id", "doc", "score", "rank")
 
@@ -1136,7 +1138,7 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
 
     ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
-    tag = _hl.md5(f"{sf_dir}:postings_incr_v1:{ctag}".encode()).hexdigest()[:10]
+    tag = _hl.md5(f"{sf_dir}:postings_incr_v2:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"doc_postings_incr_{tag}")
     if not _os.path.isdir(path):
         docs = load(spark, "documents", sf_dir)
@@ -1158,6 +1160,7 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         postings=postings,
         corpus_stats=(n_docs, avgdl),
+        term_df=R.read_term_df(spark, path),
     )
     return out.select("query_id", "doc", "score", "rank")
 
@@ -1185,7 +1188,7 @@ def streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyborgdb_encrypted_vector_search_spark.streaming import ingest as S
 
     ctag = _content_tag(spark, sf_dir, "documents", "doc_id")
-    tag = _hl.md5(f"{sf_dir}:postings_stream_v1:{ctag}".encode()).hexdigest()[:10]
+    tag = _hl.md5(f"{sf_dir}:postings_stream_v2:{ctag}".encode()).hexdigest()[:10]
     path = _os.path.join(_tf.gettempdir(), f"doc_postings_stream_{tag}")
     if not _os.path.isdir(path):
         docs = load(spark, "documents", sf_dir)
@@ -1209,6 +1212,7 @@ def streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         postings=postings,
         corpus_stats=(n_docs, avgdl),
+        term_df=R.read_term_df(spark, path),
     )
     return out.select("query_id", "doc", "score", "rank")
 
@@ -1267,9 +1271,13 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     queries = _rag_queries(spark, sf_dir)
-    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    postings, n_docs, avgdl, term_df = _rag_postings(spark, sf_dir)
     cand = R.bm25_topk(
-        queries, k=20, postings=postings, corpus_stats=(n_docs, avgdl)
+        queries,
+        k=20,
+        postings=postings,
+        corpus_stats=(n_docs, avgdl),
+        term_df=term_df,
     )
     enriched = cand.join(F.broadcast(queries), "query_id").join(
         docs.select(F.col("doc_id").alias("doc"), "text"), "doc"
@@ -1304,14 +1312,20 @@ def _mk_hybrid_rrf_sql() -> str:
       FROM bm25
       QUALIFY rank <= 20
     ),
+    jcand AS (
+      SELECT DISTINCT qt.query_id, p.doc
+      FROM qterms qt JOIN postings p ON p.term = qt.term
+    ),
     jr AS (
-      SELECT q.query_id, d.doc_id AS doc,
+      SELECT c.query_id, c.doc,
              row_number() OVER (
-               PARTITION BY q.query_id
+               PARTITION BY c.query_id
                ORDER BY {RR.sql_cross_score('q.query_text', 'd.text')} DESC,
-                        d.doc_id
+                        c.doc
              ) AS rank
-      FROM q, documents d
+      FROM jcand c
+      JOIN q USING (query_id)
+      JOIN documents d ON d.doc_id = c.doc
     ),
     jtop AS (SELECT query_id, doc, rank FROM jr WHERE rank <= 20),
     unioned AS (
@@ -1354,17 +1368,52 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     queries = _rag_queries(spark, sf_dir)
-    postings, n_docs, avgdl = _rag_postings(spark, sf_dir)
+    postings, n_docs, avgdl, term_df = _rag_postings(spark, sf_dir)
     btop = R.bm25_topk(
-        queries, k=20, postings=postings, corpus_stats=(n_docs, avgdl)
+        queries,
+        k=20,
+        postings=postings,
+        corpus_stats=(n_docs, avgdl),
+        term_df=term_df,
     ).select("query_id", "doc", "rank")
+    # second ranker over the CANDIDATE POOL, not the corpus: docs
+    # sharing ≥1 query term, discovered by the same bucket-pruned
+    # postings probe BM25 uses — so this leg's cost equals the probe's
+    # (r5 curve caught the original corpus×queries cross join going
+    # 3.7→51s at 16x; zero-overlap docs only ever tied at jscore 0)
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(X.tokens("query_text"))
+        ).alias("term"),
+    )
+    buckets = [
+        r[0]
+        for r in qterms.select(R.term_bucket(F.col("term"))).distinct().collect()
+    ]
+    cand = (
+        postings.filter(F.col("term_bucket").isin(buckets))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc")
+        .distinct()
+    )
     jw = Window.partitionBy("query_id").orderBy(
         F.desc("jscore"), F.col("doc").asc()
     )
+    # tokenize each side ONCE below the join (per doc / per query
+    # projections), pay only set intersect/union per candidate pair —
+    # same values as cross_score on the raw texts
+    qtoks = queries.select(
+        "query_id", F.array_distinct(X.tokens("query_text")).alias("qt")
+    )
+    dtoks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(X.tokens("text")).alias("dt"),
+    )
     jtop = (
-        docs.select(F.col("doc_id").alias("doc"), "text")
-        .crossJoin(F.broadcast(queries))
-        .withColumn("jscore", RR.cross_score("query_text", "text"))
+        cand.join(F.broadcast(qtoks), "query_id")
+        .join(dtoks, "doc")
+        .withColumn("jscore", RR.cross_score_arrays(F.col("qt"), F.col("dt")))
         .withColumn("rank", F.row_number().over(jw))
         .filter(F.col("rank") <= 20)
         .select("query_id", "doc", "rank")

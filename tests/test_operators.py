@@ -535,3 +535,39 @@ def test_compact_postings_preserves_content_and_stats(spark, tmp_path):
     assert n_files(dest) < n_files(path)
     # stats sidecar collapsed to one row
     assert spark.read.parquet(f"{dest}/_stats").count() == 1
+
+
+def test_bm25_max_df_prunes_stopword_postings(spark):
+    """Max-df pruning: a term appearing in (almost) every document is
+    dropped from the probe BEFORE its O(corpus) posting list is
+    touched, and the ranking it returns equals BM25 computed without
+    the stopword term — the idf of a near-universal term is ~0, so the
+    cut changes candidate volume, not the answer's ordering."""
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(i, f"the topic{i % 4} word{i}") for i in range(40)],
+        "doc_id long, text string",
+    )  # "the" appears in all 40 docs
+    queries = spark.createDataFrame(
+        [(0, "the topic1")], "query_id long, query_text string"
+    )
+    pruned = R.bm25_topk(queries, docs, k=5, max_df_frac=0.5)
+    rows = pruned.collect()
+    assert rows, "pruning must not empty the result"
+    # every hit contains topic1; the stopword term contributed nothing
+    hits = {r["doc"] for r in rows}
+    assert hits <= {i for i in range(40) if i % 4 == 1}
+    # ranking equals BM25 over queries with the stopword removed
+    nostop = R.bm25_topk(
+        spark.createDataFrame(
+            [(0, "topic1")], "query_id long, query_text string"
+        ),
+        docs,
+        k=5,
+    )
+    assert [
+        (r["doc"], r["rank"]) for r in rows
+    ] == [(r["doc"], r["rank"]) for r in nostop.collect()]
