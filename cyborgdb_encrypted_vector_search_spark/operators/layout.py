@@ -169,3 +169,35 @@ def read_zorder_box(
         & (F.col(col_y) >= F.lit(y_lo))
         & (F.col(col_y) <= F.lit(y_hi))
     )
+
+
+def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
+    """RETENTION for a time-partitioned layout: delete every
+    ``event_date=`` partition directory strictly older than
+    ``cutoff_date``, returning the dropped partition values.
+
+    This is the lifecycle payoff of partitioning by time: expiring old
+    data is a METADATA operation — unlink whole directories — that
+    never reads, rewrites, or shuffles surviving rows (contrast with a
+    DELETE over an unpartitioned table, which rewrites everything).
+    Hour-grain layouts compare on the date prefix of the partition
+    value, so a cutoff drops whole days. Concurrent readers that
+    already listed files may see missing-file errors for in-flight
+    scans of dropped partitions — the same semantics as any object-
+    store retention job; run it between query windows or rely on
+    ignoreMissingFiles at the session level."""
+    import os
+    import shutil
+    from datetime import date
+
+    cut = date.fromisoformat(cutoff_date)
+    dropped: list[str] = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("event_date="):
+            continue
+        value = name.split("=", 1)[1]
+        day = date.fromisoformat(value[:10])
+        if day < cut:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped

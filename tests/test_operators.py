@@ -571,3 +571,35 @@ def test_bm25_max_df_prunes_stopword_postings(spark):
     assert [
         (r["doc"], r["rank"]) for r in rows
     ] == [(r["doc"], r["rank"]) for r in nostop.collect()]
+
+
+def test_retention_drops_only_old_partitions(spark, tmp_path):
+    """Retention on a time-partitioned layout must be a pure metadata
+    operation: partitions strictly before the cutoff vanish, surviving
+    partition files stay byte-identical, and the surviving rows equal
+    a cutoff filter over the original data."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 9) + 1:02d} 12:00:00") for i in range(90)],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "bydate")
+    L.build_time_partitioned(df, "ts", path)
+
+    keep_sig = {
+        f: os.stat(f).st_size
+        for f in glob.glob(os.path.join(path, "event_date=2024-01-0[5-9]*", "*"))
+    }
+    dropped = L.drop_partitions_before(path, "2024-01-05")
+    assert dropped == [f"2024-01-0{d}" for d in range(1, 5)]
+    for f, size in keep_sig.items():
+        assert os.stat(f).st_size == size
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    want = {i for i in range(90) if (i % 9) + 1 >= 5}
+    assert got == want
