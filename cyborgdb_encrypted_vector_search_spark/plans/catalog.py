@@ -3655,6 +3655,62 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_retention_expiry",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+    """,
+)
+def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION end-to-end (operators/layout.drop_partitions_before):
+    a fresh time-partitioned copy of the events table has every
+    partition before 2024-01-10 expired — whole-directory unlinks,
+    zero reads or rewrites of surviving data — and the survivor scan
+    is value-hashed against the oracle filtering the ORIGINAL table by
+    the same cutoff. Differential claim: metadata-only expiry ==
+    relational DELETE of the old rows. Like the CRUD gate, the layout
+    is rebuilt in a fresh mkdtemp each run (the op mutates its input,
+    so the read-only content-tag cache does not apply); expiring
+    partitions costs O(dropped directories) at any table size."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    ev = load(spark, "events", sf_dir)
+    path = _tf.mkdtemp(prefix="events_retention_")
+    try:
+        L.build_time_partitioned(ev, "ts", path)
+        L.drop_partitions_before(path, "2024-01-10")
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+                F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias(
+                    "first_day"
+                ),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect()[0]
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+    # the audit aggregate is computed eagerly (the expired layout is
+    # transient); the returned frame is the 1-row literal result
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, n_days bigint, first_day string, total_value double",
+    )
+
+
+@query(
     "q_events_retention",
     """
     WITH firstw AS (
@@ -7838,6 +7894,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_bm25_ingest",
     "q_events_funnel",
     "q_events_retention",
+    "q_retention_expiry",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7886,10 +7943,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q16_supplier_breadth",
     "q21_sole_late_shipper",
     "q_pivot_status_priority",
-    "streaming_dedup_count",
-    # past the driver's 50-entry window this round (displaced by the 9
+    # past the driver's 50-entry window this round (displaced by the 10
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "streaming_dedup_count",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q20_heavy_shippers",
