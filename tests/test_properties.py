@@ -104,3 +104,98 @@ def test_simhash_blocking_recall_matches_brute_force(spark, fps):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 14) - 1),
+            st.integers(min_value=0, max_value=(1 << 14) - 1),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_zvalue_matches_reference_interleave(spark, pts):
+    """Property: zvalue == the textbook bit-interleave for arbitrary
+    14-bit inputs (the z-order layout's skipping guarantee rests on
+    this being exact, not approximate)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    def ref(x, y, bits=14):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x int, y int"
+    ).select("i", "x", "y", L.zvalue(F.col("x"), F.col("y"), 14).alias("z"))
+    for r in df.collect():
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=30), min_size=2, max_size=6)
+)
+def test_cross_score_is_bounded_symmetric_jaccard(spark, texts):
+    """Property: the default rerank scorer is a true Jaccard — in
+    [0, 1], symmetric, 1.0 on identical non-empty token sets, 0.0 when
+    both sides are tokenless."""
+    from cyborgdb_encrypted_vector_search_spark.functions import rerank as RR
+
+    pairs = [
+        (i, a, b) for i, (a, b) in enumerate(zip(texts, reversed(texts)))
+    ]
+    df = spark.createDataFrame(pairs, "i long, a string, b string").select(
+        "a",
+        "b",
+        RR.cross_score("a", "b").alias("ab"),
+        RR.cross_score("b", "a").alias("ba"),
+        RR.cross_score("a", "a").alias("aa"),
+    )
+    for r in df.collect():
+        assert 0.0 <= r["ab"] <= 1.0
+        assert r["ab"] == r["ba"]
+        if any(c.isalnum() for c in r["a"]):
+            assert r["aa"] == 1.0
+        else:
+            assert r["aa"] == 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rrf_scores_are_rank_sums(spark, rows):
+    """Property: rrf_fuse's score equals the exact decimal sum of
+    1/(60+rank) over the rankings each (query, doc) appears in, and
+    output ranks are dense 1..n per query ordered by (score desc, doc)."""
+    from decimal import Decimal
+
+    from cyborgdb_encrypted_vector_search_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(rows, "query_id int, doc int, rank int")
+    out = R.rrf_fuse([df], k_const=60, topk=1000).collect()
+    for r in out:
+        exp = float(
+            sum(
+                (Decimal(str(round(1.0 / (60 + rk), 8))) for (q, d, rk) in rows
+                 if q == r["query_id"] and d == r["doc"]),
+                Decimal(0),
+            )
+        )
+        assert abs(r["rrf_score"] - exp) < 1e-9, (r, exp)
+    # dense ranks per query
+    byq = {}
+    for r in out:
+        byq.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in byq.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
