@@ -3655,6 +3655,156 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_data_quality_audit",
+    """
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_keys,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpos_price
+      FROM orders
+    ),
+    ref AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_lines
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL
+    ),
+    dt AS (
+      SELECT CAST(sum(CASE WHEN l_shipdate < l_orderdate_min THEN 1
+                           ELSE 0 END) AS BIGINT) AS ship_before_order
+      FROM (
+        SELECT l.l_shipdate, min(o.o_orderdate) AS l_orderdate_min
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey, l.l_shipdate
+      )
+    )
+    SELECT o.n, o.null_cust, o.dup_keys, o.nonpos_price,
+           ref.orphan_lines, dt.ship_before_order,
+           (o.null_cust = 0 AND o.dup_keys = 0 AND o.nonpos_price = 0
+            AND ref.orphan_lines = 0) AS all_pass
+    FROM o, ref, dt
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY AUDIT — the expectations-style validation pass a
+    training pipeline runs before consuming a drop: null-rate,
+    key-uniqueness, value-range, referential-integrity (orphan
+    lineitems), and cross-column temporal sanity (shipments predating
+    their order), all computed in ONE pass per table plus one
+    co-keyed join — no per-constraint scans. Every violation COUNT is
+    value-hashed (not just a boolean), so the gate detects both false
+    alarms and silently-weakened checks; all_pass summarizes the
+    hard constraints. At 100 TB each check is a map-side conditional
+    sum riding scans the pipeline already does."""
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    audit_o = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_cust"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int"))
+        .cast("bigint")
+        .alias("nonpos_price"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lines"))
+    )
+    temporal = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_shipdate")
+        .agg(F.min("o_orderdate").alias("l_orderdate_min"))
+        .agg(
+            F.sum(
+                (F.col("l_shipdate") < F.col("l_orderdate_min")).cast("int")
+            )
+            .cast("bigint")
+            .alias("ship_before_order")
+        )
+    )
+    out = audit_o.crossJoin(orphans).crossJoin(temporal)
+    return out.select(
+        "*",
+        (
+            (F.col("null_cust") == 0)
+            & (F.col("dup_keys") == 0)
+            & (F.col("nonpos_price") == 0)
+            & (F.col("orphan_lines") == 0)
+        ).alias("all_pass"),
+    )
+
+
+@query(
+    "q_schema_evolution_read",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM u
+    """,
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on an append-grown table: generation 1 files
+    carry (o_orderkey, o_totalprice); generation 2 appends add an
+    o_orderpriority column. A ``mergeSchema`` read reconciles the two
+    footers into the union schema — old rows surface NULL for the new
+    column, no rewrite of resident files (the additive-column path
+    every long-lived ingest dataset walks; renames/drops need a real
+    table format). The audit aggregate is value-hashed against DuckDB
+    building the identical two-generation union relationally."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    o = load(spark, "orders", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "orders", "o_orderkey")
+    tag = _hl.md5(f"{sf_dir}:schemaevo_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"orders_schemaevo_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.parquet(tmp)
+        )
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("append").parquet(tmp)
+        )
+        _publish_dir(tmp, path)
+    t = spark.read.option("mergeSchema", "true").parquet(path)
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority")
+        .cast("bigint")
+        .alias("n_priorities"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
     "q_retention_expiry",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -7895,6 +8045,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_events_funnel",
     "q_events_retention",
     "q_retention_expiry",
+    "q_data_quality_audit",
+    "q_schema_evolution_read",
     "q_sketch_rollup_users",
     # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
     # CRUD, exact-substring dedup, hour-grain time partitioning
@@ -7941,11 +8093,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
     "q9_product_profit",
     "q16_supplier_breadth",
-    "q21_sole_late_shipper",
-    "q_pivot_status_priority",
-    # past the driver's 50-entry window this round (displaced by the 10
+    # past the driver's 50-entry window this round (displaced by the 12
     # late-r5 additions above) — they stay r2-verified and MUST lead
     # the r6 rotation
+    "q21_sole_late_shipper",
+    "q_pivot_status_priority",
     "streaming_dedup_count",
     "q2_min_cost_supplier",
     "q11_important_part_value",
