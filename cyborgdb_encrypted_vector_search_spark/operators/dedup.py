@@ -751,3 +751,110 @@ def incremental_substring_matches(
         .select("batch_id", F.col("doc_id").alias("base_id"))
         .distinct()
     )
+
+
+def semantic_prune(
+    assigned: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus by embedding geometry (here:
+    the IVF coarse assignment the engine already maintains), compare
+    pairs ONLY within a cluster, and greedily prune every item that has
+    a lower-id near-duplicate in its cluster — one survivor per
+    near-dup chain.
+
+    Returns one row per PRUNED item: (id, block, witness, n_witnesses)
+    where witness is the smallest same-cluster id with cosine >=
+    threshold (the survivor that made this row redundant).
+
+    Scale shape: identical to embedding_near_duplicates_blocked — the
+    pairwise stage is one BLAS matmul per cluster inside applyInPandas,
+    O(sum cluster_size^2) not O(corpus^2), and cluster sizes are
+    bounded by the k-means k chosen at index build. The prune decision
+    is a single map-side-combinable groupBy on the pruned id. Reuses
+    the IVF assignment (sources.registry.ivf_index), so a corpus that
+    already carries an ANN index pays nothing extra for the blocking.
+    """
+    pairs = embedding_near_duplicates_blocked(
+        assigned, block_col=block_col, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    blocks = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk")
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(
+            F.min("id_a").cast("bigint").alias("witness"),
+            F.count(F.lit(1)).cast("bigint").alias("n_witnesses"),
+        )
+        .join(F.broadcast(blocks), "id_b")
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("__blk").alias(block_col),
+            "witness",
+            "n_witnesses",
+        )
+    )
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    window: int = 40,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional containment C(A,B) = |S(A) ∩ S(B)| / |S(A)| over
+    ``window``-char shingle sets — catches "A is mostly contained in
+    B" (quote inclusion, boilerplate wrapping, partial copies) that
+    symmetric Jaccard under-scores when |B| >> |A|.
+
+    Exact, via the inverted-index join (never all-pairs): distinct
+    per-doc shingle hashes self-join on the 64-bit hash, so candidate
+    pairs are generated ONLY where a shingle is actually shared, and
+    the intersection count is the join's group size. Per-doc set sizes
+    come from the same shingle frame. ``max_df`` (optional) drops
+    shingles shared by more than that many docs before the join — the
+    boilerplate-explosion guard for web-scale corpora (same knob as
+    incremental_substring_matches); leave None for oracle-exact output.
+
+    Returns (id_a, id_b, containment) with containment rounded to 7dp,
+    filtered to >= threshold. Directional: (a,b) and (b,a) are distinct
+    rows. 64-bit hashing stands in for raw shingles (8-byte shuffle
+    keys); a collision would only ever ADD an intersection row, which
+    differential testing against a raw-string oracle would surface.
+    """
+    sh = window_hashes(corpus, window, id_col, text_col).distinct()
+    if max_df is not None:
+        ok = (
+            sh.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("wh")
+        )
+        sh = sh.join(ok, "wh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "wh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "wh")
+    inter = (
+        a.join(b, "wh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("__inter") / F.col("__n"), 7),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

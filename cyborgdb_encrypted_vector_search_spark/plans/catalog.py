@@ -7999,6 +7999,398 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Round-5 continuation: training-pipeline breadth — semantic dedup
+# (SemDeDup), exact containment, CDC snapshot diff, incremental rollup
+# maintenance, last-touch attribution, rolling time-range features,
+# robust outlier detection
+# ----------------------------------------------------------------------
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+    WITH un AS ({_UNIT_EMB}),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {_SQL_L2}, c.centroid_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT sa.vec_id AS a, sb.vec_id AS b, sa.centroid_id AS cid
+      FROM asg sa
+      JOIN asg sb ON sa.centroid_id = sb.centroid_id
+                 AND sa.vec_id < sb.vec_id
+      JOIN un ua ON ua.vec_id = sa.vec_id
+      JOIN un ub ON ub.vec_id = sb.vec_id
+      WHERE round({V.sql_unit_cosine('ua.unit', 'ub.unit', 'ua.nrm', 'ub.nrm')}, 7)
+            >= 0.3
+    )
+    SELECT b AS vec_id, CAST(cid AS INT) AS centroid_id,
+           CAST(min(a) AS BIGINT) AS witness,
+           CAST(count(*) AS BIGINT) AS n_witnesses
+    FROM pairs GROUP BY b, cid
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster by embedding geometry,
+    prune within clusters. Reuses the IVF coarse assignment the engine
+    already maintains as the clustering (fixed oracle-replicable
+    centroids, ids 0..7 — the k-means build path is gated separately),
+    so a corpus carrying an ANN index gets semantic dedup for one BLAS
+    matmul per cluster. Emits the pruned ids with their surviving
+    witness — the rows a curation pipeline would anti-join out.
+
+    Scale: O(sum cluster_size^2) pairwise bounded by the k chosen at
+    index build; prune decision is one map-side-combinable groupBy.
+    Differs from dedup_embedding_neardup (label-blocked pairs) in both
+    the blocking key (learned geometry, not a given label) and the
+    output (keep/prune decisions, not raw pairs)."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import ivf_index
+
+    assigned = ivf_index(spark, sf_dir)
+    res = dedup.semantic_prune(assigned, threshold=0.3)
+    return res.select(
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "witness",
+        "n_witnesses",
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 40) AS s
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+        FROM documents
+      )
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ix
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(ix * 1.0 / cnt.n, 7) AS containment
+    FROM inter JOIN cnt ON cnt.doc_id = ia
+    WHERE round(ix * 1.0 / cnt.n, 7) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |S(A)∩S(B)| / |S(A)| — the
+    partial-copy detector (quote inclusion, boilerplate wrapping) that
+    symmetric Jaccard under-scores when |B| >> |A|. Exact via the
+    inverted-index join on 64-bit shingle hashes (candidates generated
+    only where a shingle is shared — never all-pairs); the oracle joins
+    RAW 40-char shingles, so the hash blocking is verified
+    differentially, same as dedup_substring_pairs."""
+    docs = load(spark, "documents", sf_dir)
+    return dedup.containment_pairs(docs, window=40, threshold=0.5)
+
+
+@query(
+    "collection_snapshot_diff",
+    """
+    WITH old AS (SELECT vec_id AS id, label, embedding FROM embeddings),
+    nw AS (
+      SELECT id,
+             CASE WHEN id % 13 = 0 THEN label + 1 ELSE label END AS label,
+             embedding
+      FROM old WHERE id % 17 <> 0
+      UNION ALL
+      SELECT id + 100000 AS id, label, embedding FROM old WHERE id < 20
+    ),
+    j AS (
+      SELECT o.id AS oid, n.id AS nid, o.label AS ol, n.label AS nl,
+             o.embedding AS oe, n.embedding AS ne
+      FROM old o FULL OUTER JOIN nw n ON o.id = n.id
+    )
+    SELECT coalesce(oid, nid) AS id,
+           CASE WHEN oid IS NULL THEN 'I'
+                WHEN nid IS NULL THEN 'D'
+                ELSE 'U' END AS change
+    FROM j
+    WHERE oid IS NULL OR nid IS NULL
+       OR ol IS DISTINCT FROM nl OR oe IS DISTINCT FROM ne
+    """,
+)
+def collection_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation between two collection versions: inserts /
+    updates / deletes classified by ONE null-safe full outer join — the
+    delta feed for incremental index maintenance and downstream syncs
+    (at 100 TB a consumer reads this, never a full snapshot re-scan).
+    The new version is derived deterministically so the oracle can
+    rebuild it: every 17th id deleted, every 13th label bumped, ids
+    0..19 re-inserted under shifted keys. When both snapshots share the
+    save_bucketed layout the join is co-partitioned per bucket and the
+    shuffle disappears (pinned in tests/test_round5b.py)."""
+    from cyborgdb_encrypted_vector_search_spark.sources.collections import (
+        snapshot_diff,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    old = emb.select(F.col("vec_id").alias("id"), "label", "embedding")
+    new = (
+        old.filter(F.col("id") % 17 != 0)
+        .withColumn(
+            "label",
+            F.when(F.col("id") % 13 == 0, F.col("label") + F.lit(1)).otherwise(
+                F.col("label")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("id") < 20).select(
+                (F.col("id") + 100000).alias("id"), "label", "embedding"
+            )
+        )
+    )
+    return snapshot_diff(old, new, id_col="id")
+
+
+@query(
+    "q_incremental_rollup",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the monthly
+    revenue rollup is NOT recomputed from scratch — the orders table is
+    split into a resident base (90%) and a late-arriving delta batch
+    (hash-designated 10%), each side partially aggregated, and the
+    partials MERGED (counts and DECIMAL sums are commutative monoids,
+    so merge order cannot change a bit). The gate's claim: the merged
+    maintenance path equals the oracle's full recompute exactly.
+
+    Scale: refreshing a rollup over an appended batch costs O(delta) +
+    O(affected groups) — the base table is never re-read; in production
+    the base partials ARE the stored rollup rows. Same maintenance
+    algebra as text_bm25_incremental's mergeable corpus stats, applied
+    to the relational side."""
+    o = load(spark, "orders", sf_dir)
+    is_delta = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(10)) == 0
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("pr"),
+            )
+        )
+
+    merged = (
+        partial(o.filter(~is_delta))
+        .unionByName(partial(o.filter(is_delta)))
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("pr").cast("double").alias("revenue"),
+        )
+    )
+    return merged
+
+
+@query(
+    "q_events_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS) OVER w
+               AS attr_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w
+               AS attr_ts
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           attr_id,
+           CAST(epoch_us(ts) - epoch_us(attr_ts) AS BIGINT) AS gap_us
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most
+    recent STRICTLY PRIOR click/view — the marketing-attribution /
+    feature-store point-in-time primitive. One window over ROWS
+    UNBOUNDED..1 PRECEDING with last(ignorenulls) does the as-of join
+    without any self-join or per-event subquery: one shuffle on
+    user_id, linear scan per user. Ties at identical ts break on
+    event_id identically in both engines; purchases with no prior
+    touch keep NULL attribution."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.withColumn(
+        "attr_id",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "attr_ts",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "attr_id",
+        (_epoch_us("ts") - _epoch_us("attr_ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+@query(
+    "q_events_rolling_features",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS v_1h
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling features: per user, the trailing-1-hour event
+    count and value sum at every event — the standard feature-
+    engineering shape (RANGE frame over event time, not ROWS, so burst
+    density is measured in wall-clock). The frame is keyed on exact
+    epoch microseconds; peers at identical ts are in-frame for each
+    other in both engines by RANGE semantics. Sums go through
+    DECIMAL(18,4) so in-frame accumulation order cannot change a bit.
+    One shuffle on user_id; the user predicate is pushed to the scan."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id") < 10)
+    ev = ev.withColumn("__eus", _epoch_us("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__eus")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("v_1h"),
+    )
+
+
+@query(
+    "q_outlier_orders",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, s.spend
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    ),
+    med AS (
+      SELECT segment, quantile_cont(spend, 0.5) AS med
+      FROM seg GROUP BY segment
+    ),
+    dev AS (
+      SELECT seg.segment, seg.spend, med.med,
+             abs(seg.spend - med.med) AS adev
+      FROM seg JOIN med ON seg.segment = med.segment
+    ),
+    mad AS (
+      SELECT segment, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY segment
+    )
+    SELECT dev.segment AS segment,
+           round(any_value(dev.med), 4) AS med,
+           round(any_value(mad.mad), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(*) FILTER (dev.adev > 3 * mad.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad ON dev.segment = mad.segment
+    GROUP BY dev.segment
+    """,
+)
+def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per market segment: median / MAD of
+    per-customer spend (median-based, so the outliers themselves cannot
+    distort the fence — unlike mean/stddev z-scores), customers beyond
+    3 MADs flagged. Exact interpolated percentile on both engines; the
+    spend base goes through DECIMAL first so the doubles fed to the
+    median are identical. Two grouped exact-percentile passes + one
+    broadcast join back — the 100 TB variant swaps percentile() for
+    approx_percentile with a documented tolerance (q_approx_sketches
+    pattern)."""
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    seg = spend.join(
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+        spend["o_custkey"] == F.col("c_custkey"),
+    ).select("segment", "spend")
+    med = seg.groupBy("segment").agg(
+        F.expr("percentile(spend, 0.5)").alias("med")
+    )
+    dev = seg.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("spend") - F.col("med"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
 # first 50 of the (insertion-ordered) catalog; this list puts the

@@ -732,3 +732,56 @@ def delete_collection(base_dir: str, name: str) -> bool:
         return False
     shutil.rmtree(p)
     return True
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style reconciliation of two collection snapshots: one row per
+    changed id, classified ``I`` (insert: new only), ``D`` (delete: old
+    only), or ``U`` (update: both sides, any compare column differs).
+    Unchanged ids are dropped. This is the change-data-capture primitive
+    a 100 TB pipeline runs between table versions to feed incremental
+    consumers (index maintenance, downstream syncs) a delta instead of
+    a full re-read.
+
+    Comparison is null-safe (``eqNullSafe``) per column; array columns
+    (embeddings) compare element-wise through Spark's native array
+    equality — no serialization round-trip.
+
+    Scale shape: ONE full outer join, shuffling each side once on the
+    id. When both snapshots are bucket-partitioned by the same
+    ``pmod(xxhash64(id), N)`` layout (Collection.save_bucketed), reading
+    per-bucket pairs makes the join co-partitioned — the shuffle
+    disappears and the diff streams bucket by bucket (pinned in
+    tests/test_round5b.py).
+    """
+    cols = compare_cols or [c for c in old.columns if c != id_col]
+    o = old.select(
+        F.col(id_col).alias("__oid"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("__nid"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    joined = o.join(n, o["__oid"] == n["__nid"], "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__oid").isNull(), F.lit("I"))
+        .when(F.col("__nid").isNull(), F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__oid"), F.col("__nid")).alias(id_col),
+            "change",
+        )
+    )
