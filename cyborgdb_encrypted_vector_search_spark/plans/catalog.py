@@ -8400,34 +8400,29 @@ def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 4 window. Leads with the 13 entries whose only driver row is
-# r1 (VERDICT r3 "What's wrong #1": dedup_simhash_groups changed after
-# its r1 verification — the distinct=False rewrite — and the other 12
-# share evolved helpers), then every entry whose semantics changed in
-# r4: the new encrypted serving gate; collection_query_topk (distance
-# rounding 7→5dp, single-round oracle, atomic populate); the three
-# search gates (ALPHABET made reference-verbatim — mutation outputs
-# shift); the six _recall_oracle_sql gates (oracle rewritten two-sided
-# — DuckDB now computes its own recall instead of literal TRUE);
-# streaming_interval_join (gate watermark widened to full-span).
-# Backfilled with the least-recently-verified r2 entries in catalog
-# order. Every catalog entry then holds a driver row at-or-after its
-# current implementation. Deferred to round 5 (r2 rows, unchanged
-# bodies): q21_sole_late_shipper, q_pivot_status_priority,
-# q16_supplier_breadth, q9_product_profit, q_sample_stratified,
-# q_sample_hash, q_events_range_join, q22_idle_rich_customers,
-# streaming_dedup_count, q2_min_cost_supplier,
-# q11_important_part_value, q20_heavy_shippers, q_grouping_sets_orders,
-# streaming_sliding_counts, streaming_static_join,
+# Round 5 window. Leads with the 34 entries that have NO driver row
+# yet: the 27 late-round-4 additions (BM25 family, SQ8/IVF-SQ ANN,
+# z-order, SCD2, retention/audit gates, bucketed CRUD, substring
+# dedup) plus the 7 round-5 additions (semantic dedup, containment,
+# CDC snapshot diff, incremental rollup, attribution, rolling
+# features, MAD outliers). Then the 8 entries that changed in the
+# round-4 session AFTER their last driver row (Collection
+# layout/decrypt refactor touched the source/crypto/vector gates;
+# NULL-user n_users fix): crypto_roundtrip, the three source
+# roundtrips, vector_point_get/scan_stats, text_pack_windows,
+# q_events_json_agg. Backfilled with the 8 least-recently-verified
+# (r2-only, unchanged) entries. Entries verified by CORRECTNESS_r04
+# at their current implementation are NOT re-queued. Deferred to
+# round 6 (r2 rows, unchanged bodies): streaming_static_join,
 # dedup_incremental_minhash, streaming_session_windows,
 # text_vocabulary_topk, text_repetition_stats, text_bpe_merge_counts,
 # dedup_incremental_verified, ann_ivf_adaptive_topk,
-# source_csv_roundtrip, source_json_collection,
 # pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
-# text_pii_scan, text_pack_windows (+ all r3-verified entries).
+# text_pii_scan, q22_idle_rich_customers, q_events_range_join,
+# q_sample_hash, q_sample_stratified, q9_product_profit,
+# q16_supplier_breadth (+ all r3/r4-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # new in r5 (late additions): z-order layout, BM25 retrieval,
-    # rerank funnel, HLL rollup — never driver-verified, lead the window
+    # never driver-verified: late-round-4 additions
     "q_zorder_pruned_scan",
     "text_bm25_topk",
     "pipeline_rag_rerank",
@@ -8440,8 +8435,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_data_quality_audit",
     "q_schema_evolution_read",
     "q_sketch_rollup_users",
-    # new in r5: SQ8 quantized ANN (+ IVF-composed layout), bucketed
-    # CRUD, exact-substring dedup, hour-grain time partitioning
     "ann_sq8_search_topk",
     "ann_sq8_batch_topk",
     "ann_ivfsq_search_topk",
@@ -8457,37 +8450,24 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_rag_ingest",
     "dedup_incremental_substring",
     "streaming_collection_upsert",
-    # changed in r5: Collection layout/refactor (bucketed scan/add/get,
-    # decrypt metadata passthrough, rotation metadata carry-through)
-    "collection_lifecycle",
-    "collection_query_topk",
-    "collection_query_filtered",
-    "collection_query_encrypted",
+    # never driver-verified: round-5 additions
+    "dedup_semantic_clusters",
+    "dedup_containment_pairs",
+    "collection_snapshot_diff",
+    "q_incremental_rollup",
+    "q_events_attribution",
+    "q_events_rolling_features",
+    "q_outlier_orders",
+    # changed after their last driver row (round-4 session refactors)
     "crypto_roundtrip",
-    "crypto_key_rotation",
     "source_csv_roundtrip",
     "source_json_collection",
     "source_orc_roundtrip",
-    "json_vector_roundtrip",
     "vector_point_get",
     "vector_scan_stats",
     "text_pack_windows",
-    # changed in r5: idempotent foreachBatch sinks
-    "streaming_collection_ingest",
-    "streaming_ivf_ingest",
-    # changed in r5: NULL-user n_users fix; day-inclusive hour bounds
     "q_events_json_agg",
-    "q_time_partitioned_events",
-    # backfill: r2-verified-only (least recently checked), r2 row order
-    "q22_idle_rich_customers",
-    "q_events_range_join",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q9_product_profit",
-    "q16_supplier_breadth",
-    # past the driver's 50-entry window this round (displaced by the 12
-    # late-r5 additions above) — they stay r2-verified and MUST lead
-    # the r6 rotation
+    # backfill: least-recently-verified (r2-only, unchanged)
     "q21_sole_late_shipper",
     "q_pivot_status_priority",
     "streaming_dedup_count",
@@ -8496,18 +8476,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q20_heavy_shippers",
     "q_grouping_sets_orders",
     "streaming_sliding_counts",
-    "streaming_static_join",
-    "dedup_incremental_minhash",
-    "streaming_session_windows",
-    "text_vocabulary_topk",
-    "text_repetition_stats",
-    "text_bpe_merge_counts",
-    "dedup_incremental_verified",
-    "ann_ivf_adaptive_topk",
-    "pipeline_corpus_curation",
-    "text_decontaminate",
-    "q_sample_mixture",
-    "text_pii_scan",
 )
 
 
