@@ -140,3 +140,57 @@ def knn_join(
     else:
         ranked = ranked.withColumnRenamed("__rank", rank_col)
     return ranked.drop(query_vec_col).withColumnRenamed("__qid", query_id_col)
+
+
+def classify_by_vote(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN classification: majority label among the k nearest corpus
+    rows per query — the standard embedding-space labeler (weak
+    labeling, quality-tier propagation, language-ID by example) and the
+    eval harness for "are these embeddings any good".
+
+    Ties break deterministically: more votes win; equal vote counts
+    prefer the label whose best-ranked (nearest) witness comes first,
+    then the smaller label. Returns (query_id, predicted, n_votes,
+    best_rank).
+
+    Scale shape: exactly :func:`knn_join` (broadcast queries, corpus
+    streams, WindowGroupLimit bounds the rank shuffle) plus a
+    |queries| x k -> |queries| map-side-combinable vote aggregate and a
+    1-row-per-query window. Nothing grows with corpus size.
+    """
+    nn = knn_join(
+        queries,
+        corpus,
+        k=k,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        corpus_id_col=corpus_id_col,
+        corpus_vec_col=corpus_vec_col,
+        rank_col="__rank",
+    )
+    votes = nn.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+        F.min("__rank").cast("int").alias("best_rank"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("n_votes"), F.asc("best_rank"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("predicted"),
+            "n_votes",
+            "best_rank",
+        )
+    )

@@ -8391,6 +8391,418 @@ def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Round-5 additions, second wave: data-derived sampling quotas, kNN
+# classification + retrieval eval metrics, binary payload dedup,
+# histograms, per-doc TF-IDF keywords, gaps-and-islands streaks
+# ----------------------------------------------------------------------
+
+_UNIT_EMB_L = V.sql_with_unit("embeddings", "vec_id, label", "embedding")
+
+
+@query(
+    "q_sample_temperature",
+    """
+    WITH cnt AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_total,
+             pow(count(*), 0.5) AS w
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT grp, n_total,
+             least(n_total,
+                   CAST(floor(2000 * round(w / (SELECT sum(w) FROM cnt), 9)
+                              + 0.5) AS BIGINT)) AS quota
+      FROM cnt
+    ),
+    sel AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT sel.source AS source, q.n_total, q.quota,
+           CAST(sum(sel.doc_id) AS BIGINT) AS id_checksum
+    FROM sel JOIN q ON sel.source = q.grp
+    WHERE sel.rn <= q.quota
+    GROUP BY sel.source, q.n_total, q.quota
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (mT5/UniMax style): a 2000-doc budget is
+    allocated across sources proportional to ``n**0.5`` — T < 1
+    flattens the mix, downsampling the big crawl sources hard while
+    keeping small curated sources nearly whole. Unlike q_sample_mixture
+    (fixed rates), the quotas are DERIVED FROM the observed corpus: a
+    tiny per-source aggregate decides them, broadcasts back, and a
+    hash-ordered window fills each quota deterministically — membership
+    stays a pure function of (key, corpus statistics) across engines,
+    reruns, and cluster sizes. The per-source id checksum pins exact
+    membership, not just sizes. Shares round to 9 dp before scaling so
+    double-summation order cannot flip a quota between engines."""
+    from cyborgdb_encrypted_vector_search_spark.operators import sampling as S
+
+    d = load(spark, "documents", sf_dir)
+    quotas = S.temperature_quotas(d, 2000, 0.5, "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sel = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), F.col("source") == F.col("grp"))
+        .filter(F.col("__rn") <= F.col("quota"))
+    )
+    return sel.groupBy("source", "n_total", "quota").agg(
+        F.sum("doc_id").cast("bigint").alias("id_checksum")
+    )
+
+
+@query(
+    "knn_label_vote",
+    f"""
+    WITH un AS ({_UNIT_EMB_L}),
+    nn AS (
+      SELECT q.vec_id AS query_id, c.label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_BUCOS} DESC, c.vec_id ASC
+             ) AS rnk
+      FROM un q CROSS JOIN un c
+      WHERE q.vec_id < 20 AND c.vec_id >= 20
+    ),
+    votes AS (
+      SELECT query_id, label,
+             CAST(count(*) AS BIGINT) AS n_votes,
+             CAST(min(rnk) AS INT) AS best_rank
+      FROM nn WHERE rnk <= 5 GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS INT) AS predicted, n_votes, best_rank
+    FROM votes
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY n_votes DESC, best_rank ASC, label ASC
+    ) = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among each query's 5 nearest
+    corpus vectors (queries: vec_id < 20; corpus: the rest) — the
+    embedding-space weak labeler / quality-tier propagator. Ties break
+    more-votes, then nearest witness, then smaller label. Same
+    broadcast-kNN plan as knn_batch_topk plus one map-side-combinable
+    vote aggregate; nothing grows with corpus size."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        unit_embeddings,
+    )
+
+    emb = unit_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", "embedding", "label", "unit", "vnorm"
+    )
+    res = knn.classify_by_vote(queries, corpus, k=5)
+    return res.select(
+        "query_id",
+        F.col("predicted").cast("int").alias("predicted"),
+        "n_votes",
+        "best_rank",
+    )
+
+
+@query(
+    "eval_retrieval_metrics",
+    f"""
+    WITH un AS ({_UNIT_EMB_L}),
+    nn AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_BUCOS} DESC, c.vec_id ASC
+             ) AS rnk
+      FROM un q CROSS JOIN un c
+      WHERE q.vec_id < 20 AND c.vec_id >= 20
+    ),
+    r AS (
+      SELECT query_id, rnk,
+             CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel
+      FROM nn WHERE rnk <= 10
+    ),
+    agg AS (
+      SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             sum(rel / log2(rnk + 1.0)) AS dcg,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM r GROUP BY query_id
+    )
+    SELECT query_id, n_rel,
+           round(CASE WHEN first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / first_rel END, 7) AS mrr,
+           round(CASE WHEN n_rel = 0 THEN 0.0
+                      ELSE dcg / list_sum(list_transform(
+                             range(1, CAST(least(n_rel, 10) AS INT) + 1),
+                             i -> 1.0 / log2(i + 1.0))) END, 7) AS ndcg
+    FROM agg
+    """,
+)
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness: MRR and NDCG@10 per query over the exact
+    cosine top-10 (queries vec_id < 20 vs the rest of the corpus),
+    relevance = label match — the metric layer any index-tuning loop
+    (nprobe, PQ bits, BM25 params) optimizes against. One
+    map-side-combinable aggregate per query after the kNN join; the
+    ideal DCG comes from n_rel in closed form (an unrolled sequence
+    fold), so no second pass over the ranking. Metrics round at the
+    output boundary only."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking_eval as RE
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        unit_embeddings,
+    )
+
+    emb = unit_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", "embedding", "label", "unit", "vnorm"
+    )
+    nn = knn.knn_join(
+        queries, corpus, k=10, query_id_col="query_id",
+        query_vec_col="query_vec", rank_col="rank",
+    )
+    qlabels = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    ranked = nn.join(F.broadcast(qlabels), "query_id").withColumn(
+        "relevant", (F.col("label") == F.col("qlabel")).cast("int")
+    )
+    m = RE.retrieval_metrics(ranked, k=10)
+    return m.select(
+        "query_id",
+        "n_rel",
+        F.round("mrr", 7).alias("mrr"),
+        F.round("ndcg", 7).alias("ndcg"),
+    )
+
+
+@query(
+    "multimodal_payload_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(encode(text))) AS INT) AS n_bytes,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM media
+    GROUP BY encode(text)
+    HAVING count(*) >= 2
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on OPAQUE BINARY payloads — the media twin of
+    dedup_exact_groups: byte-identical blobs (re-uploaded images,
+    re-crawled audio) collapse to one canonical id regardless of any
+    text interpretation. Grouping is on the raw bytes through Spark's
+    native binary comparison; the per-group id checksum pins exact
+    membership. At 100 TB the shuffle key should be xxhash64(payload)
+    with a residual byte-equality check per bucket (the documented
+    scale path of dedup_exact_groups); the gate keeps raw-bytes
+    grouping so the oracle verifies byte semantics, not hash choice.
+    The corpus has no natural byte-duplicates, so every third doc is
+    re-injected under a shifted id (the dedup family's _corpus2x
+    pattern) — groups of 2 appear for those, nothing for the rest."""
+    from cyborgdb_encrypted_vector_search_spark.operators import multimodal as M
+
+    d = load(spark, "documents", sf_dir)
+    twox = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    )
+    media = M.documents_as_media(twox)
+    return (
+        media.groupBy("payload")
+        .agg(
+            F.min("media_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min(F.length("payload")).cast("int").alias("n_bytes"),
+            F.sum("media_id").cast("bigint").alias("id_checksum"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .drop("payload")
+    )
+
+
+@query(
+    "q_histogram_orders",
+    """
+    SELECT CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT)
+                // 25000 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (25k buckets) with per-bucket
+    count and revenue — the profiling primitive behind skew detection,
+    partition sizing, and range-pruning decisions. Bucketing goes
+    through DECIMAL floor + integer division, so the bucket edge is
+    exact in both engines (no double-division boundary); one map-side
+    partial aggregate, shuffle carries |buckets| rows."""
+    o = load(spark, "orders", sf_dir)
+    bucket = F.expr(
+        "CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT)"
+        " div 25000 AS INT)"
+    ).alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "text_keyword_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({X.sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT n FROM n) * 1.0 / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (term)
+      WHERE tf.doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term ASC
+           ) AS INT) AS kw_rank,
+           term, score
+    FROM scored
+    QUALIFY kw_rank <= 3
+    """,
+)
+def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF (idf over
+    the FULL corpus, output restricted to doc_id < 40) — the tagging /
+    routing / facet primitive next to corpus-level BM25 retrieval.
+    Scores round to 6 dp BEFORE ranking (the log/compare rounding
+    boundary every BM25 gate uses) with term-ascending tie-breaks. Two
+    shuffles: (doc, term) tf and per-term df; the df side is the only
+    corpus-wide aggregate and is |vocab|-sized."""
+    d = load(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    ncnt = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 40)
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n") * F.lit(1.0) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "kw_rank", "term", "score")
+    )
+
+
+@query(
+    "q_events_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id < 50
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS best_streak,
+             min(d) AS start_d
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, best_streak,
+           strftime(start_d, '%Y-%m-%d') AS streak_start
+    FROM streaks
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY best_streak DESC, start_d ASC
+    ) = 1
+    """,
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (ties: earliest
+    streak wins) — the gaps-and-islands idiom: anchor = date minus its
+    per-user rank collapses each run of consecutive days to one
+    constant, so streaks fall out of a plain groupBy. Engagement /
+    retention feature with two shuffles (distinct days, island
+    aggregate), both keyed on user_id so at scale they reuse one
+    partitioning."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("best_streak"),
+        F.min("d").alias("start_d"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("best_streak"), F.asc("start_d")
+    )
+    return (
+        streaks.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") == 1)
+        .select(
+            "user_id",
+            "best_streak",
+            F.date_format("start_d", "yyyy-MM-dd").alias("streak_start"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
 # first 50 of the (insertion-ordered) catalog; this list puts the
@@ -8458,6 +8870,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_events_attribution",
     "q_events_rolling_features",
     "q_outlier_orders",
+    "q_sample_temperature",
+    "knn_label_vote",
+    "eval_retrieval_metrics",
+    "multimodal_payload_dedup",
+    "q_histogram_orders",
+    "text_keyword_tfidf",
+    "q_events_streaks",
     # changed after their last driver row (round-4 session refactors)
     "crypto_roundtrip",
     "source_csv_roundtrip",
@@ -8467,15 +8886,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "vector_scan_stats",
     "text_pack_windows",
     "q_events_json_agg",
-    # backfill: least-recently-verified (r2-only, unchanged)
+    # backfill: least-recently-verified (r2-only, unchanged). The
+    # second-wave additions displaced q_pivot_status_priority,
+    # streaming_dedup_count, q2_min_cost_supplier,
+    # q11_important_part_value, q20_heavy_shippers,
+    # q_grouping_sets_orders, streaming_sliding_counts past the window
+    # — they join the round-6 deferred list above.
     "q21_sole_late_shipper",
-    "q_pivot_status_priority",
-    "streaming_dedup_count",
-    "q2_min_cost_supplier",
-    "q11_important_part_value",
-    "q20_heavy_shippers",
-    "q_grouping_sets_orders",
-    "streaming_sliding_counts",
 )
 
 
