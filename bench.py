@@ -77,6 +77,14 @@ HEADLINE = [
     "pipeline_rag_rerank",
     "pipeline_hybrid_rrf",
     "q_sketch_rollup_users",
+    # r5 second wave: semantic dedup over the IVF assignment,
+    # containment via the inverted shingle join, kNN classification +
+    # ranking eval, per-doc TF-IDF keywords
+    "dedup_semantic_clusters",
+    "dedup_containment_pairs",
+    "knn_label_vote",
+    "eval_retrieval_metrics",
+    "text_keyword_tfidf",
 ]
 
 

@@ -8802,6 +8802,245 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_table_fingerprint",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d')
+           ), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+    FROM orders GROUP BY 1
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint, per partition key:
+    each row is canonicalized to one string, hashed (md5 prefix → 48-bit
+    int), and SUMMED — sum is commutative, so the checksum is invariant
+    to row order, partitioning, and engine, and it MERGES (the grand
+    fingerprint is the sum of per-status fingerprints). This is the
+    replication / CDC-validation primitive: after a 100 TB copy, each
+    side computes its fingerprint map-side (one shuffle of K partial
+    sums per status) and a mismatched status pinpoints where to
+    re-diff — no row-by-row compare. Doubles are canonicalized through
+    DECIMAL(12,2) and timestamps through a date string so both engines
+    hash identical bytes."""
+    o = load(spark, "orders", sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("fingerprint"),
+    )
+
+
+@query(
+    "q_sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / 281474976710657.0) / n_chars,
+               10) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    row gets key ln(u)/w with u a DETERMINISTIC hash-derived uniform in
+    (0,1); the global top-k by key is an exact weighted sample — here
+    100 docs weighted by length. One TakeOrderedAndProject, no RNG
+    state, no driver pass: every partition keeps its local top-100, so
+    at 100 TB this is a map-side k-selection plus one k-row merge. The
+    key is rounded to 10 dp BEFORE ranking (both engines rank identical
+    doubles; doc_id breaks residual ties). u = (h48+1)/(2^48+1) keeps u
+    in (0,1) so ln is finite."""
+    d = load(spark, "documents", sf_dir)
+    h48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    es_key = F.round(
+        F.log((h48 + F.lit(1.0)) / F.lit(281474976710657.0))
+        / F.col("n_chars"),
+        10,
+    )
+    return (
+        d.select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_events_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (
+             PARTITION BY prev_type), 7) AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() pairs each event with its predecessor
+    (deterministic (ts, event_id) order), then one |types|² aggregate
+    with row-normalized transition probabilities. The behavioral-model
+    / anomaly-baseline primitive next to the funnel and sessionization
+    gates. Scales as one user_id-partitioned sort window (the same
+    partitioning sessionization uses) feeding a tiny aggregate; the
+    normalizing window runs on |types|² rows."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wnorm), 7).alias("p_next"),
+    )
+
+
+@query(
+    "eval_ab_test",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(conv.user_id) AS BIGINT) AS n_conv
+      FROM assign LEFT JOIN conv USING (user_id)
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+        max(CASE WHEN variant = 'A' THEN n_conv END) AS conv_a,
+        max(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+        max(CASE WHEN variant = 'B' THEN n_conv END) AS conv_b
+      FROM per
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a * 1.0 / n_a, 7) AS rate_a,
+           round(conv_b * 1.0 / n_b, 7) AS rate_b,
+           round(
+             (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+             sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                  * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)),
+             7) AS z_score
+    FROM wide
+    """,
+)
+def eval_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash-assigned A/B
+    split: variant membership is a pure function of user_id (the same
+    reproducible-holdout hashing the sampling gates use — assignment
+    survives reruns and engine changes), conversion = user emitted a
+    'purchase'. Produces counts, rates, and the pooled z statistic in
+    one row. The experimentation-analytics primitive: at 100 TB this is
+    two user-keyed distinct aggregates sharing one partitioning and a
+    single-row final combine — no per-event state."""
+    ev = load(spark, "events", sf_dir)
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("converted").cast("bigint").alias("n_conv"),
+        )
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias(
+            "conv_a"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias(
+            "conv_b"
+        ),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(F.col("conv_a") * 1.0 / F.col("n_a"), 7).alias("rate_a"),
+        F.round(F.col("conv_b") * 1.0 / F.col("n_b"), 7).alias("rate_b"),
+        F.round(
+            (
+                F.col("conv_a") * 1.0 / F.col("n_a")
+                - F.col("conv_b") * 1.0 / F.col("n_b")
+            )
+            / F.sqrt(
+                p_pool
+                * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            7,
+        ).alias("z_score"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
