@@ -64,16 +64,46 @@ def cmd_invert(args) -> int:
 
 def cmd_knn(args) -> int:
     """kNN retrieval (reference src/cod.py): nearest documents to a
-    stored vector, plus the reconstruction prompt."""
-    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+    stored vector, plus the reconstruction prompt. Honors ``-k`` and
+    ``--target-id`` (reference n_results / target id, src/cod.py:104,127)
+    by parameterizing the same plan the ``knn_topk_cosine`` catalog
+    entry pins: point-get target → scan+score → TakeOrderedAndProject(k)
+    → broadcast join back to text."""
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.functions import vector as V
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        load,
+        unit_embeddings,
+    )
 
     spark = _spark()
     sf_dir = args.sf_dir
-    cat = entries()
-    for row in cat["knn_topk_cosine"].fn(spark, sf_dir).collect():
+    un = unit_embeddings(spark, sf_dir)
+    target = un.filter(F.col("vec_id") == args.target_id).select(
+        F.col("unit").alias("__tu"), F.col("vnorm").alias("__tn")
+    )
+    top = (
+        un.crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.round(V.unit_cosine("unit", "__tu", "vnorm", "__tn"), 7).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(args.k)
+    )
+    docs = load(spark, "documents", sf_dir)
+    out = docs.join(
+        F.broadcast(top), top["vec_id"] == docs["doc_id"]
+    ).select("vec_id", "text", "score")
+    for row in out.orderBy(F.desc("score"), F.asc("vec_id")).collect():
         print(f"vec_id={row['vec_id']}  score={row['score']:+.5f}  {row['text'][:80]}")
     if args.prompt:
-        p = cat["knn_prompt_reconstruction"].fn(spark, sf_dir).collect()[0]
+        from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+
+        p = entries()["knn_prompt_reconstruction"].fn(spark, sf_dir).collect()[0]
         print("\nreconstruction prompt:\n" + p["prompt"])
     return 0
 
@@ -124,7 +154,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     knn = sub.add_parser("knn", help="top-k nearest documents to a stored vector")
     knn.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    knn.add_argument("-k", type=int, default=3)
+    knn.add_argument("-k", type=int, default=3, help="number of neighbors (reference n_results)")
+    knn.add_argument("--target-id", type=int, default=42, help="stored vector id to query by")
     knn.add_argument("--prompt", action="store_true", help="print the reconstruction prompt")
     knn.set_defaults(fn=cmd_knn)
 

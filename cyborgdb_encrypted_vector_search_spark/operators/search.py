@@ -62,37 +62,40 @@ def mutate_charwise(
     p_del: float = 0.08,
     p_sub: float = 0.18,
 ) -> str:
-    """Single-pass char-level delete/substitute/insert (reference
-    src/app.py:65-79 semantics: independent per-position coin flips)."""
-    out: list[str] = []
-    for ch in s:
-        r = rng.random()
-        if r < p_del:
-            continue
-        if r < p_del + p_sub:
-            out.append(rng.choice(ALPHABET))
-        else:
-            out.append(ch)
-        if rng.random() < p_ins:
-            out.append(rng.choice(ALPHABET))
-    if not out:
-        out.append(rng.choice(ALPHABET))
-    return "".join(out)
+    """At-most-one-edit-of-each-kind char mutation (reference
+    src/app.py:65-79 semantics, matched exactly): one coin flip per
+    edit KIND — delete a random char w.p. p_del, then substitute a
+    random position w.p. p_sub, then insert a random char at a random
+    gap w.p. p_ins — in that order, each edit seeing the previous
+    edit's result. An empty string can only gain an insert."""
+    s_list = list(s)
+    if s_list and rng.random() < p_del:
+        del s_list[rng.randrange(len(s_list))]
+    if s_list and rng.random() < p_sub:
+        s_list[rng.randrange(len(s_list))] = rng.choice(ALPHABET)
+    if rng.random() < p_ins:
+        s_list.insert(rng.randrange(len(s_list) + 1), rng.choice(ALPHABET))
+    return "".join(s_list)
 
 
 def mutate_wordwise(s: str, rng: random.Random, max_words: int = 40) -> str:
-    """Replace/insert/delete one word from the seed list (reference
-    src/app.py:81-97: empty input -> random seed word; insert capped)."""
+    """Replace/insert/delete one word (reference src/app.py:81-97
+    semantics, matched exactly): empty input -> random seed word;
+    op<0.33 replace a random word with a seed word OR a copy of an
+    existing word; op<0.66 insert a seed word at any of len+1 gaps
+    (capped at 40 words); else delete a random word (never below 1)."""
     words = s.split()
     if not words:
         return rng.choice(WORD_SEEDS)
     op = rng.random()
-    i = rng.randrange(len(words))
-    if op < 0.4:
-        words[i] = rng.choice(WORD_SEEDS)
-    elif op < 0.7 and len(words) < max_words:
+    if op < 0.33:
+        i = rng.randrange(len(words))
+        words[i] = rng.choice(WORD_SEEDS + [rng.choice(words)])
+    elif op < 0.66 and len(words) < max_words:
+        i = rng.randrange(len(words) + 1)
         words.insert(i, rng.choice(WORD_SEEDS))
     elif len(words) > 1:
+        i = rng.randrange(len(words))
         del words[i]
     return " ".join(words)
 

@@ -757,7 +757,7 @@ def snapshot_diff(
     ``pmod(xxhash64(id), N)`` layout (Collection.save_bucketed), reading
     per-bucket pairs makes the join co-partitioned — the shuffle
     disappears and the diff streams bucket by bucket (pinned in
-    tests/test_round5b.py).
+    tests/test_round5c.py).
     """
     cols = compare_cols or [c for c in old.columns if c != id_col]
     o = old.select(

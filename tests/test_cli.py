@@ -42,6 +42,28 @@ def test_knn_command(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "vec_id=42" in out  # the target itself ranks first
+    assert len(out.strip().splitlines()) == 3  # default k=3
+
+
+def test_knn_k_flag_honored(spark, capsys):
+    """-k N returns N neighbors; --target-id switches the query vector
+    (round-5 verdict item 3: the flag used to be parsed but ignored)."""
+    rc = cli.main(["knn", "--sf-dir", "/root/testdata/sf0.001", "-k", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert len(lines) == 5
+    assert "vec_id=42" in lines[0]  # self-match still first
+
+    rc = cli.main(
+        ["knn", "--sf-dir", "/root/testdata/sf0.001", "-k", "1",
+         "--target-id", "7"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert len(lines) == 1
+    assert "vec_id=7" in lines[0]
 
 
 def test_pipeline_encrypted(spark, tmp_path, capsys):

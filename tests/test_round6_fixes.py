@@ -1,0 +1,198 @@
+"""Round-6 verdict fixes: eval_ab_test zero-denominator guard,
+q_table_fingerprint exact-int checksum, first unit coverage for the
+four queries added after the round-5 gate window froze, and the
+reference-exact at-most-one-edit mutation semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from cyborgdb_encrypted_vector_search_spark.operators import search as S
+from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------ eval_ab_test
+
+
+def test_eval_ab_test_runs_on_degenerate_data(spark):
+    """The round-5 crash: on small SFs every user converts, the pooled
+    variance is 0, and ANSI mode raised DIVIDE_BY_ZERO. The guard must
+    return one row with a NULL z_score instead of raising."""
+    for sf in (SF, SF01):
+        rows = entries()["eval_ab_test"].fn(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_a"] >= 0 and r["n_b"] >= 0
+        assert r["conv_a"] <= r["n_a"] and r["conv_b"] <= r["n_b"]
+        # degenerate pool (everyone or no one converts) -> NULL, finite otherwise
+        if r["conv_a"] + r["conv_b"] in (0, r["n_a"] + r["n_b"]):
+            assert r["z_score"] is None
+        else:
+            assert r["z_score"] is not None
+
+
+def test_eval_ab_test_counts_partition_users(spark):
+    """n_a + n_b equals the number of distinct users: the hash
+    assignment is a partition, nobody is dropped or double-counted."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    r = entries()["eval_ab_test"].fn(spark, SF).collect()[0]
+    n_users = load(spark, "events", SF).select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+
+
+# ----------------------------------------------------- q_table_fingerprint
+
+
+def test_table_fingerprint_is_exact_int_and_merges(spark):
+    """The checksum is a BIGINT (exactly comparable across engines —
+    the round-5 failure was a DECIMAL(38,0) going through the compare
+    layer as float64) and MERGES: the grand fingerprint equals the sum
+    of the per-status fingerprints, and is invariant to partitioning."""
+    df = entries()["q_table_fingerprint"].fn(spark, SF)
+    assert dict(df.dtypes)["fingerprint"] == "bigint"
+    rows = df.collect()
+    per_status = {r["o_orderstatus"]: r["fingerprint"] for r in rows}
+
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    o = load(spark, "orders", SF)
+    nul = F.lit("<null>")
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), nul),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderstatus"), nul),
+        F.coalesce(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), nul
+        ),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), nul),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    grand = o.repartition(7).agg(F.sum(h)).collect()[0][0]
+    assert grand == sum(per_status.values())
+
+
+def test_table_fingerprint_detects_a_changed_row(spark):
+    """Flipping one field flips the status-level fingerprint — the
+    whole point of the CDC-validation primitive."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    base = {
+        r["o_orderstatus"]: r["fingerprint"]
+        for r in entries()["q_table_fingerprint"].fn(spark, SF).collect()
+    }
+    o = load(spark, "orders", SF)
+    # perturb one row's custkey, recompute via the same query body
+    first = o.orderBy("o_orderkey").limit(1).collect()[0]
+    mutated = o.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"],
+            F.col("o_custkey") + 1,
+        ).otherwise(F.col("o_custkey")),
+    )
+    mutated.createOrReplaceTempView("__fp_mutated")
+    nul = "'<null>'"
+    got = {
+        r["o_orderstatus"]: r["fp"]
+        for r in spark.sql(
+            f"""
+            SELECT o_orderstatus,
+                   sum(CAST(conv(substring(md5(concat_ws('|',
+                     coalesce(CAST(o_orderkey AS STRING), {nul}),
+                     coalesce(CAST(o_custkey AS STRING), {nul}),
+                     coalesce(o_orderstatus, {nul}),
+                     coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING), {nul}),
+                     coalesce(date_format(o_orderdate, 'yyyy-MM-dd'), {nul})
+                   )), 1, 8), 16, 10) AS BIGINT)) AS fp
+            FROM __fp_mutated GROUP BY o_orderstatus
+            """
+        ).collect()
+    }
+    changed = [s for s in base if base[s] != got[s]]
+    assert changed == [first["o_orderstatus"]]
+
+
+# ------------------------------------------------------- q_sample_weighted
+
+
+def test_sample_weighted_deterministic_top100(spark):
+    """Efraimidis–Spirakis with hash-derived uniforms: exactly 100
+    rows, stable across runs, keys non-increasing."""
+    a = entries()["q_sample_weighted"].fn(spark, SF01).collect()
+    b = entries()["q_sample_weighted"].fn(spark, SF01).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 100
+    keys = [r["es_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k <= 0.0 for k in keys)  # ln(u)/w with u in (0,1), w>0
+
+
+# ---------------------------------------------------- q_events_transitions
+
+
+def test_events_transitions_rows_normalize(spark):
+    """Transition probabilities sum to ~1 per prev_type and the total
+    pair count equals sum over users of (events(u) - 1)."""
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    rows = entries()["q_events_transitions"].fn(spark, SF).collect()
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p_next"]
+        total += r["n"]
+    for prev, p in by_prev.items():
+        assert abs(p - 1.0) < 1e-4, (prev, p)
+    ev = load(spark, "events", SF)
+    per_user = ev.groupBy("user_id").count().collect()
+    assert total == sum(max(0, r["count"] - 1) for r in per_user)
+
+
+# ------------------------------------------------- mutation semantics (F2)
+
+
+def test_mutate_charwise_at_most_one_edit_each_kind():
+    """Reference src/app.py:65-79: at most one delete + one substitute
+    + one insert per call — so the length changes by at most 1 in each
+    direction and, absent length change, at most 2 positions differ
+    (a delete+insert can shift things, so only bound the no-shift
+    case)."""
+    for seed in range(500):
+        rng = random.Random(seed)
+        s = "hello world example"
+        out = S.mutate_charwise(s, rng)
+        assert abs(len(out) - len(s)) <= 2
+    # force-substitute only: exactly one char differs
+    for seed in range(100):
+        rng = random.Random(seed)
+        out = S.mutate_charwise("abcdefgh", rng, p_ins=0.0, p_del=0.0, p_sub=1.0)
+        assert len(out) == 8
+        assert sum(a != b for a, b in zip("abcdefgh", out)) <= 1
+    # force-delete only: exactly one char shorter
+    out = S.mutate_charwise("abcdefgh", random.Random(0), p_ins=0.0, p_del=1.0, p_sub=0.0)
+    assert len(out) == 7
+    # force-insert only: exactly one char longer
+    out = S.mutate_charwise("abcdefgh", random.Random(0), p_ins=1.0, p_del=0.0, p_sub=0.0)
+    assert len(out) == 9
+    # empty string can only gain an insert
+    assert S.mutate_charwise("", random.Random(1), p_ins=1.0) != ""
+    assert S.mutate_charwise("", random.Random(1), p_ins=0.0) == ""
+
+
+def test_mutate_wordwise_single_word_op():
+    """Reference src/app.py:81-97: exactly one word-level op per call."""
+    for seed in range(200):
+        out = S.mutate_wordwise("alpha beta gamma", random.Random(seed))
+        n = len(out.split())
+        assert n in (2, 3, 4)
+    assert S.mutate_wordwise("", random.Random(3)) in S.WORD_SEEDS
+    # never deletes the last word
+    assert S.mutate_wordwise("solo", random.Random(99)) != ""
