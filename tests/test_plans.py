@@ -386,3 +386,72 @@ def test_hll_rollup_merge_is_lossless(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["d"] == r["m"], r
+
+
+def test_scalable_rank_range_partitions_no_global_sort(spark, sf_dir, cat):
+    """q_rank_scalable_orders (operators/ranking.py): the global
+    ranking family over raw rows must range-partition the data and
+    enumerate partitions in parallel — never plan a single-partition
+    Sort over the data rows (the q_rank_family_orders shape that only
+    an aggregate's output can afford)."""
+    df = cat["q_rank_scalable_orders"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "rangepartitioning" in plan, plan
+    # the Arrow enumerator: partition-local row numbers, no shuffle
+    assert "MapInPandas" in plan or "InMemoryTableScan" in plan, plan
+    # rank/dense join stages are keyed or broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan, plan
+    # every Window here is hash-partitioned by the rank key or runs
+    # over P counter rows / tie-group reps; the raw-row branch's first
+    # exchange must be the range exchange, never SinglePartition
+    scan_pos = plan.find("orders")
+    sp = plan.find("Exchange SinglePartition")
+    rp = plan.find("rangepartitioning")
+    assert rp != -1 and (sp == -1 or rp < sp or scan_pos == -1), plan
+
+
+def test_scalable_row_number_matches_window(spark):
+    """scalable_row_number == row_number() over the same total order,
+    on a frame with heavy ties and enough rows to cross many range
+    partitions."""
+    from pyspark.sql import Window
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("g"), F.col("id").alias("k")
+    )
+    got = R.scalable_row_number(df, [("g", False), ("k", True)], out_col="rn")
+    w = Window.orderBy(F.desc("g"), F.asc("k"))
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_scalable_rank_family_matches_sql_windows(spark):
+    """rank/dense_rank/percent_rank/ntile from the scalable operator
+    equal the SQL window functions on a ties-heavy frame."""
+    from pyspark.sql import Window
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 17).alias("g"), F.col("id").alias("k")
+    )
+    got = R.scalable_rank_family(
+        df, rank_order=[("g", True)], tiebreak=[("k", True)], ntile_buckets=7
+    )
+    wo = Window.orderBy(F.asc("g"), F.asc("k"))
+    wk = Window.orderBy(F.asc("g"))
+    want = df.select(
+        "g",
+        "k",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.rank().over(wk).cast("long").alias("rnk"),
+        F.dense_rank().over(wk).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wk), 7).alias("prk"),
+        F.ntile(7).over(wo).cast("int").alias("ntile_7"),
+    )
+    got = got.select("g", "k", "rn", "rnk", "drnk", "prk", "ntile_7")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
