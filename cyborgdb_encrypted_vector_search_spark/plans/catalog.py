@@ -5415,11 +5415,12 @@ def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile / percent_rank over customer order activity (SURVEY.md §2.5
     window breadth; row_number is covered by every top-k gate). Global
     windows like these are the one shape that CAN'T scale as written
-    (single-partition sort); the 100 TB formulations are range
-    partitioning + per-partition rank with offset merge, or the ntile
-    via approx quantile cutpoints — both documented in docs/COSTS.md.
-    Ties are broken by o_custkey on every window so both engines rank
-    identically."""
+    (single-partition sort) — acceptable here ONLY because the input is
+    an aggregate's small output. The 100 TB formulation over raw rows
+    is implemented in operators/ranking.py and gated by
+    q_rank_scalable_orders (range partitioning + per-partition rank
+    with offset merge; see docs/COSTS.md). Ties are broken by o_custkey
+    on every window so both engines rank identically."""
     o = load(spark, "orders", sf_dir)
     top = (
         o.groupBy("o_custkey")

@@ -41,8 +41,12 @@ BLOWUP = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
     "events": ["event_id", "user_id"],
+    # r6: orders joins the blowup so the raw-row global-rank curve is
+    # observable (no curve query JOINS orders against a blown-up fact,
+    # so offsetting o_orderkey perturbs nothing else in QUERIES)
+    "orders": ["o_orderkey"],
 }
-COPY = ["region", "nation", "customer", "supplier", "part", "orders"]
+COPY = ["region", "nation", "customer", "supplier", "part"]
 QUERIES = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -69,6 +73,12 @@ QUERIES = [
     "text_bm25_topk",
     "pipeline_rag_rerank",
     "q_sketch_rollup_users",
+    # r6 additions: raw-row global ranking (range shuffle + parallel
+    # enumeration should scale ~linearly in rows with the same plan at
+    # every size) and the retrieve->prompt->model funnel (corpus side
+    # grows; the 5-target broadcast and 5 UDF calls stay fixed)
+    "q_rank_scalable_orders",
+    "knn_llm_reconstruction",
 ]
 
 
