@@ -196,3 +196,44 @@ def test_mutate_wordwise_single_word_op():
     assert S.mutate_wordwise("", random.Random(3)) in S.WORD_SEEDS
     # never deletes the last word
     assert S.mutate_wordwise("solo", random.Random(99)) != ""
+
+
+# ------------------------------------------------- scalable ranking edges
+
+
+def test_scalable_rank_edge_cases(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    # empty frame -> empty result, schema intact
+    empty = spark.createDataFrame([], "g long, k long")
+    out = R.scalable_rank_family(empty, [("g", True)], [("k", True)])
+    assert out.count() == 0
+    assert {"rn", "rnk", "drnk", "prk", "ntile_4"} <= set(out.columns)
+
+    # single row: rn=rnk=drnk=1, prk=0.0 (N==1 guard), ntile 1
+    one = spark.createDataFrame([(5, 1)], "g long, k long")
+    r = R.scalable_rank_family(one, [("g", True)], [("k", True)]).collect()[0]
+    assert (r["rn"], r["rnk"], r["drnk"], r["prk"], r["ntile_4"]) == (1, 1, 1, 0.0, 1)
+
+    # all rows tie on the rank key: rnk=1, drnk=1 everywhere; rn and
+    # ntile still follow the tiebreaker
+    ties = spark.createDataFrame([(7, i) for i in range(10)], "g long, k long")
+    rows = R.scalable_rank_family(
+        ties, [("g", True)], [("k", True)], ntile_buckets=3
+    ).orderBy("k").collect()
+    assert all(r["rnk"] == 1 and r["drnk"] == 1 for r in rows)
+    assert [r["rn"] for r in rows] == list(range(1, 11))
+    # ntile(3) over 10 rows: 4,3,3 (larger buckets first)
+    assert [r["ntile_3"] for r in rows] == [1]*4 + [2]*3 + [3]*3
+
+    # fewer rows than buckets: each row its own bucket 1..N
+    few = spark.createDataFrame([(i, i) for i in range(3)], "g long, k long")
+    rows = R.scalable_rank_family(
+        few, [("g", True)], [("k", True)], ntile_buckets=7
+    ).orderBy("k").collect()
+    assert [r["ntile_7"] for r in rows] == [1, 2, 3]
+
+    with pytest.raises(ValueError):
+        R.scalable_rank_family(few, [("g", True)], [("k", True)], ntile_buckets=0)
+    with pytest.raises(ValueError):
+        R.scalable_row_number(few, [])
