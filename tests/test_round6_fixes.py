@@ -237,3 +237,84 @@ def test_scalable_rank_edge_cases(spark):
         R.scalable_rank_family(few, [("g", True)], [("k", True)], ntile_buckets=0)
     with pytest.raises(ValueError):
         R.scalable_row_number(few, [])
+
+
+def test_eval_ab_test_z_score_math_on_mixed_conversions(spark, tmp_path):
+    """Non-degenerate path: synthetic events with a mixed conversion
+    split must yield the textbook pooled two-proportion z statistic
+    (the sf gates only ever see the degenerate all-convert pool, so
+    without this the z formula itself is unpinned)."""
+    import datetime as dt
+    import math
+
+    # 40 users; md5(first hex char < '8') decides A/B. Make users with
+    # user_id % 3 == 0 convert (emit a purchase), everyone emits a view.
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, ts, u, "view", 1.0, "{}")); eid += 1
+        if u % 3 == 0:
+            rows.append((eid, ts, u, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    r = entries()["eval_ab_test"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["conv_a"] + r["conv_b"] == 14  # users 0,3,...,39
+
+    # hand-computed pooled z from the returned counts
+    p_a, p_b = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+    p = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+    z = (p_a - p_b) / math.sqrt(p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert r["z_score"] is not None
+    assert abs(r["z_score"] - round(z, 7)) < 1e-7
+    assert r["rate_a"] == round(p_a, 7) and r["rate_b"] == round(p_b, 7)
+
+
+def test_table_fingerprint_null_fields_still_counted(spark, tmp_path):
+    """The coalesce('<null>') sentinel: rows with NULL fields must
+    contribute to the checksum (naive '||' concat would md5(NULL)->NULL
+    and silently drop them; naive concat_ws would let different NULL
+    patterns collide). sf data has no NULLs, so pin it synthetically."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, "O", 100.0, dt.date(2024, 1, 1)),
+        (2, None, "O", 100.0, dt.date(2024, 1, 1)),  # NULL custkey
+        (3, 10, "F", None, dt.date(2024, 1, 2)),     # NULL price
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {
+        r["o_orderstatus"]: r
+        for r in entries()["q_table_fingerprint"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["O"]["n_rows"] == 2 and out["F"]["n_rows"] == 1
+    # every row contributes a strictly positive 32-bit hash term
+    assert out["O"]["fingerprint"] > 0 and out["F"]["fingerprint"] > 0
+    # NULL pattern is distinguishable: flipping which field is NULL
+    # changes the canonical string, hence the sum
+    rows2 = [
+        (1, 10, "O", 100.0, dt.date(2024, 1, 1)),
+        (2, 10, "O", None, dt.date(2024, 1, 1)),  # NULL moved to price
+        (3, 10, "F", None, dt.date(2024, 1, 2)),
+    ]
+    spark.createDataFrame(
+        rows2,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out2 = {
+        r["o_orderstatus"]: r
+        for r in entries()["q_table_fingerprint"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out2["O"]["fingerprint"] != out["O"]["fingerprint"]
+    assert out2["F"]["fingerprint"] == out["F"]["fingerprint"]
