@@ -90,3 +90,51 @@ def temperature_sample(
         .filter(F.col("__rn") <= F.col("quota"))
         .drop("__rn", "grp", "n_total", "quota")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement of ``k`` rows per
+    group (Efraimidis–Spirakis, the per-group twin of the global
+    ``q_sample_weighted`` gate): each row gets key ``ln(u) / w`` with
+    ``u`` a deterministic md5-derived uniform in (0,1) and ``w`` the
+    row's weight; the top-k by key WITHIN each group is an exact
+    weighted sample of that group.
+
+    This is the per-source curation cap ("keep at most k docs per
+    domain, preferring high quality/length") as ONE window: shuffle on
+    the group key, WindowGroupLimit keeps k survivors per partition
+    before the exchange — no global sort, no quotas frame, no driver
+    pass. Membership is a pure function of (id, weight), so reruns,
+    engines and partitionings select identical rows.
+
+    ``weight_col`` must be > 0; the key is rounded to 10 dp BEFORE
+    ranking (both engines rank identical doubles; ``id_col`` breaks
+    residual ties). u = (h48+1)/(2^48+1) keeps u in (0,1) so ln is
+    finite.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h48 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    es = F.round(
+        F.log((h48 + F.lit(1.0)) / F.lit(281474976710657.0))
+        / F.col(weight_col).cast("double"),
+        10,
+    )
+    keyed = df.withColumn(key_col, es)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(key_col), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(k))
+        .drop("__rn")
+    )

@@ -318,3 +318,51 @@ def test_table_fingerprint_null_fields_still_counted(spark, tmp_path):
     }
     assert out2["O"]["fingerprint"] != out["O"]["fingerprint"]
     assert out2["F"]["fingerprint"] == out["F"]["fingerprint"]
+
+
+# -------------------------------------------- weighted per-group sampling
+
+
+def test_weighted_sample_per_group_contract(spark):
+    """At most k per group, deterministic, exact ES keys, and the
+    weighting biases selection toward heavy rows (probabilistic but
+    pinned on a fixed hash landscape, so stable)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import sampling as SMP
+
+    rows = [(i, "g%d" % (i % 3), 1000 if i % 10 == 0 else 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = SMP.weighted_sample_per_group(
+        df, k=5, weight_col="w", group_col="source", id_col="doc_id"
+    )
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(len(v) == 5 for v in per.values())
+    # determinism
+    again = SMP.weighted_sample_per_group(
+        df, k=5, weight_col="w", group_col="source", id_col="doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    # heavy rows (w=1000, 10% of rows) should dominate the picks:
+    # ln(u)/1000 is ~100x closer to 0 than ln(u)/10
+    heavy = sum(1 for r in got if r["w"] == 1000)
+    assert heavy >= 12, heavy  # 15 picks total
+
+    # k smaller than group leaves groups intact; k >= group returns all
+    tiny = spark.createDataFrame([(1, "a", 5), (2, "a", 5)], "doc_id long, source string, w long")
+    assert SMP.weighted_sample_per_group(tiny, k=10, weight_col="w").count() == 2
+    with pytest.raises(ValueError):
+        SMP.weighted_sample_per_group(tiny, k=0, weight_col="w")
+
+
+def test_weighted_group_gate_plan_uses_window_group_limit(spark):
+    """The per-group cap must plan as WindowGroupLimit (k survivors per
+    partition before the one group-key exchange), never a global sort."""
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    df = entries()["q_sample_weighted_groups"].fn(spark, SF01)
+    plan = X.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" not in plan or "WindowGroupLimit" in plan
