@@ -189,3 +189,54 @@ def scalable_rank_family(
         .withColumn(f"ntile_{b}", tile.cast("int"))
         .drop("__N")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float],
+    tiebreak_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT discrete quantiles of a column at any scale — the exact
+    counterpart to approx_percentile, built on scalable_row_number
+    instead of a global sort: the q-quantile is the value whose global
+    rank is max(1, ceil(q*N)) under the (value, tiebreak) total order.
+
+    One range shuffle + parallel enumeration produces ranks; N is a
+    1-row broadcast aggregate; the |quantiles|-row target frame
+    broadcasts onto the numbered data, so the final join touches every
+    row once and keeps |quantiles| of them. No partition ever holds
+    more than its range slice — exact medians over 100 TB without a
+    single-partition sort.
+
+    Returns (q DOUBLE, value <value_col type>), one row per requested
+    quantile. Quantiles must lie in (0, 1].
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile out of (0, 1]: {q}")
+    numbered = scalable_row_number(
+        df.select(value_col, tiebreak_col),
+        [(value_col, True), (tiebreak_col, True)],
+        out_col="__rn",
+        num_partitions=num_partitions,
+    )
+    spark = df.sparkSession
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    targets = qs.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("q") * F.col("__N")).cast("long"),
+        ).alias("__target"),
+    )
+    return (
+        numbered.join(
+            F.broadcast(targets), F.col("__rn") == F.col("__target")
+        )
+        .select("q", F.col(value_col).alias("value"))
+    )

@@ -9151,6 +9151,43 @@ def q_rank_scalable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_exact_quantiles_orders",
+    """
+    WITH numbered AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    n AS (SELECT count(*) AS total FROM orders),
+    qs(q) AS (VALUES (0.01), (0.1), (0.25), (0.5), (0.75), (0.9), (0.99), (1.0))
+    SELECT q, CAST(o_totalprice AS DOUBLE) AS value
+    FROM qs CROSS JOIN n
+    JOIN numbered
+      ON rn = greatest(1, CAST(ceil(q * total) AS BIGINT))
+    """,
+)
+def q_exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of order value at scale
+    (operators/ranking.py:exact_quantiles) — the exact counterpart to
+    the q_percentiles approx sketch gate: the q-quantile is the row
+    whose global rank is ceil(q*N) under the (value, orderkey) total
+    order, found via the range-partition + offset-merge row-number
+    machinery. One range shuffle + parallel enumeration + an 8-row
+    broadcast target join — exact medians over 100 TB with no
+    single-partition sort and no sketch error. DuckDB affords the
+    literal window-sort formulation of the same definition."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    o = load(spark, "orders", sf_dir)
+    return R.exact_quantiles(
+        o,
+        value_col="o_totalprice",
+        quantiles=[0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+        tiebreak_col="o_orderkey",
+    ).select("q", F.col("value").cast("double").alias("value"))
+
+
+@query(
     "knn_llm_reconstruction",
     f"""
     WITH un AS ({_UNIT_EMB}),
@@ -9267,14 +9304,15 @@ def knn_llm_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 3 round-6 additions (the scalable global-rank
-# formulation, the D2 stub-LLM reconstruction funnel, and the
-# per-group weighted sampling cap), then the 3 search gates whose
+# round), then the 4 round-6 additions (the scalable global-rank
+# formulation, the D2 stub-LLM reconstruction funnel, the per-group
+# weighted sampling cap, and the exact-quantiles twin of the approx
+# sketch gate), then the 3 search gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with all 25 least-recently-verified (r2-only,
-# unchanged) entries and the 15 alphabetically-first r3-only entries.
-# Deferred to round 7 (r3 rows, unchanged bodies):
+# unchanged) entries and the 14 alphabetically-first r3-only entries.
+# Deferred to round 7 (r3 rows, unchanged bodies): knn_batch_topk,
 # knn_prompt_reconstruction, knn_topk_cosine, multimodal_features,
 # q12_shipmode_priority, q14_promo_share, q1_pricing_summary,
 # q3_top_unshipped_orders, q4_order_priority, q5_nation_revenue,
@@ -9294,6 +9332,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_rank_scalable_orders",
     "knn_llm_reconstruction",
     "q_sample_weighted_groups",
+    "q_exact_quantiles_orders",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -9339,7 +9378,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_simhash_wide",
     "dedup_winnow_overlap",
-    "knn_batch_topk",
 )
 
 

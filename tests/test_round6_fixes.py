@@ -366,3 +366,34 @@ def test_weighted_group_gate_plan_uses_window_group_limit(spark):
     plan = X.physical_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "TakeOrderedAndProject" not in plan or "WindowGroupLimit" in plan
+
+
+# ----------------------------------------------------- exact quantiles
+
+
+def test_exact_quantiles_matches_sorted_definition(spark):
+    """exact_quantiles == the value at rank ceil(q*N) in the sorted
+    order, validated by brute force on a frame with duplicates."""
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    vals = [5, 1, 3, 3, 9, 7, 1, 8, 2, 6, 4, 3]  # N=12, with ties
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in R.exact_quantiles(df, "v", qs, tiebreak_col="id").collect()
+    }
+    s = sorted(vals)
+    import math
+
+    want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        R.exact_quantiles(df, "v", [], tiebreak_col="id")
+    with pytest.raises(ValueError):
+        R.exact_quantiles(df, "v", [0.0], tiebreak_col="id")
+    with pytest.raises(ValueError):
+        R.exact_quantiles(df, "v", [1.5], tiebreak_col="id")
