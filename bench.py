@@ -86,9 +86,11 @@ HEADLINE = [
     "eval_retrieval_metrics",
     "text_keyword_tfidf",
     # r6 additions: raw-row global ranking without a single-partition
-    # sort, and the D2 retrieve->prompt->model->compare funnel
+    # sort, the D2 retrieve->prompt->model->compare funnel, and exact
+    # quantiles through the same row-number machinery
     "q_rank_scalable_orders",
     "knn_llm_reconstruction",
+    "q_exact_quantiles_orders",
 ]
 
 
