@@ -91,6 +91,11 @@ HEADLINE = [
     "q_rank_scalable_orders",
     "knn_llm_reconstruction",
     "q_exact_quantiles_orders",
+    # r6 embedding-space additions: full-corpus Gram (mapInPandas
+    # matmul), shuffle-free JL projection, MMR diversified rerank
+    "embed_pca_gram",
+    "embed_random_projection",
+    "knn_mmr_rerank",
 ]
 
 

@@ -9291,6 +9291,207 @@ def knn_llm_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_pca_gram",
+    """
+    SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+           CAST(sum(CAST(round(CAST(e.embedding[a.i] AS DOUBLE) * 4099) AS BIGINT)
+                    * CAST(round(CAST(e.embedding[b.j] AS DOUBLE) * 4099) AS BIGINT))
+                AS BIGINT) AS gram_q
+    FROM embeddings e, range(1, 65) a(i), range(1, 65) b(j)
+    WHERE b.j >= a.i
+    GROUP BY a.i, b.j
+    """,
+)
+def embed_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA sufficient statistic: the exact upper-triangular
+    Gram matrix X^T X of the (fixed-point-quantized) embedding corpus.
+    One mapInPandas pass emits a dense int64 partial Gram per Arrow
+    batch (tall-skinny matmul), one dim²-sized hash aggregate merges
+    them — shuffle volume is O(batches × dim²), independent of row
+    count, so the plan stays scan-bound at 100 TB. The odd Q_SCALE
+    makes the quantization rounding-mode-proof, so the oracle's
+    explode-and-join formulation (fine at gate scale, never the
+    production path) lands on the same integers bit for bit.
+    principal_axes_from_gram finishes PCA driver-side from this
+    bounded output."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        projections as PJ,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    return PJ.gram_matrix(emb, vec_col="embedding", dim=64)
+
+
+@query(
+    "embed_random_projection",
+    """
+    WITH r AS (
+      SELECT CAST(t.i AS INT) AS i, CAST(kk.k AS INT) AS k,
+             CASE WHEN substr(md5(CAST(t.i AS VARCHAR) || '_'
+                                  || CAST(kk.k AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS r
+      FROM range(0, 64) t(i), range(0, 8) kk(k)
+    ),
+    y AS (
+      SELECT e.vec_id, r.k,
+             sum(CAST(round(CAST(e.embedding[r.i + 1] AS DOUBLE) * 4099) AS BIGINT)
+                 * r.r) AS y
+      FROM embeddings e CROSS JOIN r
+      GROUP BY e.vec_id, r.k
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y
+    FROM y GROUP BY k
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch of the embedding corpus: project
+    every vector onto 8 seeded Achlioptas ±1 axes, then profile each
+    component. The projection is a pure narrow zip_with/aggregate fold
+    (no UDF, no explode, no shuffle); the only exchange is the final
+    8-group aggregate. The ±1 matrix is regenerated from md5 on both
+    engines — the one hash Spark, DuckDB, and Python share — so the
+    oracle derives the identical matrix in pure SQL. This is the cheap
+    front door for embedding-space bucketing at scale: downstream
+    LSH/dedup can key on y_k signs without touching the full vector."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        projections as PJ,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    proj = PJ.random_project(
+        emb, vec_col="embedding", dim=64, out_dim=8
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    for k in range(8):
+        aggs.append(F.sum(f"y_{k}").alias(f"s{k}"))
+        aggs.append(F.min(f"y_{k}").alias(f"mn{k}"))
+        aggs.append(F.max(f"y_{k}").alias(f"mx{k}"))
+    row = proj.agg(*aggs)
+    stack = "stack(8, " + ", ".join(
+        f"{k}, s{k}, mn{k}, mx{k}" for k in range(8)
+    ) + ") AS (k, sum_y, min_y, max_y)"
+    return row.select("n_vecs", F.expr(stack)).select(
+        F.col("k").cast("int").alias("k"),
+        "n_vecs",
+        "sum_y",
+        "min_y",
+        "max_y",
+    )
+
+
+def _mk_mmr_sql() -> str:
+    qdot = (
+        "sum(CAST(round(CAST({a}.embedding[t.i] AS DOUBLE) * 4099) AS BIGINT)"
+        " * CAST(round(CAST({b}.embedding[t.i] AS DOUBLE) * 4099) AS BIGINT))"
+    )
+
+    def pick(step: int, prev_sel: str) -> str:
+        return f"""
+    p{step} AS (
+      SELECT c.cid, c.rel,
+             c.rel - (SELECT max(s.s) FROM sim s
+                      WHERE s.a = c.cid
+                        AND s.b IN (SELECT cid FROM {prev_sel})) AS mmr
+      FROM cand c WHERE c.cid NOT IN (SELECT cid FROM {prev_sel})
+    ),
+    s{step} AS (SELECT cid, rel, mmr FROM p{step}
+                ORDER BY mmr DESC, cid LIMIT 1)"""
+
+    steps = [pick(2, "s1")]
+    for n in (3, 4, 5):
+        steps.append(
+            f""",
+    sel{n - 1} AS (SELECT cid FROM sel{n - 2} UNION ALL
+                   SELECT cid FROM s{n - 1}),"""
+            if n > 3
+            else f""",
+    sel2 AS (SELECT cid FROM s1 UNION ALL SELECT cid FROM s2),"""
+        )
+        steps.append(pick(n, f"sel{n - 1}"))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, CAST(cid AS BIGINT) AS cid,"
+        f" CAST(rel AS BIGINT) AS rel, CAST(mmr AS BIGINT) AS mmr"
+        f" FROM s{r}"
+        for r in range(1, 6)
+    )
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id AS cid,
+             {qdot.format(a='e', b='q')} AS rel
+      FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    cand AS (SELECT cid, rel FROM rel ORDER BY rel DESC, cid LIMIT 12),
+    sim AS (
+      SELECT a.cid AS a, b.cid AS b, {qdot.format(a='ea', b='eb')} AS s
+      FROM cand a
+      JOIN embeddings ea ON ea.vec_id = a.cid
+      JOIN cand b ON b.cid <> a.cid
+      JOIN embeddings eb ON eb.vec_id = b.cid
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.cid, b.cid
+    ),
+    s1 AS (SELECT cid, rel, rel AS mmr FROM cand
+           ORDER BY rel DESC, cid LIMIT 1),
+    {''.join(steps)}
+    {unions}
+    """
+
+
+@query("knn_mmr_rerank", None)  # sql attached below
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: retrieve a 12-candidate shortlist by
+    exact (quantized) inner product against the target — the heavy,
+    corpus-wide stage, which plans as a narrow projection into
+    TakeOrderedAndProject, no shuffle — then greedily select 5 with
+    maximal marginal relevance (λ=0.5, scores scaled ×2 to stay
+    integral) over the BOUNDED shortlist driver-side, the same
+    serving shape as the cross-encoder funnel. All arithmetic is
+    order-independent int64 (odd-scale fixed point), so the greedy
+    trajectory — every argmax comparison included — is bit-identical
+    to the oracle's unrolled 5-step SQL."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        projections as PJ,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qt = PJ.quantize_py(target[0])
+    qt_col = F.array([F.lit(v).cast("long") for v in qt])
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("__qv", PJ.quantize_vector("embedding"))
+        .withColumn("rel", PJ.quantized_dot("__qv", qt_col))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(12)
+        .select("vec_id", "rel", "__qv")
+    )
+    rows = cand.collect()  # bounded: 12 shortlist rows
+    cands = [(int(r["vec_id"]), int(r["rel"])) for r in rows]
+    qvs = {int(r["vec_id"]): [int(v) for v in r["__qv"]] for r in rows}
+    sims = {
+        (a, b): sum(x * y for x, y in zip(qvs[a], qvs[b]))
+        for a in qvs
+        for b in qvs
+        if a != b
+    }
+    sel = PJ.mmr_greedy(cands, sims, k=5)
+    return spark.createDataFrame(
+        sel, "rank int, cid long, rel long, mmr long"
+    )
+
+
+CATALOG["knn_mmr_rerank"].sql = _mk_mmr_sql()
+
+
 # ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
@@ -9304,15 +9505,18 @@ def knn_llm_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 4 round-6 additions (the scalable global-rank
+# round), then the 7 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
-# weighted sampling cap, and the exact-quantiles twin of the approx
-# sketch gate), then the 3 search gates whose
+# weighted sampling cap, the exact-quantiles twin of the approx
+# sketch gate, the exact Gram/PCA statistic, the seeded JL random
+# projection, and the MMR diversified rerank), then the 3 search
+# gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with all 25 least-recently-verified (r2-only,
-# unchanged) entries and the 14 alphabetically-first r3-only entries.
-# Deferred to round 7 (r3 rows, unchanged bodies): knn_batch_topk,
+# unchanged) entries and the 11 alphabetically-first r3-only entries.
+# Deferred to round 7 (r3 rows, unchanged bodies): dedup_minhash_pairs,
+# dedup_simhash_wide, dedup_winnow_overlap, knn_batch_topk,
 # knn_prompt_reconstruction, knn_topk_cosine, multimodal_features,
 # q12_shipmode_priority, q14_promo_share, q1_pricing_summary,
 # q3_top_unshipped_orders, q4_order_priority, q5_nation_revenue,
@@ -9333,6 +9537,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "knn_llm_reconstruction",
     "q_sample_weighted_groups",
     "q_exact_quantiles_orders",
+    "embed_pca_gram",
+    "embed_random_projection",
+    "knn_mmr_rerank",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -9375,9 +9582,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_jaccard_verified",
     "dedup_keep_best",
-    "dedup_minhash_pairs",
-    "dedup_simhash_wide",
-    "dedup_winnow_overlap",
 )
 
 

@@ -79,6 +79,13 @@ QUERIES = [
     # grows; the 5-target broadcast and 5 UDF calls stay fixed)
     "q_rank_scalable_orders",
     "knn_llm_reconstruction",
+    # r6 embedding-space additions: Gram (per-batch matmul — cost is
+    # one scan, shuffle fixed at dim² per batch), JL projection (pure
+    # narrow fold + 8-group agg), MMR (corpus-wide shortlist scan +
+    # fixed 12-candidate greedy)
+    "embed_pca_gram",
+    "embed_random_projection",
+    "knn_mmr_rerank",
 ]
 
 
