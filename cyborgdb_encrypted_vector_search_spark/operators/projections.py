@@ -111,16 +111,30 @@ def gram_matrix(
 
 
 def principal_axes_from_gram(
-    gram_df: DataFrame, dim: int = 64, top: int = 8
+    gram_df: DataFrame,
+    dim: int = 64,
+    top: int = 8,
+    mean_sums: Sequence[int] | None = None,
+    count: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side eigendecomposition of the (bounded, dim²-sized)
     Gram matrix: the cheap final step of distributed PCA. Returns
     (eigenvalues desc, axes [top × dim]) with a deterministic sign
-    convention (first nonzero component positive)."""
+    convention (first nonzero component positive).
+
+    Uncentered by default (eigen of X^T X). Pass the per-dim quantized
+    sums and the row count to get CENTERED PCA: eigen of the scatter
+    matrix X^T X − n·μμ^T, the standard covariance-eigenvector form —
+    both statistics come from the same single distributed pass."""
     g = np.zeros((dim, dim), dtype=np.float64)
     for r in gram_df.collect():  # bounded: dim*(dim+1)/2 rows
         g[r["i"], r["j"]] = r["gram_q"]
         g[r["j"], r["i"]] = r["gram_q"]
+    if mean_sums is not None:
+        if not count:
+            raise ValueError("centered PCA needs the row count")
+        mu = np.asarray(mean_sums, dtype=np.float64) / count
+        g = g - count * np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:top]
     axes = vecs[:, order].T

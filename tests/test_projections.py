@@ -132,3 +132,71 @@ def test_catalog_random_projection_entry_runs(spark):
     assert len(n) == 1 and n.pop() > 0
     for r in rows:
         assert r["min_y"] <= r["max_y"]
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_gram_plan_is_mapinpandas_plus_one_exchange(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    df = PJ.gram_matrix(load(spark, "embeddings", sf_dir), dim=64)
+    plan = X.physical_plan(df)
+    assert "MapInPandas" in plan
+    # the only exchange is the dim²-sized partial-Gram merge; the
+    # embedding rows themselves never shuffle, and nothing explodes
+    assert plan.count("Exchange") == 1
+    X.assert_not_in_plan(df, "Generate", "SortMergeJoin")
+
+
+def test_random_projection_entry_plan_is_narrow(spark, sf_dir):
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    df = entries()["embed_random_projection"].fn(spark, sf_dir)
+    # pure JVM fold: no per-element explode of the embedding array, no
+    # Python, and the single-row global agg is the only exchange (the
+    # one Generate allowed is the 8-row stack unpivot ABOVE the agg)
+    X.assert_not_in_plan(
+        df, "explode", "MapInPandas", "BatchEvalPython", "ArrowEvalPython"
+    )
+    plan = X.physical_plan(df)
+    assert plan.count("Exchange") <= 1
+    assert "Generate stack" in plan
+
+
+def test_mmr_shortlist_plans_as_takeordered_no_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    target = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qt = F.array(
+        *[F.lit(v).cast("long") for v in PJ.quantize_py(target[0])]
+    )
+    shortlist = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("__qv", PJ.quantize_vector("embedding"))
+        .withColumn("rel", PJ.quantized_dot("__qv", qt))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(12)
+    )
+    X.assert_in_plan(shortlist, "TakeOrderedAndProject")
+    X.assert_not_in_plan(shortlist, "Exchange", "SortMergeJoin")
+
+
+def test_centered_pca_matches_numpy_covariance_eigs(spark):
+    x, df = _toy(spark, n=40, dim=5)
+    q = np.round(x.astype(np.float64) * PJ.Q_SCALE).astype(np.int64)
+    gram = PJ.gram_matrix(df, dim=5)
+    sums = q.sum(axis=0)
+    vals, axes = PJ.principal_axes_from_gram(
+        gram, dim=5, top=5, mean_sums=[int(s) for s in sums], count=40
+    )
+    centered = q - q.mean(axis=0)
+    want = np.linalg.eigvalsh(centered.T @ centered)[::-1]
+    assert np.allclose(vals, want, rtol=1e-9)
+    # axes orthonormal
+    assert np.allclose(axes @ axes.T, np.eye(5), atol=1e-9)
