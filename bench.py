@@ -96,6 +96,10 @@ HEADLINE = [
     "embed_pca_gram",
     "embed_random_projection",
     "knn_mmr_rerank",
+    # r6: runtime star-join pruning over the day-partitioned fact
+    "q_dpp_star_join",
+    # r6: runtime bloom-filter semi-join reduction on the fact scan
+    "q_bloom_filtered_join",
 ]
 
 

@@ -2293,6 +2293,78 @@ def q_time_partitioned_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dpp_star_join",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_days FROM daily),
+    busy AS (SELECT d FROM daily, tot WHERE n * n_days > total)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT)
+             AS n_busy_days,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN busy ON CAST(e.ts AS DATE) = busy.d
+    GROUP BY e.event_type
+    """,
+)
+def q_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the star-schema shape where the
+    partition predicate is only known at RUNTIME. A busier-than-average
+    day dimension is derived from the data (days with n > mean daily
+    count — the driver collects the exact integer threshold from one
+    bounded aggregate, and n > floor(total/n_days) is provably
+    equivalent to n·n_days > total for positive ints, so the oracle
+    computes the same set inline), then joined against the
+    day-partitioned fact layout. No static filter exists on the fact
+    side, yet the scan shows ``dynamicpruningexpression`` in
+    PartitionFilters (pinned by test): Spark broadcasts the dim,
+    harvests the surviving partition keys from the broadcast, and
+    skips every other ``event_date=`` directory before reading a byte
+    — THE mechanism that makes selective star joins affordable on a
+    100 TB partitioned fact table. Shares the cached day-partitioned
+    artifact with q_time_partitioned_events."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators import layout as L
+
+    ev = load(spark, "events", sf_dir)
+    ctag = _content_tag(spark, sf_dir, "events", "event_id")
+    tag = _hl.md5(f"{sf_dir}:tpart_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"events_bydate_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        L.build_time_partitioned(ev, "ts", tmp)
+        _publish_dir(tmp, path)
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    ).head()  # bounded: one 2-value row, fixes the literal threshold
+    thr = int(tot["total"]) // int(tot["n_days"])
+    busy = daily.filter(F.col("n") > F.lit(thr)).select("event_date")
+    fact = spark.read.parquet(path)
+    return (
+        fact.join(F.broadcast(busy), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_date").cast("bigint").alias(
+                "n_busy_days"
+            ),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
     "q_zorder_pruned_scan",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -3516,6 +3588,82 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("double")
         .alias("total"),
+    )
+
+
+def _plan_with_confs(spark: SparkSession, df: DataFrame, confs: dict) -> DataFrame:
+    """Force physical planning of ``df`` under temporarily-set session
+    confs, then restore them. QueryExecution caches optimizedPlan /
+    executedPlan as lazy vals, so the plan chosen under the scoped
+    confs sticks to THIS DataFrame while the shared session (and every
+    later query) sees the original settings — conf-scoped planning
+    without cross-query leakage (leak-freedom is test-pinned)."""
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+@query(
+    "q_bloom_filtered_join",
+    """
+    SELECT l.l_returnflag AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: a selective dim filter
+    (orders above a price threshold) joined to the big fact. Catalyst's
+    InjectRuntimeFilter plants a ``bloom_filter_agg`` over the dim keys
+    and a ``might_contain`` probe on the FACT SCAN, so non-matching
+    fact rows are dropped before the join shuffle — at 100 TB that
+    turns a full-fact shuffle into a shuffle of only plausible matches
+    (false-positive rate bounded by the filter's NDV sizing). In
+    production the rule fires on its own (fact scan > 10 GB); at test
+    scale we lower the thresholds via conf-scoped planning
+    (_plan_with_confs) so the SAME optimizer rule — not a hand-built
+    imitation — produces the plan, pinned by test. The shuffled join
+    itself is what AQE would pick unhinted; broadcast is disabled only
+    during planning to model the dim exceeding broadcast size."""
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    df = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return _plan_with_confs(
+        spark,
+        df,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
     )
 
 
@@ -9505,17 +9653,21 @@ CATALOG["knn_mmr_rerank"].sql = _mk_mmr_sql()
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 7 round-6 additions (the scalable global-rank
+# round), then the 9 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
-# projection, and the MMR diversified rerank), then the 3 search
+# projection, the MMR diversified rerank, the dynamic-partition-
+# pruning star join, and the runtime bloom-filter semi-join
+# reduction), then the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with all 25 least-recently-verified (r2-only,
-# unchanged) entries and the 11 alphabetically-first r3-only entries.
-# Deferred to round 7 (r3 rows, unchanged bodies): dedup_minhash_pairs,
+# unchanged) entries and the 9 alphabetically-first r3-only entries.
+# Deferred to round 7 (r3 rows, unchanged bodies): dedup_jaccard_verified,
+# dedup_keep_best,
+# dedup_minhash_pairs,
 # dedup_simhash_wide, dedup_winnow_overlap, knn_batch_topk,
 # knn_prompt_reconstruction, knn_topk_cosine, multimodal_features,
 # q12_shipmode_priority, q14_promo_share, q1_pricing_summary,
@@ -9540,6 +9692,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embed_pca_gram",
     "embed_random_projection",
     "knn_mmr_rerank",
+    "q_dpp_star_join",
+    "q_bloom_filtered_join",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -9580,8 +9734,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_probe_topk",
     "dedup_embedding_neardup",
     "dedup_exact_groups",
-    "dedup_jaccard_verified",
-    "dedup_keep_best",
 )
 
 

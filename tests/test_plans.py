@@ -455,3 +455,56 @@ def test_scalable_rank_family_matches_sql_windows(spark):
     got = got.select("g", "k", "rn", "rnk", "drnk", "prk", "ntile_7")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_dpp_star_join_prunes_partitions_dynamically(spark, sf_dir, cat):
+    """The fact scan must carry a dynamicpruningexpression in
+    PartitionFilters: the busy-day dim is only known at runtime, so
+    without DPP the partitioned fact would be read in full."""
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    df = cat["q_dpp_star_join"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "dynamicpruning" in plan
+    # the pruning filter sits on the partition column of the fact scan
+    import re
+
+    scans = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line
+    ]
+    assert scans, plan[:3000]
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date", scans[0])
+
+
+def test_bloom_filtered_join_injects_runtime_filter(spark, sf_dir, cat):
+    """InjectRuntimeFilter must plant a bloom_filter_agg over the dim
+    keys and a might_contain probe on the fact side, and the
+    conf-scoped planning must not leak settings into the session."""
+    from cyborgdb_encrypted_vector_search_spark.plans import explain as X
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    df = cat["q_bloom_filtered_join"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # confs restored: the shared session must be untouched after planning
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+    # and a FRESH identical join planned now (under restored confs)
+    # must NOT carry the bloom filter — proof the scope didn't leak
+    from cyborgdb_encrypted_vector_search_spark.sources.registry import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    fresh = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+        "l_returnflag"
+    ).count()
+    assert "bloom_filter_agg" not in X.physical_plan(fresh)

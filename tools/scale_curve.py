@@ -86,6 +86,12 @@ QUERIES = [
     "embed_pca_gram",
     "embed_random_projection",
     "knn_mmr_rerank",
+    # r6: DPP star join — prune fraction is scale-invariant, so cost
+    # tracks the busy-day partitions only
+    "q_dpp_star_join",
+    # r6: bloom-filtered join — fact rows surviving the probe scale
+    # with the dim selectivity, not the fact size
+    "q_bloom_filtered_join",
 ]
 
 
