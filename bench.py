@@ -100,6 +100,11 @@ HEADLINE = [
     "q_dpp_star_join",
     # r6: runtime bloom-filter semi-join reduction on the fact scan
     "q_bloom_filtered_join",
+    # r6: deterministic CMS heavy hitters (one fact scan + tiny sketch)
+    "q_heavy_hitters_cms",
+    # r6: graph kernels over the hourly co-purchase graph
+    "q_graph_triangles",
+    "q_graph_pagerank",
 ]
 
 

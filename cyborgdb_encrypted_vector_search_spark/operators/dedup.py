@@ -858,3 +858,107 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def editdist_pairs(
+    corpus: DataFrame,
+    max_dist: int = 2,
+    window: int = 25,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance similarity join: every pair of eligible documents
+    with ``levenshtein <= max_dist`` — the fuzzy-duplicate family exact
+    n-gram / MinHash blocking cannot express (it has no edit-script
+    guarantee).
+
+    All-pairs levenshtein is O(n² · len²) — never viable. Blocking is
+    the PIGEONHOLE guarantee instead: an edit script of d operations
+    splits the source string into at most d+1 verbatim runs that also
+    appear in the target, jointly covering >= len-d characters, so the
+    longest shared run has length >= (len-d)/(d+1). Documents of
+    length >= ``(d+1)*window + d`` within distance d therefore SHARE AN
+    EXACT ``window``-char substring — the same rolling-window-hash
+    inverted index as substring_window_pairs generates a candidate set
+    that is provably COMPLETE for eligible pairs, and exact
+    ``F.levenshtein`` verifies only those candidates (output-bound
+    work, never corpus²). Shorter documents are excluded by the length
+    floor; lower ``window`` to cover them (more candidates per doc).
+
+    Sharing ONE window is necessary but weak (corpora reuse template
+    phrases), so candidates are COUNT-filtered before the DP: the same
+    run decomposition shows that at least
+    ``len(a) - d - (d+1)*(window-1)`` POSITIONS of doc_a carry a
+    window that is a substring of doc_b (each preserved run of length
+    L contributes L-window+1 of them — positions, not distinct
+    strings, so the bound survives repetitive text where distinct
+    windows collapse), while a pair that merely shares a phrase
+    matches a handful. The count comes from joining doc_a's
+    POSITIONAL window stream against doc_b's distinct window set, so
+    levenshtein runs on nearly-only-true pairs. Both filters are
+    implied by dist<=d: provably lossless.
+
+    ``max_df`` drops boilerplate windows before the join (the standard
+    stop-shingle guard — at web scale a shared header would otherwise
+    create one quadratic bucket; it weakens the count bound, so it is
+    an explicit approximation knob); leave None for provably-complete
+    output. Returns (doc_a, doc_b, dist) with doc_a < doc_b.
+    """
+    min_len = (max_dist + 1) * window + max_dist
+    eligible = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(F.length("text") >= min_len)
+    wpos = window_hashes(eligible, window)  # every position
+    wset = wpos.distinct()
+    if max_df is not None:
+        ok = (
+            wset.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("wh")
+        )
+        wpos = wpos.join(ok, "wh", "left_semi")
+        wset = wset.join(ok, "wh", "left_semi")
+    shared = (
+        wpos.select(F.col("doc_id").alias("doc_a"), "wh")
+        .join(wset.select(F.col("doc_id").alias("doc_b"), "wh"), "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    a = eligible.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta")
+    )
+    b = eligible.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb")
+    )
+    # positions of doc_a guaranteed to match into doc_b's window set
+    # when ed(a,b) <= d — uses doc_a's OWN length (the run argument
+    # holds from either side of a symmetric distance)
+    need = F.length("__ta") - F.lit(
+        max_dist + (max_dist + 1) * (window - 1)
+    )
+    return (
+        # merge-join hints: on a duplicate-dense corpus the candidate
+        # frame dwarfs the text frame, and size estimates made AFTER
+        # the expanding inverted-index join are unreliable — a wrong
+        # broadcast pick here OOMs the driver (observed on the 16x
+        # curve); sort-merge is the safe shape at every scale
+        shared.hint("merge")
+        .join(a.hint("merge"), "doc_a")
+        .join(b.hint("merge"), "doc_b")
+        # cheap necessary conditions first: a true d-edit pair can't
+        # differ by more than d chars, and doc_a must have at least
+        # `need` window positions matching into doc_b — most
+        # candidates skip the DP entirely
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
+        )
+        .filter(F.col("__shared") >= F.greatest(F.lit(1), need))
+        .withColumn(
+            "dist", F.levenshtein("__ta", "__tb").cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -201,3 +201,35 @@ def drop_partitions_before(path: str, cutoff_date: str) -> list[str]:
             shutil.rmtree(os.path.join(path, name))
             dropped.append(value)
     return dropped
+
+
+def compact_partitioned_layout(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    partition_col: str = "event_date",
+    max_tasks: int = 4,
+) -> None:
+    """Generic small-file compaction for a partitioned layout (the
+    OPTIMIZE of Delta/Iceberg): a long-running ingest appends at least
+    one file per touched partition per batch, so directories accumulate
+    small files and every later scan pays listing + open + footer cost
+    per file — the classic lakehouse small-files problem.
+
+    Compaction is a SHUFFLE-FREE maintenance job: read →
+    ``coalesce(max_tasks)`` (narrow, no Exchange — pinned by test) →
+    rewrite ``partitionBy(partition_col)``, leaving at most
+    ``max_tasks`` files per partition directory. Content is preserved
+    byte-for-byte (the gate fingerprints the compacted layout against
+    the raw source cross-engine). The caller swaps ``dest_path`` in
+    atomically (directory rename — same _publish_dir discipline as the
+    IVF/BM25 index builds) so readers never see a half-compacted
+    table; at cluster scale run one compaction per partition subtree
+    to bound task memory and preserve intra-file ordering locality."""
+    df = spark.read.parquet(src_path)
+    (
+        df.coalesce(max_tasks)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dest_path)
+    )

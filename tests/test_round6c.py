@@ -1,0 +1,225 @@
+"""Round-6 second-wave operators: edit-distance join, CMS heavy
+hitters, small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.operators import dedup
+from cyborgdb_encrypted_vector_search_spark.plans.explain import physical_plan
+
+
+@pytest.fixture(scope="module")
+def cat():
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
+
+    return entries()
+
+
+# ---------------------------------------------------------------- editdist
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_editdist_pairs_finds_exactly_the_close_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+    rows = [
+        (1, base),
+        (2, base + "xy"),            # distance 2 (two inserts)
+        (3, base[:-1] + "Q"),        # distance 1 (one substitute)
+        (4, base[10:] + base[:10]),  # rotation: far from base
+        (5, "z" * 100),              # unrelated
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.editdist_pairs(
+            _corpus(spark, rows), max_dist=2, window=25
+        ).collect()
+    }
+    assert (1, 2, 2) in got
+    assert (1, 3, 1) in got
+    # docs 2 and 3 differ by 3 edits (xy suffix vs Q substitute) — out
+    assert not any(a == 2 and b == 3 for a, b, _ in got)
+    assert not any(4 in (a, b) or 5 in (a, b) for a, b, _ in got)
+
+
+def test_editdist_pairs_survives_repetitive_text(spark):
+    # a doc of one repeated char has ONE distinct window — a count
+    # filter over distinct shared strings would drop this true pair;
+    # the positional count bound must keep it
+    rows = [(1, "z" * 100), (2, "z" * 100 + "qq")]
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.editdist_pairs(
+            _corpus(spark, rows), max_dist=2, window=25
+        ).collect()
+    }
+    assert got == {(1, 2, 2)}
+
+
+def test_editdist_pairs_excludes_below_length_floor(spark):
+    # length < (d+1)*w + d = 77: ineligible even though identical
+    rows = [(1, "short text " * 5), (2, "short text " * 5)]
+    assert len(rows[0][1]) < 77
+    assert (
+        dedup.editdist_pairs(_corpus(spark, rows), max_dist=2, window=25)
+        .collect()
+        == []
+    )
+
+
+def test_editdist_plan_has_no_cartesian(spark, cat, sf_dir):
+    plan = physical_plan(cat["dedup_editdist_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- CMS heavy hitters
+
+
+def test_cms_estimates_never_underestimate(spark, cat, sf_dir):
+    rows = cat["q_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    assert rows, "top-20 must be non-empty"
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"]
+        assert r["overest"] is True
+
+
+def test_cms_cells_are_mergeable_partial_sums(spark):
+    # the sketch built from a split corpus, cell-summed, must equal the
+    # sketch of the whole — additivity is what makes it a 100 TB sketch
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    ev = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "event_id long, user_id long"
+    )
+
+    def cells_of(df):
+        keyed = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_n")
+        ).select(
+            "user_id",
+            "exact_n",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(C._CMS_DEPTH)])
+            ).alias("j"),
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(C._CMS_WIDTH),
+            ),
+        )
+        return {
+            (r["j"], r["bucket"]): r["c"]
+            for r in keyed.groupBy("j", "bucket")
+            .agg(F.sum("exact_n").cast("bigint").alias("c"))
+            .collect()
+        }
+
+    whole = cells_of(ev)
+    a = cells_of(ev.filter(F.col("event_id") < 97))
+    b = cells_of(ev.filter(F.col("event_id") >= 97))
+    merged: dict = {}
+    for part in (a, b):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compaction_reduces_files_and_is_shuffle_free(spark, cat, sf_dir):
+    # run the gate once so both layouts exist
+    cat["q_compact_small_files"].fn(spark, sf_dir).collect()
+    import hashlib
+    import tempfile
+
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+        _content_tag,
+    )
+
+    ctag = _content_tag(spark, sf_dir, "events", "event_id")
+    tag = hashlib.md5(f"{sf_dir}:compact_v1:{ctag}".encode()).hexdigest()[:10]
+    frag = os.path.join(tempfile.gettempdir(), f"events_frag_{tag}")
+    comp = os.path.join(tempfile.gettempdir(), f"events_compact_{tag}")
+
+    def files_per_dir(root):
+        out = {}
+        for d in glob.glob(os.path.join(root, "event_date=*")):
+            out[os.path.basename(d)] = len(
+                glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    f_frag, f_comp = files_per_dir(frag), files_per_dir(comp)
+    assert sorted(f_frag) == sorted(f_comp)  # same partition dirs
+    assert max(f_frag.values()) > 4  # the pathology is real
+    assert max(f_comp.values()) <= 4  # and compaction fixed it
+    assert sum(f_comp.values()) < sum(f_frag.values())
+    # the compaction READ+coalesce plan is narrow — no Exchange
+    plan = physical_plan(spark.read.parquet(frag).coalesce(4))
+    assert "Exchange" not in plan
+    assert "Coalesce" in plan
+
+
+# ------------------------------------------------------------------ graph
+
+
+def test_triangle_count_on_known_graph(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # K4 plus a pendant vertex: C(4,3)=4 triangles, 7 edges
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    row = G.triangle_count(edges).head()
+    assert (row["n_edges"], row["n_triangles"]) == (7, 4)
+
+
+def test_pagerank_fixedpoint_mass_and_order(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # star graph: center 1 linked to 2..5 — center must outrank leaves,
+    # leaves tie exactly (identical integer arithmetic)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "src long, dst long"
+    )
+    r = {
+        row["v"]: row["rank_fp"]
+        for row in G.pagerank_fixedpoint(edges, iterations=3).collect()
+    }
+    assert len(r) == 5
+    leaves = {r[v] for v in (2, 3, 4, 5)}
+    assert len(leaves) == 1  # exact tie, not approximately equal
+    assert r[1] > r[2]
+    # total fixed-point mass stays within floor-division slack of 1.0
+    assert abs(sum(r.values()) - G.RANK_SCALE) < 100 * len(r)
+
+
+def test_graph_gates_single_scan_shapes(spark, cat, sf_dir):
+    # triangle plan: no CartesianProduct (wedge join is keyed)
+    plan = physical_plan(cat["q_graph_triangles"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -92,12 +92,48 @@ QUERIES = [
     # r6: bloom-filtered join — fact rows surviving the probe scale
     # with the dim selectivity, not the fact size
     "q_bloom_filtered_join",
+    # r6: CMS heavy hitters — sketch size is FIXED (depth x width);
+    # cost tracks the distinct-user frame, not the fact table
+    "q_heavy_hitters_cms",
+    # r6: compaction — cost is the rewrite itself (linear in bytes)
+    "q_compact_small_files",
+    # NOTE: the q_graph_* gates ride the curve through replica-DISJOINT
+    # twins in `extra` below — the blowup replicates identical
+    # timestamps, so the raw gates would measure cross-replica
+    # densification (16x co-occurrence pairs per 4x data), not the
+    # operator. dedup_editdist_pairs is excluded entirely: replicated
+    # identical TEXT is the adversarial duplicate-dense corpus for any
+    # content blocking (no tag neutralizes it) — its raw numbers and
+    # analysis live in docs/COSTS.md.
 ]
 
 
 def materialize(spark, base: str, scale: int, out: str) -> None:
+    """Build (or reuse) the scaled copy of ``base`` under ``out``.
+
+    STALENESS GUARD: a ``_BASE.json`` marker records the base path and
+    per-table base row counts; an existing dir whose marker doesn't
+    match the current base is REBUILT. Without this, regenerated
+    testdata (or a curve run against a different sf) silently serves
+    blowups of the OLD base and the published 1x/4x/16x rows compare
+    different datasets — exactly what happened to the early round-6
+    measurements (4x/16x dirs built from sf0.01 under an sf0.1 \"1x\")."""
     from pyspark.sql import functions as F
 
+    marker = os.path.join(out, "_BASE.json")
+    counts = {
+        t: spark.read.parquet(os.path.join(base, f"{t}.parquet")).count()
+        for t in BLOWUP
+    }
+    want = {"base": base, "scale": scale, "counts": counts}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return
+        except Exception:
+            pass
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     for t in COPY:
         dst = os.path.join(out, f"{t}.parquet")
@@ -105,8 +141,6 @@ def materialize(spark, base: str, scale: int, out: str) -> None:
             shutil.copy(os.path.join(base, f"{t}.parquet"), dst)
     for t, keys in BLOWUP.items():
         dst = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(dst):
-            continue
         df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
         reps = []
         for i in range(scale):
@@ -118,6 +152,8 @@ def materialize(spark, base: str, scale: int, out: str) -> None:
         for r in reps[1:]:
             full = full.unionByName(r)
         full.write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as f:
+        json.dump(want, f)
 
 
 def main() -> None:
@@ -143,6 +179,12 @@ def main() -> None:
     extra = {
         "dedup_simhash_wide_serve": C.simhash_wide_serve,
         "ann_sq8_batch_serve": C.sq8_batch_serve,
+        # replica-disjoint twins (see QUERIES note); editdist has no
+        # twin — text replication can't be tag-neutralized (see the
+        # catalog note above GATE_PRIORITY) — its raw 1x/4x numbers
+        # live in docs/COSTS.md with the substring-pairs narrative
+        "graph_triangles_curve": C.graph_triangles_curve,
+        "graph_pagerank_curve": C.graph_pagerank_curve,
     }
 
     for scale in scales:
