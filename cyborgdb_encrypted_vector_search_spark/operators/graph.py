@@ -65,6 +65,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedges at the source, close them against the oriented edge set.
     Each triangle is counted exactly once — at its lowest-degree
     vertex. Returns a single row (n_edges, n_triangles)."""
+    # the edge list feeds three consumers (degree table, wedge sides,
+    # closing probe) — persist so the derivation (often a join itself)
+    # runs once, the same invariant-frame caching every graph engine
+    # applies
+    edges = edges.persist()
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -121,7 +126,7 @@ def pagerank_fixedpoint(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    )
+    ).persist()  # the invariant adjacency — read once per iteration
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded: one long — fixes the constants below
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
