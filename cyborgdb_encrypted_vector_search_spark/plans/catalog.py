@@ -9763,9 +9763,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-wise sum (mergeable, like the HLL rollup in
     q_sketch_rollup_users)."""
     ev = load(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    # persisted: the per-user aggregate feeds BOTH the sketch cells and
+    # the estimate probe — one fact-table scan, not two
     ex = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_n")
-    )
+    ).persist()
     keyed = ex.select(
         "user_id",
         "exact_n",

@@ -223,3 +223,10 @@ def test_graph_gates_single_scan_shapes(spark, cat, sf_dir):
     # triangle plan: no CartesianProduct (wedge join is keyed)
     plan = physical_plan(cat["q_graph_triangles"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_cms_fact_scanned_once_via_cached_aggregate(spark, cat, sf_dir):
+    # the sketch is derived from the persisted per-user aggregate, so
+    # the plan reuses the cached frame instead of re-scanning the fact
+    plan = physical_plan(cat["q_heavy_hitters_cms"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
