@@ -105,6 +105,8 @@ HEADLINE = [
     # r6: graph kernels over the hourly co-purchase graph
     "q_graph_triangles",
     "q_graph_pagerank",
+    # r6: hypertable resample — gap fill + forward fill, one fact scan
+    "q_events_gapfill_hourly",
 ]
 
 

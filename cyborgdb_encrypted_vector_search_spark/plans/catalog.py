@@ -10092,6 +10092,103 @@ def graph_pagerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_fp"), F.asc("v")).limit(10)
 
 
+@query(
+    "q_events_gapfill_hourly",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type AS et FROM events),
+    hourly AS (
+      SELECT event_type AS et, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(*), 7) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT t.et, g.h,
+             coalesce(hr.n, 0) AS n_events,
+             last_value(hr.avg_v IGNORE NULLS) OVER (
+               PARTITION BY t.et ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS ff_avg
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN hourly hr ON hr.et = t.et AND hr.h = g.h
+    )
+    SELECT et AS event_type,
+           strftime(h, '%Y-%m-%d %H:00') AS hour,
+           n_events, ff_avg
+    FROM filled
+    """,
+)
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill + forward fill — the hypertable
+    read pattern (TimescaleDB's time_bucket_gapfill + locf,
+    re-expressed declaratively): a dense hourly grid is generated with
+    one ``sequence`` over the table's [min, max] hour (a bounded
+    2-value aggregate fixes the bounds), cross-joined with the bounded
+    event-type dim, left-joined against the hourly aggregate, and
+    missing hours get count 0 plus a forward-filled (last non-null)
+    hourly average via one per-type ordered window. Scale shape: the
+    fact table is touched ONCE (the hourly groupBy); the grid is
+    O(hours × types) — metadata-sized next to the 100 TB fact — and
+    the forward-fill window partitions by type, so no single-partition
+    sort over raw rows anywhere. Averages go through exact DECIMAL
+    sums and round ONCE (cross-engine float discipline)."""
+    ev = load(spark, "events", sf_dir)
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select(
+        F.col("event_type").alias("et")
+    ).distinct()
+    hourly = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            7,
+        ).alias("avg_v"),
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["et", "h"], "left")
+        .select(
+            "et",
+            "h",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("ff_avg"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "n_events",
+            "ff_avg",
+        )
+    )
+
+
 # NOTE: dedup_editdist_pairs has no replica-disjoint curve twin — text
 # replication can't be neutralized by tagging (a short prefix leaves
 # cross-replica copies within the edit threshold; anything longer
@@ -10114,22 +10211,23 @@ def graph_pagerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 14 round-6 additions (the scalable global-rank
+# round), then the 15 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
 # projection, the MMR diversified rerank, the dynamic-partition-
 # pruning star join, the runtime bloom-filter semi-join reduction,
 # the pigeonhole-blocked edit-distance join, the CMS heavy hitters,
-# the small-file compaction gate, and the two graph kernels —
-# degree-oriented triangle counting and fixed-point PageRank), then
+# the small-file compaction gate, the two graph kernels —
+# degree-oriented triangle counting and fixed-point PageRank — and
+# the hourly gap-fill/forward-fill resample), then
 # the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with all 25 least-recently-verified (r2-only,
-# unchanged) entries and the 4 alphabetically-first r3-only entries.
-# Deferred to round 7 (r3 rows, unchanged bodies):
+# unchanged) entries and the 3 alphabetically-first r3-only entries.
+# Deferred to round 7 (r3 rows, unchanged bodies): ann_lsh_batch_topk,
 # ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
 # dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
 # dedup_keep_best,
@@ -10165,6 +10263,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_compact_small_files",
     "q_graph_triangles",
     "q_graph_pagerank",
+    "q_events_gapfill_hourly",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -10199,7 +10298,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_assign",
     "ann_ivf_batch_topk",
     "ann_ivf_search_topk",
-    "ann_lsh_batch_topk",
 )
 
 

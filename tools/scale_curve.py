@@ -97,6 +97,9 @@ QUERIES = [
     "q_heavy_hitters_cms",
     # r6: compaction — cost is the rewrite itself (linear in bytes)
     "q_compact_small_files",
+    # r6: gap fill — grid is O(hours x types) at any fact size; cost
+    # tracks the one hourly-aggregate scan
+    "q_events_gapfill_hourly",
     # NOTE: the q_graph_* gates ride the curve through replica-DISJOINT
     # twins in `extra` below — the blowup replicates identical
     # timestamps, so the raw gates would measure cross-replica
