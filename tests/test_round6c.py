@@ -230,3 +230,38 @@ def test_cms_fact_scanned_once_via_cached_aggregate(spark, cat, sf_dir):
     # the plan reuses the cached frame instead of re-scanning the fact
     plan = physical_plan(cat["q_heavy_hitters_cms"].fn(spark, sf_dir))
     assert "InMemoryTableScan" in plan
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = G.triangle_count(empty).head()
+    assert (row["n_edges"], row["n_triangles"]) == (0, 0)
+    # path graph 1-2-3-4: 3 edges, no triangle
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    row = G.triangle_count(path).head()
+    assert (row["n_edges"], row["n_triangles"]) == (3, 0)
+
+
+def test_gapfill_grid_is_dense_and_forward_filled(spark, cat, sf_dir):
+    import pandas as pd
+
+    pdf = cat["q_events_gapfill_hourly"].fn(spark, sf_dir).toPandas()
+    # dense: every (type, hour) cell present exactly once
+    per_type = pdf.groupby("event_type")["hour"].nunique()
+    assert per_type.nunique() == 1  # same grid for every type
+    assert len(pdf) == per_type.iloc[0] * pdf["event_type"].nunique()
+    # gap rows exist (count 0) and their ff_avg is carried forward,
+    # i.e. non-null whenever any earlier hour of that type had data
+    gaps = pdf[pdf["n_events"] == 0]
+    assert len(gaps) > 0
+    pdf = pdf.sort_values(["event_type", "hour"])
+    seen = set()
+    for r in pdf.itertuples():
+        if r.event_type in seen and r.n_events == 0:
+            assert not pd.isna(r.ff_avg)
+        if r.n_events > 0:
+            seen.add(r.event_type)
