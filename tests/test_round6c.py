@@ -265,3 +265,84 @@ def test_gapfill_grid_is_dense_and_forward_filled(spark, cat, sf_dir):
             assert not pd.isna(r.ff_avg)
         if r.n_events > 0:
             seen.add(r.event_type)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_pairs_matches_bruteforce_property(spark):
+    # deterministic pseudo-random corpus with planted near-dups; the
+    # blocked operator must reproduce the exact brute-force pair set
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "bravo", "casa", "delta", "echo", "furl", "gamma"]
+    docs = {}
+    for i in range(14):
+        base = " ".join(rng.choice(words) for _ in range(22))  # ~110 chars
+        docs[i] = base
+    # planted variants: delete 1 char, swap-sub 2 chars, append 2
+    docs[100] = docs[0][:-1]
+    docs[101] = "Q" + docs[1][1:-1] + "Q"
+    docs[102] = docs[2] + "xy"
+    docs[103] = docs[3][:50] + docs[4][50:]  # chimera: far from both
+    corpus = _corpus(spark, list(docs.items()))
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.editdist_pairs(corpus, max_dist=2, window=25).collect()
+    }
+    eligible = {k: v for k, v in docs.items() if len(v) >= 77}
+    want = set()
+    for a in sorted(eligible):
+        for b in sorted(eligible):
+            if a < b:
+                d = _lev(eligible[a], eligible[b])
+                if d <= 2:
+                    want.add((a, b, d))
+    assert got == want
+
+
+def test_pagerank_fixedpoint_tracks_float_reference(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # small deterministic graph; fixed-point ranks must match a float
+    # power-iteration reference to ~1e-9 relative (fixed-point floor
+    # loss only)
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(30)})
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: r["rank_fp"] / G.RANK_SCALE
+        for r in G.pagerank_fixedpoint(edf, iterations=3).collect()
+    }
+    # float reference
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        nxt = {v: 0.15 / n for v in adj}
+        for u, nbrs in adj.items():
+            share = r[u] / len(nbrs)
+            for v in nbrs:
+                nxt[v] += 0.85 * share
+        r = nxt
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-6
