@@ -346,3 +346,26 @@ def test_pagerank_fixedpoint_tracks_float_reference(spark):
     assert set(got) == set(r)
     for v in r:
         assert abs(got[v] - r[v]) < 1e-6
+
+
+def test_triangle_count_matches_bruteforce_property(spark):
+    from itertools import combinations
+    import random
+
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    rng = random.Random(11)
+    for trial in range(3):
+        nodes = list(range(13))
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(28 + trial * 7)}
+        )
+        eset = set(edges)
+        want = sum(
+            1
+            for a, b, c in combinations(nodes, 3)
+            if (a, b) in eset and (a, c) in eset and (b, c) in eset
+        )
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        row = G.triangle_count(edf).head()
+        assert (row["n_edges"], row["n_triangles"]) == (len(edges), want)
