@@ -107,6 +107,8 @@ HEADLINE = [
     "q_graph_pagerank",
     # r6: hypertable resample — gap fill + forward fill, one fact scan
     "q_events_gapfill_hourly",
+    # r6: per-user fixed-point EMA recursion (applyInPandas fold)
+    "q_events_ema_user",
 ]
 
 

@@ -10189,6 +10189,66 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_events_ema_user",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    nmax AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM seq GROUP BY 1
+    ),
+    ema AS (
+      SELECT user_id, rn, x AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (85 * e.e + 15 * s.x) // 100 AS e
+      FROM ema e JOIN seq s
+        ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT m.user_id, m.n_events, CAST(e.e AS BIGINT) AS ema_fp
+    FROM ema e JOIN nmax m
+      ON m.user_id = e.user_id AND e.rn = m.n_events
+    """,
+)
+def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity score (operators/
+    timeseries.ema_fixedpoint) — the recency-weighted feature training
+    pipelines weight users/sources by. A true per-key RECURSION (row i
+    depends on row i-1's OUTPUT), the one time-series shape Catalyst
+    can't express declaratively: runs as one Arrow-batched
+    applyInPandas fold per user — distributed across keys, sequential
+    only within a key's bounded event list. Fixed-point contract
+    (value → DECIMAL(18,4) → ×10^4 BIGINT; floor division; decay
+    0.85), so the recursion is exactly reproducible and value-hashes
+    against the oracle's genuinely recursive CTE — two very different
+    executions of the same integer recurrence."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        timeseries as T,
+    )
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    return T.ema_fixedpoint(
+        ev, "user_id", ["ts", "event_id"], "x", decay_pct=85
+    )
+
+
 # NOTE: dedup_editdist_pairs has no replica-disjoint curve twin — text
 # replication can't be neutralized by tagging (a short prefix leaves
 # cross-replica copies within the edit threshold; anything longer
@@ -10211,7 +10271,7 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 15 round-6 additions (the scalable global-rank
+# round), then the 16 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
@@ -10220,14 +10280,17 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pigeonhole-blocked edit-distance join, the CMS heavy hitters,
 # the small-file compaction gate, the two graph kernels —
 # degree-oriented triangle counting and fixed-point PageRank — and
-# the hourly gap-fill/forward-fill resample), then
+# the hourly gap-fill/forward-fill resample, and the fixed-point
+# per-user EMA recursion), then
 # the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
-# re-pinned). Backfilled with all 25 least-recently-verified (r2-only,
-# unchanged) entries and the 3 alphabetically-first r3-only entries.
-# Deferred to round 7 (r3 rows, unchanged bodies): ann_lsh_batch_topk,
+# re-pinned). Backfilled with 24 of the 25 least-recently-verified
+# (r2-only, unchanged) entries and the 3 alphabetically-first r3-only
+# entries.
+# Deferred to round 7 (unchanged bodies): q_events_range_join (r2),
+# ann_lsh_batch_topk,
 # ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
 # dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
 # dedup_keep_best,
@@ -10264,6 +10327,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_pagerank",
     "q_events_gapfill_hourly",
+    "q_events_ema_user",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -10279,7 +10343,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q22_idle_rich_customers",
     "q2_min_cost_supplier",
     "q9_product_profit",
-    "q_events_range_join",
     "q_grouping_sets_orders",
     "q_pivot_status_priority",
     "q_sample_hash",

@@ -369,3 +369,30 @@ def test_triangle_count_matches_bruteforce_property(spark):
         edf = spark.createDataFrame(edges, "src long, dst long")
         row = G.triangle_count(edf).head()
         assert (row["n_edges"], row["n_triangles"]) == (len(edges), want)
+
+
+# --------------------------------------------------------------- EMA fold
+
+
+def test_ema_fixedpoint_matches_hand_fold_and_input_order(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        timeseries as T,
+    )
+
+    rows = [(1, i, (i * 37) % 11, 10_000 * (i + 1)) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, x long"
+    )
+    want = None
+    for _, _, _, x in sorted(rows, key=lambda r: (r[1], r[2])):
+        want = x if want is None else (85 * want + 15 * x) // 100
+    got = T.ema_fixedpoint(df, "user_id", ["ts", "event_id"], "x").head()
+    assert (got["user_id"], got["n_events"], got["ema_fp"]) == (1, 9, want)
+    # partition-order independence: shuffled input, same exact integers
+    got2 = T.ema_fixedpoint(
+        df.orderBy(F.desc("event_id")).repartition(5),
+        "user_id",
+        ["ts", "event_id"],
+        "x",
+    ).head()
+    assert got2["ema_fp"] == want

@@ -100,6 +100,9 @@ QUERIES = [
     # r6: gap fill — grid is O(hours x types) at any fact size; cost
     # tracks the one hourly-aggregate scan
     "q_events_gapfill_hourly",
+    # r6: EMA — user-keyed fold; replicas are disjoint (user_id offset)
+    # so cost is linear in users x events-per-user
+    "q_events_ema_user",
     # NOTE: the q_graph_* gates ride the curve through replica-DISJOINT
     # twins in `extra` below — the blowup replicates identical
     # timestamps, so the raw gates would measure cross-replica
