@@ -109,6 +109,8 @@ HEADLINE = [
     "q_events_gapfill_hourly",
     # r6: per-user fixed-point EMA recursion (applyInPandas fold)
     "q_events_ema_user",
+    # r6: distributed OLS from exact sufficient statistics
+    "q_stats_regression_lineitem",
 ]
 
 

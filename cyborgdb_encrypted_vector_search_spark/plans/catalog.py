@@ -10190,6 +10190,93 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stats_regression_lineitem",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 7) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n,
+                 7) AS intercept,
+           round(((n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 7) AS r2
+    FROM s
+    """,
+)
+def q_stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares per group (price ~ quantity per
+    returnflag) from EXACT sufficient statistics: one map-combinable
+    groupBy collects {n, Σx, Σy, Σxy, Σx², Σy²} as DECIMAL sums
+    (order-independent, exact — the relational analogue of
+    embed_pca_gram's integer Gram matrix), then slope / intercept / r²
+    are closed forms computed ONCE driver-free and rounded ONCE. This
+    is how regression runs at 100 TB: statistics shuffle K rows per
+    group, never data; both engines evaluate the identical rational
+    sums so the doubles agree bit-for-bit before rounding. Notably
+    NOT DuckDB's built-in corr()/regr_slope(), whose float
+    accumulation is summation-order-dependent — the gate hashes
+    values, so both sides derive from the exact sums. Scale-2 casts
+    keep every product under 18 digits (DuckDB stores DECIMAL<=18 in
+    int64 and its multiply caps the result width there — a (12,4)²
+    raw product has 19 digits and overflows; (12,2)² has 15)."""
+    li = load(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 7).alias("slope"),
+        F.round((sy - slope * sx) / n, 7).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 7).alias("r2"),
+    )
+
+
+@query(
     "q_events_ema_user",
     """
     WITH RECURSIVE seq AS (
@@ -10197,7 +10284,7 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS rn,
-             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+             CAST(CAST(value AS DECIMAL(12,2)) * 10000 AS BIGINT) AS x
       FROM events WHERE user_id IS NOT NULL
     ),
     nmax AS (
@@ -10271,7 +10358,7 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 16 round-6 additions (the scalable global-rank
+# round), then the 17 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
@@ -10280,17 +10367,18 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pigeonhole-blocked edit-distance join, the CMS heavy hitters,
 # the small-file compaction gate, the two graph kernels —
 # degree-oriented triangle counting and fixed-point PageRank — and
-# the hourly gap-fill/forward-fill resample, and the fixed-point
-# per-user EMA recursion), then
+# the hourly gap-fill/forward-fill resample, the fixed-point
+# per-user EMA recursion, and the exact-sufficient-statistics
+# regression), then
 # the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with 24 of the 25 least-recently-verified
-# (r2-only, unchanged) entries and the 3 alphabetically-first r3-only
+# (r2-only, unchanged) entries and the 2 alphabetically-first r3-only
 # entries.
 # Deferred to round 7 (unchanged bodies): q_events_range_join (r2),
-# ann_lsh_batch_topk,
+# ann_ivf_search_topk, ann_lsh_batch_topk,
 # ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
 # dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
 # dedup_keep_best,
@@ -10328,6 +10416,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_events_gapfill_hourly",
     "q_events_ema_user",
+    "q_stats_regression_lineitem",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -10360,7 +10449,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # backfill: alphabetically-first r3-only entries
     "ann_ivf_assign",
     "ann_ivf_batch_topk",
-    "ann_ivf_search_topk",
 )
 
 

@@ -103,6 +103,9 @@ QUERIES = [
     # r6: EMA — user-keyed fold; replicas are disjoint (user_id offset)
     # so cost is linear in users x events-per-user
     "q_events_ema_user",
+    # r6: OLS — one map-combinable groupBy; K stat rows shuffle, never
+    # data rows
+    "q_stats_regression_lineitem",
     # NOTE: the q_graph_* gates ride the curve through replica-DISJOINT
     # twins in `extra` below — the blowup replicates identical
     # timestamps, so the raw gates would measure cross-replica
