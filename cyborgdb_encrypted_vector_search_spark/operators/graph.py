@@ -102,6 +102,64 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return ne.crossJoin(tri)
 
 
+def edge_triangle_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support — the k-truss primitive (an edge's
+    support is the number of triangles containing it; k-truss keeps
+    edges with support >= k-2, the standard dense-community filter).
+    Same degree-oriented wedge enumeration as triangle_count — each
+    triangle is found ONCE at its lowest-degree vertex — then each
+    found triangle credits its THREE canonical edges via a 3-way
+    explode, and one groupBy((src,dst)) sums support. Cost identical
+    to triangle counting plus an output-sized shuffle. Returns
+    (src, dst, support) for edges in >= 1 triangle."""
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    edges = edges.persist()
+    e = (
+        edges.join(deg.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(deg.withColumnRenamed("v", "dst"), "dst")
+        .withColumnRenamed("d", "dd")
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("w"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    closing = edges.select(
+        F.col("src").alias("w1"), F.col("dst").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"])  # (u, w1, w2) per triangle
+    # credit all three canonical edges of each triangle
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "w1").alias("src"),
+                    F.greatest("u", "w1").alias("dst"),
+                ),
+                F.struct(
+                    F.least("u", "w2").alias("src"),
+                    F.greatest("u", "w2").alias("dst"),
+                ),
+                F.struct(F.col("w1").alias("src"), F.col("w2").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return sides.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+
+
 def pagerank_fixedpoint(
     edges: DataFrame, iterations: int = 3, damping_pct: int = 85
 ) -> DataFrame:

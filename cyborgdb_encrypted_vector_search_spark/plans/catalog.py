@@ -10190,6 +10190,47 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_edge_support",
+    f"""
+    WITH edges AS ({_GRAPH_EDGES_SQL}),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    sides AS (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    ),
+    sup AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS support
+      FROM sides GROUP BY 1, 2
+    )
+    SELECT src, dst, support
+    FROM sup ORDER BY support DESC, src, dst LIMIT 10
+    """,
+)
+def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (operators/graph.edge_triangle_support)
+    — the k-truss primitive: the top-10 most triangle-embedded edges of
+    the co-purchase graph, i.e. the densest community cores. Spark
+    enumerates each triangle once under degree orientation and credits
+    its three canonical edges; the oracle derives the identical
+    support from an id-ordered (a<b<c) triangle CTE — same algorithmic
+    differential as q_graph_triangles, now checked per edge instead of
+    in aggregate. Ties broken by (src, dst) so the top-10 set is
+    deterministic."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    sup = G.edge_triangle_support(_graph_edges(spark, sf_dir))
+    return sup.orderBy(
+        F.desc("support"), F.asc("src"), F.asc("dst")
+    ).limit(10)
+
+
+@query(
     "q_stats_regression_lineitem",
     """
     WITH s AS (
@@ -10358,7 +10399,7 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 17 round-6 additions (the scalable global-rank
+# round), then the 18 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
@@ -10368,17 +10409,18 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the small-file compaction gate, the two graph kernels —
 # degree-oriented triangle counting and fixed-point PageRank — and
 # the hourly gap-fill/forward-fill resample, the fixed-point
-# per-user EMA recursion, and the exact-sufficient-statistics
-# regression), then
+# per-user EMA recursion, the exact-sufficient-statistics
+# regression, and the per-edge triangle support / k-truss
+# primitive), then
 # the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with 24 of the 25 least-recently-verified
-# (r2-only, unchanged) entries and the 2 alphabetically-first r3-only
-# entries.
+# (r2-only, unchanged) entries and the 1 alphabetically-first r3-only
+# entry.
 # Deferred to round 7 (unchanged bodies): q_events_range_join (r2),
-# ann_ivf_search_topk, ann_lsh_batch_topk,
+# ann_ivf_batch_topk, ann_ivf_search_topk, ann_lsh_batch_topk,
 # ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
 # dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
 # dedup_keep_best,
@@ -10417,6 +10459,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_events_gapfill_hourly",
     "q_events_ema_user",
     "q_stats_regression_lineitem",
+    "q_graph_edge_support",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -10448,7 +10491,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocabulary_topk",
     # backfill: alphabetically-first r3-only entries
     "ann_ivf_assign",
-    "ann_ivf_batch_topk",
 )
 
 

@@ -396,3 +396,22 @@ def test_ema_fixedpoint_matches_hand_fold_and_input_order(spark):
         "x",
     ).head()
     assert got2["ema_fp"] == want
+
+
+def test_edge_support_on_known_graph(spark):
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # K4 + pendant: every K4 edge sits in exactly 2 triangles; the
+    # pendant edge (4,5) in none (absent from the output)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in G.edge_triangle_support(edges).collect()
+    }
+    assert got == {
+        (1, 2): 2, (1, 3): 2, (1, 4): 2,
+        (2, 3): 2, (2, 4): 2, (3, 4): 2,
+    }
