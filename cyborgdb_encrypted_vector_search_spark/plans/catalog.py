@@ -10231,6 +10231,86 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_structural_similarity",
+    f"""
+    WITH edges AS ({_GRAPH_EDGES_SQL}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    sides AS (
+      SELECT a AS src, b AS dst FROM tri
+      UNION ALL SELECT a, c FROM tri
+      UNION ALL SELECT b, c FROM tri
+    ),
+    sup AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS cn
+      FROM sides GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT s.src, s.dst, s.cn,
+             round(CAST(s.cn AS DOUBLE)
+                   / (da.d + db.d - 2 - s.cn), 7) AS jaccard
+      FROM sup s
+      JOIN deg da ON da.v = s.src
+      JOIN deg db ON db.v = s.dst
+    )
+    SELECT src, dst, cn, jaccard
+    FROM sim ORDER BY jaccard DESC, src, dst LIMIT 10
+    """,
+)
+def q_graph_structural_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structural edge similarity (SCAN clustering's core signal): for
+    each edge, the Jaccard of its endpoints' open neighborhoods —
+    common neighbors cn over |N(a) ∪ N(b)| \\ {a, b} = d(a)+d(b)-2-cn.
+    cn per edge IS the triangle support (a common neighbor of an
+    adjacent pair closes a triangle), so this composes the verified
+    oriented-wedge machinery with the degree table and one closed-form
+    division, rounded once — the per-edge signal SCAN thresholds to
+    peel communities from hubs/outliers at scale. Top-10 most
+    structurally-embedded edges, ties broken by (src, dst)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    edges = _graph_edges(spark, sf_dir)
+    sup = G.edge_triangle_support(edges)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    sim = (
+        sup.withColumnRenamed("support", "cn")
+        .join(deg.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("v", "dst"), "dst")
+        .withColumnRenamed("d", "db")
+        .select(
+            "src",
+            "dst",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - 2 - F.col("cn")),
+                7,
+            ).alias("jaccard"),
+        )
+    )
+    return sim.orderBy(
+        F.desc("jaccard"), F.asc("src"), F.asc("dst")
+    ).limit(10)
+
+
+@query(
     "q_stats_regression_lineitem",
     """
     WITH s AS (
@@ -10399,7 +10479,7 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 window. Leads with the 4 entries added after the round-5
 # window froze (never driver-verified — two of them were the round-5
 # verdict's broken pair, both fixed and locally parity-green this
-# round), then the 18 round-6 additions (the scalable global-rank
+# round), then the 19 round-6 additions (the scalable global-rank
 # formulation, the D2 stub-LLM reconstruction funnel, the per-group
 # weighted sampling cap, the exact-quantiles twin of the approx
 # sketch gate, the exact Gram/PCA statistic, the seeded JL random
@@ -10410,17 +10490,17 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # degree-oriented triangle counting and fixed-point PageRank — and
 # the hourly gap-fill/forward-fill resample, the fixed-point
 # per-user EMA recursion, the exact-sufficient-statistics
-# regression, and the per-edge triangle support / k-truss
-# primitive), then
+# regression, the per-edge triangle support / k-truss primitive,
+# and the SCAN structural edge similarity), then
 # the 3 search
 # gates whose
 # SEMANTICS changed this round (mutate_charwise / mutate_wordwise
 # matched to the reference's at-most-one-edit behavior; n_results
 # re-pinned). Backfilled with 24 of the 25 least-recently-verified
-# (r2-only, unchanged) entries and the 1 alphabetically-first r3-only
-# entry.
+# (r2-only, unchanged) entries.
 # Deferred to round 7 (unchanged bodies): q_events_range_join (r2),
-# ann_ivf_batch_topk, ann_ivf_search_topk, ann_lsh_batch_topk,
+# ann_ivf_assign, ann_ivf_batch_topk, ann_ivf_search_topk,
+# ann_lsh_batch_topk,
 # ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
 # dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
 # dedup_keep_best,
@@ -10460,6 +10540,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_events_ema_user",
     "q_stats_regression_lineitem",
     "q_graph_edge_support",
+    "q_graph_structural_similarity",
     # semantics changed in round 6 (reference-exact mutation operators)
     "search_evolutionary",
     "search_greedy",
@@ -10489,8 +10570,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_pii_scan",
     "text_repetition_stats",
     "text_vocabulary_topk",
-    # backfill: alphabetically-first r3-only entries
-    "ann_ivf_assign",
 )
 
 
