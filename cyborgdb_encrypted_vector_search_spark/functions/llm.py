@@ -75,10 +75,14 @@ class StubChatModel:
     the model needs."""
 
     def invoke(self, prompt: str) -> str:
+        # No .strip(): the regex capture already excludes the section
+        # delimiters, so the candidate text comes back byte-exact — a
+        # document with leading/trailing whitespace must round-trip
+        # verbatim or the oracle's exact-recovery comparison diverges.
         cands = sorted(
             (int(i), txt) for i, txt in _CANDIDATE_RE.findall(prompt)
         )
-        return cands[0][1].strip() if cands else ""
+        return cands[0][1] if cands else ""
 
 
 def build_reconstruction_prompt(candidates: Column) -> Column:

@@ -28,8 +28,14 @@ Scale notes
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark.caching import track
+
+log = logging.getLogger(__name__)
 
 RANK_SCALE = 1_000_000_000_000  # 10^12 fixed-point rank units
 
@@ -38,16 +44,53 @@ def cooccurrence_edges(
     df: DataFrame,
     entity_col: str,
     context_col: str,
+    max_context_size: int | None = None,
 ) -> DataFrame:
     """Undirected co-occurrence edges: entities sharing a context
     (users purchasing on the same day, docs sharing a cluster, ...).
     Canonical orientation src < dst, distinct. The self-join is
     per-context (shuffle on the context key), so cost is
     O(Σ context_size²) — bound contexts first (day × event_type here)
-    the same way dedup bounds band buckets."""
+    the same way dedup bounds band buckets.
+
+    ``max_context_size`` is the hub cap (dedup's ``max_df`` discipline
+    for the identical quadratic problem): contexts with more than that
+    many distinct entities are DROPPED — one oversized context (a flash
+    sale hour, a boilerplate cluster) would otherwise emit
+    O(context²) edges silently at 100x. The drop count is logged at
+    WARNING so a production run shows exactly what was censored; the
+    cap check is one count per context on the already-shuffled
+    occurrence frame, amortized by the self-join that shuffles on the
+    same key.
+    """
     occ = df.select(
         F.col(context_col).alias("ctx"), F.col(entity_col).alias("ent")
     ).distinct()
+    if max_context_size is not None:
+        if max_context_size < 1:
+            raise ValueError(
+                f"max_context_size must be >= 1, got {max_context_size}"
+            )
+        sizes = occ.groupBy("ctx").agg(F.count(F.lit(1)).alias("__ctx_n"))
+        stats = sizes.agg(
+            F.sum(
+                F.when(F.col("__ctx_n") > max_context_size, 1).otherwise(0)
+            ).alias("n_dropped"),
+            F.max("__ctx_n").alias("max_seen"),
+        ).collect()[0]
+        if stats["n_dropped"]:
+            log.warning(
+                "cooccurrence_edges: dropped %d context(s) larger than "
+                "max_context_size=%d (largest seen: %d entities) — their "
+                "co-occurrence pairs are NOT in the edge set",
+                stats["n_dropped"],
+                max_context_size,
+                stats["max_seen"],
+            )
+        keep = sizes.filter(F.col("__ctx_n") <= max_context_size).select(
+            "ctx"
+        )
+        occ = occ.join(keep, "ctx", "left_semi")
     a = occ.select("ctx", F.col("ent").alias("src"))
     b = occ.select("ctx", F.col("ent").alias("dst"))
     return (
@@ -69,7 +112,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # closing probe) — persist so the derivation (often a join itself)
     # runs once, the same invariant-frame caching every graph engine
     # applies
-    edges = edges.persist()
+    edges = track(edges.persist())
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -118,7 +161,7 @@ def edge_triangle_support(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    edges = edges.persist()
+    edges = track(edges.persist())
     e = (
         edges.join(deg.withColumnRenamed("v", "src"), "src")
         .withColumnRenamed("d", "ds")
@@ -184,7 +227,8 @@ def pagerank_fixedpoint(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    ).persist()  # the invariant adjacency — read once per iteration
+    )
+    sym = track(sym.persist())  # the invariant adjacency — read once per iteration
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # bounded: one long — fixes the constants below
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
@@ -213,3 +257,161 @@ def pagerank_fixedpoint(
             .alias("rank_fp"),
         )
     return ranks
+
+
+def ktruss_edges(
+    edges: DataFrame, k: int, rounds: int | None = None
+) -> DataFrame:
+    """k-truss decomposition by iterative support peeling: repeatedly
+    drop every edge whose triangle support is < k-2, recomputing
+    support on the surviving subgraph, until no edge is dropped. The
+    fixed point is the maximal subgraph where every edge sits in at
+    least k-2 triangles — the standard dense-community definition one
+    level stronger than k-core (Cohen, "Trusses: cohesive subgraphs
+    for social network analysis", 2008).
+
+    ``rounds=None`` peels to the fixed point (the decomposition);
+    ``rounds=N`` runs EXACTLY N peels — the deterministic-round
+    contract the SQL oracle unrolls, independent of where convergence
+    happens (an idempotent extra peel of a converged set is the set).
+
+    Same fixed-point discipline as pagerank_fixedpoint /
+    connected_components: each round is one degree-oriented
+    support computation (O(sqrt(m)) wedge fan-out per vertex) plus an
+    (src,dst)-keyed join — all keyed shuffles, no global sort — and
+    each round's survivor set is localCheckpoint-ed so the iterative
+    plan doesn't grow multiplicatively. Convergence probe is one
+    count per round (rounds <= max support in practice; peeling
+    removes whole shells at a time). Returns the surviving canonical
+    edges (src, dst).
+    """
+    if k < 2:
+        raise ValueError(f"k-truss requires k >= 2, got {k}")
+    thr = k - 2
+    cur = edges.select("src", "dst")
+    if thr == 0:
+        return cur  # every edge is trivially in a 2-truss
+    cur = cur.localCheckpoint()
+    n_cur = cur.count()
+    done = 0
+    while (rounds is None or done < rounds) and n_cur > 0:
+        sup = edge_triangle_support(cur)
+        # inner join: edges in zero triangles have no support row and
+        # are dropped — exactly the support < thr criterion for thr>=1
+        nxt = (
+            cur.join(sup, ["src", "dst"])
+            .filter(F.col("support") >= thr)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        done += 1
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if rounds is None and converged:
+            break
+    return cur
+
+
+def scan_clusters(
+    edges: DataFrame,
+    eps_num: int = 7,
+    eps_den: int = 10,
+    mu: int = 3,
+) -> DataFrame:
+    """SCAN structural clustering (Xu et al., KDD 2007) over canonical
+    undirected edges — the completion of the per-edge structural
+    similarity signal into communities, with hubs/outliers excluded by
+    construction rather than absorbed (the property that distinguishes
+    SCAN from plain connected components on a similarity threshold).
+
+    Semantics, all integer-exact so the result value-hashes against an
+    unrolled SQL oracle (ε = eps_num/eps_den kept RATIONAL — the usual
+    float sqrt comparison is squared into BIGINT arithmetic):
+
+    - σ(u,v) = |Γ(u) ∩ Γ(v)| / sqrt(|Γ(u)|·|Γ(v)|) with CLOSED
+      neighborhoods Γ; for an edge, |Γ(u) ∩ Γ(v)| = cn + 2 (common
+      open neighbors = the edge's triangle support, plus u and v).
+    - edge (u,v) is ε-STRONG iff (cn+2)²·eps_den² >= eps_num²·
+      (d(u)+1)·(d(v)+1).
+    - v is a CORE iff |N_ε(v)| >= mu, i.e. strong_degree(v) + 1 >= mu
+      (v belongs to its own ε-neighborhood).
+    - clusters = connected components (min-label) over core-core
+      strong edges; isolated cores seed their own cluster.
+    - BORDER members: non-core vertices strongly adjacent to >= 1
+      core, attached to the smallest cluster label among their strong
+      core neighbors (deterministic tie-break). Everything else is a
+      hub/outlier and is not emitted.
+
+    Every stage is a keyed join or aggregate on vertex/edge keys; the
+    support computation reuses the degree-oriented wedge machinery, so
+    the whole clustering inherits its O(sqrt(m)) hub bound. Returns
+    (v, cluster, is_core).
+    """
+    if not (0 < eps_num <= eps_den):
+        raise ValueError(f"need 0 < eps_num <= eps_den, got {eps_num}/{eps_den}")
+    if mu < 2:
+        raise ValueError(f"mu must be >= 2, got {mu}")
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = track(edges.select("src", "dst").persist())
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    cn = edge_triangle_support(edges).withColumnRenamed("support", "cn")
+    e = (
+        edges.join(cn, ["src", "dst"], "left")
+        .fillna(0, subset=["cn"])
+        .join(deg.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(deg.withColumnRenamed("v", "dst"), "dst")
+        .withColumnRenamed("d", "dd")
+    )
+    lhs = (
+        (F.col("cn") + 2) * (F.col("cn") + 2) * F.lit(eps_den * eps_den)
+    ).cast("bigint")
+    rhs = (
+        F.lit(eps_num * eps_num) * (F.col("ds") + 1) * (F.col("dd") + 1)
+    ).cast("bigint")
+    strong = track(e.filter(lhs >= rhs).select("src", "dst").persist())
+
+    strong_deg = (
+        strong.select(F.col("src").alias("v"))
+        .unionAll(strong.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("sd"))
+    )
+    cores = strong_deg.filter(F.col("sd") + 1 >= mu).select("v")
+
+    core_edges = strong.join(
+        cores.withColumnRenamed("v", "src"), "src", "left_semi"
+    ).join(cores.withColumnRenamed("v", "dst"), "dst", "left_semi")
+    comp = connected_components(core_edges, "src", "dst")
+    core_labels = (
+        cores.join(comp, cores["v"] == comp["node"], "left")
+        .select(
+            cores["v"].alias("v"),
+            F.coalesce(F.col("component"), cores["v"]).alias("cluster"),
+        )
+    )
+
+    sym_strong = strong.unionAll(
+        strong.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    border = (
+        sym_strong.join(
+            core_labels.withColumnRenamed("v", "src"), "src"
+        )
+        .select(F.col("dst").alias("v"), "cluster")
+        .join(cores, "v", "left_anti")
+        .groupBy("v")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return core_labels.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )

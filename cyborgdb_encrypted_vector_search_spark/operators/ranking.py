@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from cyborgdb_encrypted_vector_search_spark.caching import track
+
 OrderSpec = Sequence[tuple[str, bool]]  # (column, ascending)
 
 
@@ -99,10 +101,14 @@ def scalable_row_number(
 
     # persist(): both consumers below must see the SAME boundary
     # sample — see the module docstring. StorageLevel default
-    # (MEMORY_AND_DISK) spills rather than recomputes.
-    numbered = ranged.mapInPandas(
-        enumerate_partition, schema=out_schema
-    ).persist()
+    # (MEMORY_AND_DISK) spills rather than recomputes. The cache must
+    # outlive the caller's action (unpersisting earlier would recompute
+    # the two branches against DIFFERENT boundary samples), so it is
+    # registered with caching.track for the query driver to release
+    # between queries — see caching.release_all.
+    numbered = track(
+        ranged.mapInPandas(enumerate_partition, schema=out_schema).persist()
+    )
 
     # Offsets: P (partition, count) counter rows -> running prefix sum.
     # The window is "global" but over P counter rows, never data rows.

@@ -67,3 +67,52 @@ def ema_fixedpoint(
         .groupBy(key_col)
         .applyInPandas(fold, schema=out_schema)
     )
+
+
+def ema_fixedpoint_rows(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_fp_col: str,
+    decay_pct: int = 85,
+) -> DataFrame:
+    """Per-ROW running EMA — the feature-pipeline shape of
+    ``ema_fixedpoint`` (same fold, same fixed-point contract), emitting
+    every intermediate state instead of only the final one:
+
+        (key, rn, ema_fp)  —  rn is the 1-based position of the event
+        in the key's ``order_cols`` order, ema_fp the EMA AFTER folding
+        that event.
+
+    A feature pipeline joins this back on (key, rn) (or equivalently
+    on the original order columns after a row_number) to attach the
+    recency-decayed signal to each event. Output size = input size;
+    the fold is still one sequential pass per key, keys distributed.
+    """
+    import pandas as pd
+
+    d = int(decay_pct)
+    out_schema = f"{key_col} long, rn long, ema_fp long"
+    cols = [key_col, *order_cols, value_fp_col]
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        out: list[int] = []
+        e: int | None = None
+        for x in pdf[value_fp_col]:
+            x = int(x)
+            e = x if e is None else (d * e + (100 - d) * x) // 100
+            out.append(e)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[0],
+                "rn": range(1, len(out) + 1),
+                "ema_fp": out,
+            }
+        )
+
+    return (
+        df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=out_schema)
+    )

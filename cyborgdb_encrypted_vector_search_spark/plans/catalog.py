@@ -2149,7 +2149,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ascii_docs AS (
       SELECT doc_id, text FROM documents
-      WHERE octet_length(encode(text)) = strlen(text)
+      WHERE length(text) = strlen(text)
     ),
     idx AS (
       SELECT doc_id, text,
@@ -2438,7 +2438,7 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (
       SELECT doc_id, source, lower(text) AS s FROM documents
-      WHERE octet_length(encode(text)) = strlen(text) AND strlen(text) >= 3
+      WHERE length(text) = strlen(text) AND strlen(text) >= 3
     ),
     pos AS (
       SELECT doc_id, source, s, unnest(range(1, strlen(s) - 1)) AS i
@@ -9650,11 +9650,11 @@ CATALOG["knn_mmr_rerank"].sql = _mk_mmr_sql()
 # the guard keeps the differential honest if that ever changes).
 _EDITDIST_CORPUS_SQL = """
       SELECT doc_id, text FROM documents
-      WHERE octet_length(encode(text)) = strlen(text)
+      WHERE length(text) = strlen(text)
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text || 'qz' AS text
       FROM documents
-      WHERE octet_length(encode(text)) = strlen(text)
+      WHERE length(text) = strlen(text)
 """
 
 
@@ -10092,6 +10092,34 @@ def graph_pagerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_fp"), F.asc("v")).limit(10)
 
 
+def graph_ktruss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_ktruss (3 peel
+    rounds at k=8; per-round cost tracks the surviving wedge work)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    kept = G.ktruss_edges(
+        _graph_curve_edges(spark, sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+    return kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+
+
+def graph_scan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_scan_clusters (one
+    support pass + strong-edge filter + min-label rounds over the
+    core subgraph)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    members = G.scan_clusters(
+        _graph_curve_edges(spark, sf_dir),
+        eps_num=_SCAN_EPS_NUM,
+        eps_den=_SCAN_EPS_DEN,
+        mu=_SCAN_MU,
+    )
+    return members.groupBy("is_core").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 @query(
     "q_events_gapfill_hourly",
     """
@@ -10405,7 +10433,7 @@ def q_stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS rn,
-             CAST(CAST(value AS DECIMAL(12,2)) * 10000 AS BIGINT) AS x
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
       FROM events WHERE user_id IS NOT NULL
     ),
     nmax AS (
@@ -10467,6 +10495,356 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Round-7 additions: k-truss peeling, SCAN clustering, per-row EMA,
+# approx-vs-exact quantile error-bound cross-gate.
+# ----------------------------------------------------------------------
+
+# Shared SQL fragment: one support-peeling round — given edge CTE name
+# {src}, emit the (src, dst) pairs whose triangle support in that edge
+# set is >= {thr}. Edges in zero triangles have no support row (inner
+# semantics), matching operators/graph.ktruss_edges exactly.
+def _peel_sql(src_cte: str, out_cte: str, thr: int) -> str:
+    # MATERIALIZED is load-bearing: each peel references the previous
+    # round's edge set THREE times in its triangle join, and DuckDB
+    # inlines plain CTEs per reference — an unrolled 3-round peel
+    # would re-evaluate the whole chain 3^depth times (measured: 472s
+    # vs 0.4s at sf0.01).
+    return f"""
+    tri_{out_cte} AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {src_cte} e1
+      JOIN {src_cte} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN {src_cte} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    sup_{out_cte} AS MATERIALIZED (
+      SELECT src, dst, count(*) AS s FROM (
+        SELECT a AS src, b AS dst FROM tri_{out_cte}
+        UNION ALL SELECT a, c FROM tri_{out_cte}
+        UNION ALL SELECT b, c FROM tri_{out_cte}
+      ) GROUP BY 1, 2
+    ),
+    {out_cte} AS MATERIALIZED (
+      SELECT src, dst FROM sup_{out_cte} WHERE s >= {thr}
+    )"""
+
+
+_KTRUSS_K, _KTRUSS_ROUNDS = 8, 3
+
+
+@query(
+    "q_graph_ktruss",
+    f"""
+    WITH edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    {_peel_sql('edges', 'p1', _KTRUSS_K - 2)},
+    {_peel_sql('p1', 'p2', _KTRUSS_K - 2)},
+    {_peel_sql('p2', 'p3', _KTRUSS_K - 2)}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM p3) AS n_edges,
+           (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+              SELECT src AS v FROM p3 UNION ALL SELECT dst FROM p3
+            )) AS n_nodes,
+           (SELECT CAST(coalesce(sum(src * 100003 + dst), 0) AS BIGINT)
+              FROM p3) AS edge_checksum
+    """,
+)
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (operators/graph.ktruss_edges): iteratively drop
+    edges with triangle support < k-2, recomputing support on the
+    survivors — the dense-community decomposition built on the
+    q_graph_edge_support primitive. Gate contract is EXACTLY
+    {_KTRUSS_ROUNDS} peel rounds at k={_KTRUSS_K} (deterministic
+    regardless of where the fixed point lies — an extra peel of a
+    converged set is idempotent; full fixed-point convergence is pinned
+    by a unit test on a crafted fixture): Spark peels with the
+    degree-oriented O(sqrt(m))-fan-out wedge join per round, the oracle
+    unrolls {_KTRUSS_ROUNDS} id-ordered triangle CTEs — the same
+    algorithmic differential as q_graph_triangles, iterated. Output is
+    the O(1) survivor summary (edge/node counts + position checksum),
+    never the edge list."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    kept = G.ktruss_edges(
+        _graph_edges(spark, sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+    summary = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("src") * F.lit(100003) + F.col("dst")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+    nodes = (
+        kept.select(F.explode(F.array("src", "dst")).alias("v"))
+        .agg(F.countDistinct("v").cast("bigint").alias("n_nodes"))
+    )
+    return summary.crossJoin(nodes).select(
+        "n_edges", "n_nodes", "edge_checksum"
+    )
+
+
+_SCAN_EPS_NUM, _SCAN_EPS_DEN, _SCAN_MU = 45, 100, 3
+
+
+@query(
+    "q_graph_scan_clusters",
+    f"""
+    WITH RECURSIVE edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    cn AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS cn FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT a, c FROM tri
+        UNION ALL SELECT b, c FROM tri
+      ) GROUP BY 1, 2
+    ),
+    strong AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM edges e
+      LEFT JOIN cn USING (src, dst)
+      JOIN deg da ON da.v = e.src
+      JOIN deg db ON db.v = e.dst
+      WHERE (coalesce(cn.cn, 0) + 2) * (coalesce(cn.cn, 0) + 2)
+              * {_SCAN_EPS_DEN * _SCAN_EPS_DEN}
+            >= {_SCAN_EPS_NUM * _SCAN_EPS_NUM} * (da.d + 1) * (db.d + 1)
+    ),
+    sdeg AS (
+      SELECT v, count(*) AS sd FROM (
+        SELECT src AS v FROM strong UNION ALL SELECT dst FROM strong
+      ) GROUP BY 1
+    ),
+    cores AS MATERIALIZED (SELECT v FROM sdeg WHERE sd + 1 >= {_SCAN_MU}),
+    ce AS (
+      SELECT s.src, s.dst FROM strong s
+      JOIN cores c1 ON c1.v = s.src
+      JOIN cores c2 ON c2.v = s.dst
+    ),
+    ces AS (
+      SELECT src AS a, dst AS b FROM ce
+      UNION
+      SELECT dst AS a, src AS b FROM ce
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM ces
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN ces e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    corelab AS (
+      SELECT c.v, coalesce(p.component, c.v) AS cluster
+      FROM cores c LEFT JOIN comp p ON p.node = c.v
+    ),
+    symstrong AS (
+      SELECT src, dst FROM strong
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM strong
+    ),
+    border AS (
+      SELECT s.dst AS v, min(cl.cluster) AS cluster
+      FROM symstrong s JOIN corelab cl ON cl.v = s.src
+      WHERE s.dst NOT IN (SELECT v FROM cores)
+      GROUP BY s.dst
+    )
+    SELECT CAST(v AS BIGINT) AS v, CAST(cluster AS BIGINT) AS cluster,
+           TRUE AS is_core
+    FROM corelab
+    UNION ALL
+    SELECT CAST(v AS BIGINT), CAST(cluster AS BIGINT), FALSE FROM border
+    """,
+)
+def q_graph_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (operators/graph.scan_clusters) —
+    the completion of q_graph_structural_similarity's per-edge signal
+    into communities with hubs/outliers EXCLUDED (what distinguishes
+    SCAN from thresholded connected components). ε = 45/100 is kept
+    RATIONAL and the core test squared into BIGINT arithmetic, so an
+    inherently float-looking definition (σ ≥ ε with a sqrt) gates
+    integer-exactly; cluster labels come from the same min-label
+    machinery as dedup_connected_components, which the oracle
+    reproduces with a recursive CTE. Output: every clustered vertex
+    with its cluster label and core/border role (7 communities, 48
+    members at sf0.01 — the rest of the 150-node graph is hub/outlier
+    background)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    members = G.scan_clusters(
+        _graph_edges(spark, sf_dir),
+        eps_num=_SCAN_EPS_NUM,
+        eps_den=_SCAN_EPS_DEN,
+        mu=_SCAN_MU,
+    )
+    return members.select(
+        F.col("v").cast("bigint").alias("v"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_core",
+    )
+
+
+@query(
+    "q_events_ema_rows",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ema AS (
+      SELECT user_id, rn, x AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (85 * e.e + 15 * s.x) // 100 AS e
+      FROM ema e JOIN seq s
+        ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rn, CAST(e AS BIGINT) AS ema_fp
+    FROM ema
+    """,
+)
+def q_events_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW running EMA (operators/timeseries.ema_fixedpoint_rows):
+    the feature-pipeline shape of q_events_ema_user — every event gets
+    the EMA state AFTER folding it, not just the final per-key value,
+    under the identical fixed-point contract (value → DECIMAL(18,4) →
+    ×10^4 BIGINT, floor division, decay 0.85). Output size = input
+    size; the oracle's recursive CTE emits the same full trajectory,
+    so every intermediate state of the recursion is value-hashed
+    cross-engine, row by row."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        timeseries as T,
+    )
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    return T.ema_fixedpoint_rows(
+        ev, "user_id", ["ts", "event_id"], "x", decay_pct=85
+    )
+
+
+_QB_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QB_ACCURACY = 1000  # Spark GK sketch: rank error <= N/accuracy
+
+
+def _quantile_bounds_sql() -> str:
+    ap_branches = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({q} AS DOUBLE) AS q,"
+        f" approx_quantile(o_totalprice, {q}) AS av FROM orders"
+        for q in _QB_QS
+    )
+    q_values = ", ".join(f"({q})" for q in _QB_QS)
+    return f"""
+    WITH n AS (SELECT count(*) AS total FROM orders),
+    numbered AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    qs(q) AS (VALUES {q_values}),
+    exact AS (
+      SELECT CAST(q AS DOUBLE) AS q, CAST(o_totalprice AS DOUBLE) AS exact_value
+      FROM qs CROSS JOIN n
+      JOIN numbered ON rn = greatest(1, CAST(ceil(q * total) AS BIGINT))
+    ),
+    ap AS (
+{ap_branches}
+    ),
+    ranks AS (
+      SELECT ap.q, ap.av,
+             sum(CASE WHEN o.o_totalprice < ap.av THEN 1 ELSE 0 END) AS lo,
+             sum(CASE WHEN o.o_totalprice <= ap.av THEN 1 ELSE 0 END) AS hi
+      FROM ap, orders o GROUP BY ap.q, ap.av
+    )
+    SELECT e.q, e.exact_value,
+           (greatest(1, CAST(ceil(e.q * n.total) AS BIGINT))
+              BETWEEN r.lo + 1 - (n.total // 50 + 1)
+                  AND r.hi + (n.total // 50 + 1)) AS bound_ok
+    FROM exact e JOIN ranks r ON r.q = e.q CROSS JOIN n
+    """
+
+
+@query("q_quantile_bounds_orders", _quantile_bounds_sql())
+def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-vs-exact quantile cross-gate — the accuracy contract a
+    100 TB user actually needs from a sketch: for each quantile, the
+    approx sketch's answer must land within its documented RANK error
+    of the exact answer computed by the scalable row-number machinery
+    (operators/ranking.exact_quantiles, the q_exact_quantiles_orders
+    plan). Two-sided like q_approx_sketches: Spark checks its GK
+    sketch (percentile_approx, accuracy=1000 => rank error
+    <= N/1000, checked with that exact tolerance); DuckDB
+    checks its own t-digest (approx_quantile) against a generous
+    measured floor (2% of N — t-digest publishes no hard bound;
+    observed error is <<1%). exact_value is shared bit-for-bit, so the
+    hash pins the exact machinery while each engine's sketch must
+    genuinely meet its own contract. The approx rank interval is
+    [lo+1, hi] (ties); in-bounds means the target rank intersects it
+    within tolerance."""
+    import math
+
+    from cyborgdb_encrypted_vector_search_spark.operators import ranking as R
+
+    o = load(spark, "orders", sf_dir).select("o_totalprice", "o_orderkey")
+    head = o.agg(
+        F.percentile_approx(
+            "o_totalprice", _QB_QS, _QB_ACCURACY
+        ).alias("av"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    avs, n = head["av"], int(head["n"])
+    tol = n // _QB_ACCURACY + 1
+    rank_exprs = []
+    for i, v in enumerate(avs):
+        rank_exprs.append(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.lit(v), 1).otherwise(0)
+            ).alias(f"lo{i}")
+        )
+        rank_exprs.append(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.lit(v), 1).otherwise(0)
+            ).alias(f"hi{i}")
+        )
+    ranks = o.agg(*rank_exprs).first()
+    flags = []
+    for i, q in enumerate(_QB_QS):
+        target = max(1, math.ceil(q * n))
+        lo, hi = int(ranks[f"lo{i}"]) + 1, int(ranks[f"hi{i}"])
+        flags.append((float(q), bool(lo - tol <= target <= hi + tol)))
+    flags_df = o.sparkSession.createDataFrame(
+        flags, "q double, bound_ok boolean"
+    )
+    exact = R.exact_quantiles(
+        o, value_col="o_totalprice", quantiles=_QB_QS,
+        tiebreak_col="o_orderkey",
+    )
+    return exact.join(F.broadcast(flags_df), "q").select(
+        "q",
+        F.col("value").cast("double").alias("exact_value"),
+        "bound_ok",
+    )
+
+
+# ----------------------------------------------------------------------
 # Gate rotation: the round driver independently verifies the FIRST 50
 # entries of queries() against DuckDB each round. Round 1 covered the
 # first 50 of the (insertion-ordered) catalog; this list puts the
@@ -10476,100 +10854,85 @@ def q_events_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 6 window. Leads with the 4 entries added after the round-5
-# window froze (never driver-verified — two of them were the round-5
-# verdict's broken pair, both fixed and locally parity-green this
-# round), then the 19 round-6 additions (the scalable global-rank
-# formulation, the D2 stub-LLM reconstruction funnel, the per-group
-# weighted sampling cap, the exact-quantiles twin of the approx
-# sketch gate, the exact Gram/PCA statistic, the seeded JL random
-# projection, the MMR diversified rerank, the dynamic-partition-
-# pruning star join, the runtime bloom-filter semi-join reduction,
-# the pigeonhole-blocked edit-distance join, the CMS heavy hitters,
-# the small-file compaction gate, the two graph kernels —
-# degree-oriented triangle counting and fixed-point PageRank — and
-# the hourly gap-fill/forward-fill resample, the fixed-point
-# per-user EMA recursion, the exact-sufficient-statistics
-# regression, the per-edge triangle support / k-truss primitive,
-# and the SCAN structural edge similarity), then
-# the 3 search
-# gates whose
-# SEMANTICS changed this round (mutate_charwise / mutate_wordwise
-# matched to the reference's at-most-one-edit behavior; n_results
-# re-pinned). Backfilled with 24 of the 25 least-recently-verified
-# (r2-only, unchanged) entries.
-# Deferred to round 7 (unchanged bodies): q_events_range_join (r2),
-# ann_ivf_assign, ann_ivf_batch_topk, ann_ivf_search_topk,
-# ann_lsh_batch_topk,
-# ann_lsh_bucket_stats, ann_lsh_multiprobe_topk, ann_lsh_probe_topk,
-# dedup_embedding_neardup, dedup_exact_groups, dedup_jaccard_verified,
-# dedup_keep_best,
-# dedup_minhash_pairs,
-# dedup_simhash_wide, dedup_winnow_overlap, knn_batch_topk,
-# knn_prompt_reconstruction, knn_topk_cosine, multimodal_features,
-# q12_shipmode_priority, q14_promo_share, q1_pricing_summary,
-# q3_top_unshipped_orders, q4_order_priority, q5_nation_revenue,
-# q6_forecast_revenue, q_anti_join_quiet_customers, q_approx_sketches,
-# q_events_sessionization, q_rollup_orders, q_set_ops_customers,
-# q_shuffle_shard, q_split_train_val_test, q_token_budget_select,
-# q_window_top_orders_per_cust, source_text_lines,
+# Round 7 window — built under the STALENESS INVARIANT the round-6
+# verdict prescribed: (a) every NEW query gates immediately, (b) every
+# query whose body, oracle, or call-graph (shared helper) changed this
+# round re-gates even if recently verified, (c) the rest of the window
+# backfills OLDEST-FIRST so the maximum gate age keeps shrinking (the
+# 50-query window over a 190-query catalog bounds full coverage at 4
+# rounds; COVERAGE.md carries the query -> last-gated-round table).
+#
+# (a) 4 round-7 additions: k-truss peeling, SCAN clustering, per-row
+#     EMA trajectory, approx-vs-exact quantile error-bound cross-gate.
+# (b) 11 touched: the 3 queries whose oracle ASCII guard was dead in
+#     DuckDB (strlen counts bytes — fixed to length=strlen:
+#     dedup_editdist_pairs, multimodal_frame_sample,
+#     text_perplexity_filter); q_events_ema_user (oracle quantization
+#     DECIMAL(12,2) -> (18,4) to match the Spark side);
+#     knn_llm_reconstruction (StubChatModel no longer strips the
+#     candidate); the 4 graph gates (cooccurrence_edges gained the
+#     max_context_size hub cap; persists rerouted through
+#     caching.track); q_rank_scalable_orders + q_exact_quantiles_orders
+#     (ranking.py persist rerouted through caching.track).
+# (c) 35 oldest: q_events_range_join (r2) + 34 of the 38 r3-age
+#     entries.
+# Deferred to round 8 (r3 age, unchanged): source_text_lines,
 # streaming_incremental_dedup, text_lang_distribution,
-# text_quality_filter (+ all r4/r5-verified entries).
+# text_quality_filter (+ all r4-and-later-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # added after the round-5 window froze; fixed + parity-green in r6
-    "eval_ab_test",
-    "q_table_fingerprint",
-    "q_events_transitions",
-    "q_sample_weighted",
-    # round-6 additions
-    "q_rank_scalable_orders",
-    "knn_llm_reconstruction",
-    "q_sample_weighted_groups",
-    "q_exact_quantiles_orders",
-    "embed_pca_gram",
-    "embed_random_projection",
-    "knn_mmr_rerank",
-    "q_dpp_star_join",
-    "q_bloom_filtered_join",
+    # (a) round-7 additions
+    "q_graph_ktruss",
+    "q_graph_scan_clusters",
+    "q_events_ema_rows",
+    "q_quantile_bounds_orders",
+    # (b) oracle/call-graph touched this round
     "dedup_editdist_pairs",
-    "q_heavy_hitters_cms",
-    "q_compact_small_files",
+    "multimodal_frame_sample",
+    "text_perplexity_filter",
+    "q_events_ema_user",
+    "knn_llm_reconstruction",
     "q_graph_triangles",
     "q_graph_pagerank",
-    "q_events_gapfill_hourly",
-    "q_events_ema_user",
-    "q_stats_regression_lineitem",
     "q_graph_edge_support",
     "q_graph_structural_similarity",
-    # semantics changed in round 6 (reference-exact mutation operators)
-    "search_evolutionary",
-    "search_greedy",
-    "search_invert_both",
-    # backfill: all 25 least-recently-verified (r2-only, unchanged)
-    "ann_ivf_adaptive_topk",
-    "dedup_incremental_minhash",
-    "dedup_incremental_verified",
-    "pipeline_corpus_curation",
-    "q11_important_part_value",
-    "q16_supplier_breadth",
-    "q20_heavy_shippers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q_grouping_sets_orders",
-    "q_pivot_status_priority",
-    "q_sample_hash",
-    "q_sample_mixture",
-    "q_sample_stratified",
-    "streaming_dedup_count",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    "text_bpe_merge_counts",
-    "text_decontaminate",
-    "text_pii_scan",
-    "text_repetition_stats",
-    "text_vocabulary_topk",
+    "q_rank_scalable_orders",
+    "q_exact_quantiles_orders",
+    # (c) oldest-first backfill (r2 then r3 age)
+    "q_events_range_join",
+    "ann_ivf_assign",
+    "ann_ivf_batch_topk",
+    "ann_ivf_search_topk",
+    "ann_lsh_batch_topk",
+    "ann_lsh_bucket_stats",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_probe_topk",
+    "dedup_embedding_neardup",
+    "dedup_exact_groups",
+    "dedup_jaccard_verified",
+    "dedup_keep_best",
+    "dedup_minhash_pairs",
+    "dedup_simhash_wide",
+    "dedup_winnow_overlap",
+    "knn_batch_topk",
+    "knn_prompt_reconstruction",
+    "knn_topk_cosine",
+    "multimodal_features",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q_anti_join_quiet_customers",
+    "q_approx_sketches",
+    "q_events_sessionization",
+    "q_rollup_orders",
+    "q_set_ops_customers",
+    "q_shuffle_shard",
+    "q_split_train_val_test",
+    "q_token_budget_select",
+    "q_window_top_orders_per_cust",
 )
 
 

@@ -20,6 +20,7 @@ sys.path.insert(0, str(REPO))
 import duckdb
 import pandas as pd
 
+from cyborgdb_encrypted_vector_search_spark.caching import release_all
 from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
 from cyborgdb_encrypted_vector_search_spark.session import get_spark
 from cyborgdb_encrypted_vector_search_spark.sources.registry import TABLES
@@ -77,6 +78,9 @@ def main() -> int:
             continue
         sdf = entry.fn(spark, sf_dir)
         spark_pdf = sdf.toPandas()
+        # correctness-device persists (ranking/graph) are per-query;
+        # release them so a 190-query run doesn't accumulate caches
+        release_all()
         if entry.sql is None:
             print(f"[rows-only] {name}: {len(spark_pdf)} rows")
             if len(spark_pdf) == 0:

@@ -106,6 +106,11 @@ QUERIES = [
     # r6: OLS — one map-combinable groupBy; K stat rows shuffle, never
     # data rows
     "q_stats_regression_lineitem",
+    # r7: per-row EMA — output linear in events, fold key-parallel
+    "q_events_ema_rows",
+    # r7: approx-vs-exact quantile bounds — two scans of orders (sketch
+    # + rank counts) plus the range-shuffle exact machinery
+    "q_quantile_bounds_orders",
     # NOTE: the q_graph_* gates ride the curve through replica-DISJOINT
     # twins in `extra` below — the blowup replicates identical
     # timestamps, so the raw gates would measure cross-replica
@@ -142,6 +147,11 @@ def materialize(spark, base: str, scale: int, out: str) -> None:
                     return
         except Exception:
             pass
+    # Any mismatch — and any pre-marker dir (no marker to vouch for its
+    # COPY tables) — is rebuilt from scratch. Keeping COPY tables from
+    # an unmarked dir would pair old-base dims with new-base facts and
+    # then stamp a fresh marker vouching for the mix.
+    if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     for t in COPY:
@@ -170,6 +180,7 @@ def main() -> None:
     scales = [int(s) for s in (sys.argv[2] if len(sys.argv) > 2 else "1,4,16").split(",")]
     tmp = os.environ.get("TMPDIR", "/tmp")
 
+    from cyborgdb_encrypted_vector_search_spark.caching import release_all
     from cyborgdb_encrypted_vector_search_spark.plans.catalog import entries
     from cyborgdb_encrypted_vector_search_spark.session import get_spark
 
@@ -194,6 +205,10 @@ def main() -> None:
         # live in docs/COSTS.md with the substring-pairs narrative
         "graph_triangles_curve": C.graph_triangles_curve,
         "graph_pagerank_curve": C.graph_pagerank_curve,
+        # r7 twins: iterative peeling and SCAN clustering over the same
+        # replica-disjoint graph
+        "graph_ktruss_curve": C.graph_ktruss_curve,
+        "graph_scan_curve": C.graph_scan_curve,
     }
 
     for scale in scales:
@@ -207,6 +222,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
+                release_all()  # per-query correctness persists
             print(
                 json.dumps(
                     {"scale": scale, "query": name, "sec": round(best, 3)}
