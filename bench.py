@@ -111,6 +111,17 @@ HEADLINE = [
     "q_events_ema_user",
     # r6: distributed OLS from exact sufficient statistics
     "q_stats_regression_lineitem",
+    # r7: per-row EMA trajectory (feature-pipeline shape of the fold)
+    "q_events_ema_rows",
+    # r7: approx-vs-exact quantile error bounds (sketch + two scans +
+    # the exact row-number machinery)
+    "q_quantile_bounds_orders",
+    # r7: k-truss peeling — 3 rounds of degree-oriented support over
+    # the dense co-purchase graph (~244k edges, ~19M wedges/round at
+    # sf0.1; real work on both engines). q_graph_scan_clusters is
+    # measured in docs/COSTS.md instead: same support kernel plus
+    # min-label rounds whose local-mode cost is stage-launch floor.
+    "q_graph_ktruss",
 ]
 
 

@@ -111,8 +111,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # the edge list feeds three consumers (degree table, wedge sides,
     # closing probe) — persist so the derivation (often a join itself)
     # runs once, the same invariant-frame caching every graph engine
-    # applies
-    edges = track(edges.persist())
+    # applies (skipped when the caller already pinned the frame)
+    if not edges.is_cached:
+        edges = track(edges.persist())
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -161,7 +162,8 @@ def edge_triangle_support(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    edges = track(edges.persist())
+    if not edges.is_cached:
+        edges = track(edges.persist())
     e = (
         edges.join(deg.withColumnRenamed("v", "src"), "src")
         .withColumnRenamed("d", "ds")
