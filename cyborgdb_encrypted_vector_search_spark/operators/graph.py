@@ -146,24 +146,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return ne.crossJoin(tri)
 
 
-def edge_triangle_support(edges: DataFrame) -> DataFrame:
-    """Per-edge triangle support — the k-truss primitive (an edge's
-    support is the number of triangles containing it; k-truss keeps
-    edges with support >= k-2, the standard dense-community filter).
-    Same degree-oriented wedge enumeration as triangle_count — each
-    triangle is found ONCE at its lowest-degree vertex — then each
-    found triangle credits its THREE canonical edges via a 3-way
-    explode, and one groupBy((src,dst)) sums support. Cost identical
-    to triangle counting plus an output-sized shuffle. Returns
-    (src, dst, support) for edges in >= 1 triangle."""
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate each triangle exactly once under degree orientation
+    (every edge re-directed from its lower-degree endpoint, ties by
+    id): returns (u, w1, w2) with w1 < w2 — the wedge apex u is the
+    triangle's lowest-degree vertex, so per-vertex wedge fan-out is
+    O(sqrt(m)) even at power-law hubs."""
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    if not edges.is_cached:
-        edges = track(edges.persist())
     e = (
         edges.join(deg.withColumnRenamed("v", "src"), "src")
         .withColumnRenamed("d", "ds")
@@ -183,9 +177,13 @@ def edge_triangle_support(edges: DataFrame) -> DataFrame:
     closing = edges.select(
         F.col("src").alias("w1"), F.col("dst").alias("w2")
     )
-    tri = wedges.join(closing, ["w1", "w2"])  # (u, w1, w2) per triangle
-    # credit all three canonical edges of each triangle
-    sides = tri.select(
+    return wedges.join(closing, ["w1", "w2"])
+
+
+def _triangle_sides(tri: DataFrame) -> DataFrame:
+    """Explode each (u, w1, w2) triangle into its three canonical
+    (src < dst) edges — one row per (triangle, side)."""
+    return tri.select(
         F.explode(
             F.array(
                 F.struct(
@@ -200,6 +198,21 @@ def edge_triangle_support(edges: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+
+
+def edge_triangle_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support — the k-truss primitive (an edge's
+    support is the number of triangles containing it; k-truss keeps
+    edges with support >= k-2, the standard dense-community filter).
+    Same degree-oriented wedge enumeration as triangle_count — each
+    triangle is found ONCE at its lowest-degree vertex — then each
+    found triangle credits its THREE canonical edges via a 3-way
+    explode, and one groupBy((src,dst)) sums support. Cost identical
+    to triangle counting plus an output-sized shuffle. Returns
+    (src, dst, support) for edges in >= 1 triangle."""
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    sides = _triangle_sides(_oriented_triangles(edges))
     return sides.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")
     )
@@ -277,16 +290,34 @@ def ktruss_edges(
     contract the SQL oracle unrolls, independent of where convergence
     happens (an idempotent extra peel of a converged set is the set).
 
+    The wedge join runs ONCE: the round-1 triangle list (each
+    triangle's three canonical sides) is materialized, and every
+    later round derives support by PRUNING that list — a triangle of
+    the peeled subgraph is exactly a round-1 triangle whose three
+    sides all survived, so three edge-keyed semi-joins (broadcast-able
+    survivor sets in practice, AQE decides) replace the wedge
+    re-enumeration. This is the standard truss-decomposition
+    optimization: per-round cost drops from O(wedges) to
+    O(triangles_remaining). The list is persisted DISK_ONLY: on a
+    dense graph triangles outnumber edges by orders of magnitude, and
+    a memory-cached 16x curve run GC-thrashed the local JVM —
+    sequential disk reads per round are the scale-safe shape (a
+    cluster would use the same level; the list is written once, read
+    ~rounds times, and shrinks monotonically).
+
     Same fixed-point discipline as pagerank_fixedpoint /
-    connected_components: each round is one degree-oriented
-    support computation (O(sqrt(m)) wedge fan-out per vertex) plus an
-    (src,dst)-keyed join — all keyed shuffles, no global sort — and
-    each round's survivor set is localCheckpoint-ed so the iterative
-    plan doesn't grow multiplicatively. Convergence probe is one
-    count per round (rounds <= max support in practice; peeling
-    removes whole shells at a time). Returns the surviving canonical
-    edges (src, dst).
+    connected_components: all keyed shuffles, no global sort; each
+    round's survivor set is localCheckpoint-ed and the triangle list
+    re-persisted per round so the iterative plan doesn't grow
+    multiplicatively. Convergence probe is one count per round
+    (rounds <= max support in practice; peeling removes whole shells
+    at a time). A converged set is a fixed point, so the loop exits
+    early in BOTH modes — further peels are idempotent by definition,
+    which is what lets the SQL oracle unroll a fixed round count.
+    Returns the surviving canonical edges (src, dst).
     """
+    from pyspark import StorageLevel
+
     if k < 2:
         raise ValueError(f"k-truss requires k >= 2, got {k}")
     thr = k - 2
@@ -295,9 +326,35 @@ def ktruss_edges(
         return cur  # every edge is trivially in a 2-truss
     cur = cur.localCheckpoint()
     n_cur = cur.count()
+    # one wedge join total: triangles as their three canonical sides
+    tris = track(
+        _oriented_triangles(cur)
+        .select(
+            F.least("u", "w1").alias("a1"),
+            F.greatest("u", "w1").alias("b1"),
+            F.least("u", "w2").alias("a2"),
+            F.greatest("u", "w2").alias("b2"),
+            F.col("w1").alias("a3"),
+            F.col("w2").alias("b3"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
     done = 0
     while (rounds is None or done < rounds) and n_cur > 0:
-        sup = edge_triangle_support(cur)
+        sup = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a1").alias("src"), F.col("b1").alias("dst")),
+                        F.struct(F.col("a2").alias("src"), F.col("b2").alias("dst")),
+                        F.struct(F.col("a3").alias("src"), F.col("b3").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
         # inner join: edges in zero triangles have no support row and
         # are dropped — exactly the support < thr criterion for thr>=1
         nxt = (
@@ -310,8 +367,32 @@ def ktruss_edges(
         done += 1
         converged = n_nxt == n_cur
         cur, n_cur = nxt, n_nxt
-        if rounds is None and converged:
-            break
+        if converged:
+            break  # fixed point — extra peels are idempotent
+        if (rounds is None or done < rounds) and n_cur > 0:
+            # surviving triangles = all three sides survived the peel;
+            # materialize the pruned list (disk) and release the parent
+            pruned = track(
+                tris.join(
+                    cur.withColumnsRenamed({"src": "a1", "dst": "b1"}),
+                    ["a1", "b1"],
+                    "left_semi",
+                )
+                .join(
+                    cur.withColumnsRenamed({"src": "a2", "dst": "b2"}),
+                    ["a2", "b2"],
+                    "left_semi",
+                )
+                .join(
+                    cur.withColumnsRenamed({"src": "a3", "dst": "b3"}),
+                    ["a3", "b3"],
+                    "left_semi",
+                )
+                .persist(StorageLevel.DISK_ONLY)
+            )
+            pruned.count()  # materialize before dropping the parent
+            tris.unpersist()
+            tris = pruned
     return cur
 
 
@@ -417,3 +498,76 @@ def scan_clusters(
     return core_labels.withColumn("is_core", F.lit(True)).unionByName(
         border.withColumn("is_core", F.lit(False))
     )
+
+
+def scan_roles(
+    edges: DataFrame,
+    eps_num: int = 7,
+    eps_den: int = 10,
+    mu: int = 3,
+) -> DataFrame:
+    """Full SCAN vertex classification — scan_clusters' members plus
+    the two non-member roles the algorithm exists to separate (Xu et
+    al., KDD 2007): a non-member vertex is a HUB if its (plain)
+    neighbors span >= 2 distinct clusters — it bridges communities —
+    and an OUTLIER otherwise (noise attached to at most one
+    community). Returns every vertex of the graph:
+
+        (v, cluster, role)   role in {'core','border','hub','outlier'}
+
+    with ``cluster = -1`` for hubs/outliers (a sentinel rather than
+    NULL so the frame value-hashes unambiguously cross-engine). The
+    classification pass is one symmetric-adjacency join against the
+    member labels plus a countDistinct per non-member — vertex-keyed
+    shuffles, nothing quadratic."""
+    edges = edges.select("src", "dst")
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    # members feeds three consumers (labels, the non-member anti-join,
+    # the neighbor-cluster join), and each would otherwise embed the
+    # ENTIRE scan_clusters lineage (support kernel + CC rounds) in its
+    # plan tree — the classification joins then nest those copies, and
+    # the resulting plan STRING alone OOMs a default-heap driver during
+    # AQE's explain (measured at sf0.001: the data is 15 rows; the
+    # plan is the problem). localCheckpoint truncates the lineage to a
+    # materialized-RDD scan, which also stops the kernel re-running
+    # per consumer.
+    members = scan_clusters(edges, eps_num, eps_den, mu).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    nonmembers = nodes.join(members, "v", "left_anti")
+    neighbor_clusters = (
+        sym.join(
+            members.select(F.col("v").alias("src"), "cluster"), "src"
+        )
+        .select(F.col("dst").alias("v"), "cluster")
+        .join(nonmembers, "v", "left_semi")
+        .groupBy("v")
+        .agg(F.countDistinct("cluster").alias("nc"))
+    )
+    hubs = neighbor_clusters.filter(F.col("nc") >= 2).select("v")
+    labeled = members.select(
+        "v",
+        "cluster",
+        F.when(F.col("is_core"), F.lit("core"))
+        .otherwise(F.lit("border"))
+        .alias("role"),
+    )
+    hub_rows = hubs.select(
+        "v", F.lit(-1).cast("long").alias("cluster"), F.lit("hub").alias("role")
+    )
+    outlier_rows = (
+        nonmembers.join(hubs, "v", "left_anti")
+        .select(
+            "v",
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit("outlier").alias("role"),
+        )
+    )
+    return labeled.unionByName(hub_rows).unionByName(outlier_rows)

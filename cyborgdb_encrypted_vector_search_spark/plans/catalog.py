@@ -10585,9 +10585,9 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCAN_EPS_NUM, _SCAN_EPS_DEN, _SCAN_MU = 45, 100, 3
 
 
-@query(
-    "q_graph_scan_clusters",
-    f"""
+# Shared SCAN CTE chain: edges -> structural-similarity strong edges
+# -> cores -> recursive min-label components -> core labels + borders.
+_SCAN_CTES_SQL = f"""
     WITH RECURSIVE edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
     deg AS (
       SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
@@ -10654,6 +10654,13 @@ _SCAN_EPS_NUM, _SCAN_EPS_DEN, _SCAN_MU = 45, 100, 3
       WHERE s.dst NOT IN (SELECT v FROM cores)
       GROUP BY s.dst
     )
+"""
+
+
+@query(
+    "q_graph_scan_clusters",
+    f"""
+    {_SCAN_CTES_SQL}
     SELECT CAST(v AS BIGINT) AS v, CAST(cluster AS BIGINT) AS cluster,
            TRUE AS is_core
     FROM corelab
@@ -10686,6 +10693,69 @@ def q_graph_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("v"),
         F.col("cluster").cast("bigint").alias("cluster"),
         "is_core",
+    )
+
+
+@query(
+    "q_graph_scan_roles",
+    f"""
+    {_SCAN_CTES_SQL},
+    members AS MATERIALIZED (
+      SELECT v, cluster, 'core' AS role FROM corelab
+      UNION ALL
+      SELECT v, cluster, 'border' AS role FROM border
+    ),
+    allnodes AS (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    symall AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    nm AS MATERIALIZED (
+      SELECT v FROM allnodes WHERE v NOT IN (SELECT v FROM members)
+    ),
+    nc AS MATERIALIZED (
+      SELECT s.dst AS v, count(DISTINCT m.cluster) AS nc
+      FROM symall s JOIN members m ON m.v = s.src
+      WHERE s.dst IN (SELECT v FROM nm)
+      GROUP BY s.dst
+    )
+    SELECT CAST(v AS BIGINT) AS v, CAST(cluster AS BIGINT) AS cluster, role
+    FROM members
+    UNION ALL
+    SELECT CAST(v AS BIGINT), CAST(-1 AS BIGINT), 'hub'
+    FROM nc WHERE nc >= 2
+    UNION ALL
+    SELECT CAST(v AS BIGINT), CAST(-1 AS BIGINT), 'outlier'
+    FROM nm WHERE v NOT IN (SELECT v FROM nc WHERE nc >= 2)
+    """,
+)
+def q_graph_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCAN vertex classification (operators/graph.scan_roles):
+    every vertex of the co-purchase graph labeled core / border / hub /
+    outlier — the two NON-member roles are what SCAN exists to
+    separate from communities (a hub's plain neighbors span >= 2
+    distinct clusters; an outlier's don't). Built on the gated
+    scan_clusters members plus one symmetric-adjacency join and a
+    per-non-member countDistinct — vertex-keyed, nothing quadratic.
+    cluster = -1 sentinel for hubs/outliers so the frame value-hashes
+    without NULL ambiguity."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    roles = G.scan_roles(
+        _graph_edges(spark, sf_dir),
+        eps_num=_SCAN_EPS_NUM,
+        eps_den=_SCAN_EPS_DEN,
+        mu=_SCAN_MU,
+    )
+    return roles.select(
+        F.col("v").cast("bigint").alias("v"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "role",
     )
 
 
@@ -10862,8 +10932,9 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50-query window over a 190-query catalog bounds full coverage at 4
 # rounds; COVERAGE.md carries the query -> last-gated-round table).
 #
-# (a) 4 round-7 additions: k-truss peeling, SCAN clustering, per-row
-#     EMA trajectory, approx-vs-exact quantile error-bound cross-gate.
+# (a) 5 round-7 additions: k-truss peeling, SCAN clustering + full
+#     vertex-role classification, per-row EMA trajectory,
+#     approx-vs-exact quantile error-bound cross-gate.
 # (b) 11 touched: the 3 queries whose oracle ASCII guard was dead in
 #     DuckDB (strlen counts bytes — fixed to length=strlen:
 #     dedup_editdist_pairs, multimodal_frame_sample,
@@ -10874,17 +10945,19 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     max_context_size hub cap; persists rerouted through
 #     caching.track); q_rank_scalable_orders + q_exact_quantiles_orders
 #     (ranking.py persist rerouted through caching.track).
-# (c) 35 oldest: q_events_range_join (r2) + 34 of the 38 r3-age
+# (c) 34 oldest: q_events_range_join (r2) + 33 of the 38 r3-age
 #     entries.
 # Deferred to round 8 (r3 age, unchanged): source_text_lines,
 # streaming_incremental_dedup, text_lang_distribution,
-# text_quality_filter (+ all r4-and-later-verified entries).
+# text_quality_filter, q_window_top_orders_per_cust (+ all
+# r4-and-later-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
     # (a) round-7 additions
     "q_graph_ktruss",
     "q_graph_scan_clusters",
     "q_events_ema_rows",
     "q_quantile_bounds_orders",
+    "q_graph_scan_roles",
     # (b) oracle/call-graph touched this round
     "dedup_editdist_pairs",
     "multimodal_frame_sample",
@@ -10932,7 +11005,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_shuffle_shard",
     "q_split_train_val_test",
     "q_token_budget_select",
-    "q_window_top_orders_per_cust",
 )
 
 

@@ -141,6 +141,27 @@ def test_scan_clusters_border_and_empty(spark):
     caching.release_all()
 
 
+def test_scan_roles_hub_and_outlier(spark):
+    """Two 4-cliques, vertex 20 bridging them by one weak edge to each
+    (neighbors span BOTH clusters → hub), and pendant vertex 7 hanging
+    off clique A (one neighbor, one cluster → outlier). All clique
+    vertices stay cores; clusters keep their smallest-member labels."""
+    edges = _edges(
+        spark, _CLIQUE_A + _CLIQUE_B + [(1, 20), (11, 20), (1, 7)]
+    )
+    got = sorted(
+        (r["v"], r["cluster"], r["role"])
+        for r in G.scan_roles(edges, 7, 10, mu=3).collect()
+    )
+    want = sorted(
+        [(v, 1, "core") for v in (1, 2, 3, 4)]
+        + [(v, 11, "core") for v in (11, 12, 13, 14)]
+        + [(20, -1, "hub"), (7, -1, "outlier")]
+    )
+    assert got == want
+    caching.release_all()
+
+
 def test_ema_rows_trajectory_and_final_state(spark):
     """ema_fixedpoint_rows emits the exact per-row fold trajectory
     (verified against a hand-rolled Python fold) and its last row per

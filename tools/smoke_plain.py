@@ -38,6 +38,8 @@ def main() -> int:
 
     import __spark_entry__ as E
 
+    from cyborgdb_encrypted_vector_search_spark.caching import release_all
+
     errors: dict[str, str] = {}
     names = list(E.queries().items())
     for name, fn in names:
@@ -45,6 +47,10 @@ def main() -> int:
             fn(spark, sf_dir).limit(5).collect()
         except Exception as ex:  # noqa: BLE001 — we report every failure
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+        finally:
+            # per-query correctness persists must not accumulate
+            # across a 191-query sweep on a default-heap session
+            release_all()
     print(
         json.dumps(
             {"sf_dir": sf_dir, "n_queries": len(names), "errors": errors}
