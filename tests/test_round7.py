@@ -77,6 +77,24 @@ def test_ktruss_cascade_and_k2(spark):
     caching.release_all()
 
 
+def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
+    """The peeling loop must run the wedge join ONCE and prune the
+    triangle list thereafter — re-enumerating per round cost 24.7s vs
+    4-8s at sf0.1. Pinned by counting _oriented_triangles calls."""
+    calls = {"n": 0}
+    orig = G._oriented_triangles
+
+    def counting(edges):
+        calls["n"] += 1
+        return orig(edges)
+
+    monkeypatch.setattr(G, "_oriented_triangles", counting)
+    edges = _edges(spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE + [(1, 11), (2, 12)])
+    G.ktruss_edges(edges, k=4, rounds=3).count()
+    assert calls["n"] == 1, calls
+    caching.release_all()
+
+
 def test_cooccurrence_hub_cap(spark, caplog):
     """max_context_size drops oversized contexts entirely (never a
     partial sample) and logs WHAT was dropped — the dedup max_df
