@@ -40,29 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return cat["knn_topk_cosine"].fn(spark, SMOKE_SF_DIR)
 
 
-def _sequential(fn):
-    """Release the PREVIOUS query's correctness-device caches before
-    building the next one (ranking/graph operators persist frames that
-    must outlive their own query's action — see
-    cyborgdb_encrypted_vector_search_spark/caching.py). The driver runs queries
-    sequentially (build → collect/hash → next), so releasing at the
-    next build is always after the previous materialization; without
-    this, a 50-query correctness sweep on a default-heap session
-    accumulates every persisted frame (measured: OOM at query ~190 on
-    a 1g vanilla session)."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from cyborgdb_encrypted_vector_search_spark.caching import release_all
-
-        release_all()
-        return fn(spark, sf_dir)
-
-    return run
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _sequential(e.fn) for name, e in _catalog().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    NOTE for long-running drivers: some operators persist frames as a
+    correctness device (see cyborgdb_encrypted_vector_search_spark/caching.py);
+    call ``caching.release_all()`` AFTER materializing each query's
+    result (never between a query's build and its action) to keep a
+    multi-query sweep from accumulating caches — bench.py,
+    tools/parity.py and tools/smoke_plain.py all do this.
+    """
+    return {name: e.fn for name, e in _catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
