@@ -96,6 +96,29 @@ def test_ktruss_fixed_point_matches_python_peeling(spark, edges, k):
     caching.release_all()
 
 
+def _py_trussness(edges: set[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    cur, out, k = set(edges), {}, 3
+    while cur:
+        surv = _py_ktruss(cur, k)
+        for e in cur - surv:
+            out[e] = k - 1
+        cur = surv
+        k += 1
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_sets)
+def test_trussness_matches_python_level_peeling(spark, edges):
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["trussness"]
+        for r in G.edge_trussness(df).collect()
+    }
+    assert got == _py_trussness(edges)
+    caching.release_all()
+
+
 @settings(max_examples=8, deadline=None)
 @given(edge_sets)
 def test_scan_members_match_python_reference(spark, edges):
