@@ -275,7 +275,10 @@ def pagerank_fixedpoint(
 
 
 def ktruss_edges(
-    edges: DataFrame, k: int, rounds: int | None = None
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    triangle_sides: DataFrame | None = None,
 ) -> DataFrame:
     """k-truss decomposition by iterative support peeling: repeatedly
     drop every edge whose triangle support is < k-2, recomputing
@@ -326,19 +329,31 @@ def ktruss_edges(
         return cur  # every edge is trivially in a 2-truss
     cur = cur.localCheckpoint()
     n_cur = cur.count()
-    # one wedge join total: triangles as their three canonical sides
-    tris = track(
-        _oriented_triangles(cur)
-        .select(
-            F.least("u", "w1").alias("a1"),
-            F.greatest("u", "w1").alias("b1"),
-            F.least("u", "w2").alias("a2"),
-            F.greatest("u", "w2").alias("b2"),
-            F.col("w1").alias("a3"),
-            F.col("w2").alias("b3"),
+    # one wedge join total: triangles as their three canonical sides.
+    # Callers that already hold the (pruned) list for THIS edge set —
+    # edge_trussness's level loop — pass it via ``triangle_sides`` so
+    # the wedge join isn't re-run per level; a caller-supplied frame is
+    # never unpersisted here (ownership stays with the caller).
+    if triangle_sides is None:
+        # localCheckpoint (not persist): materializes AND truncates the
+        # plan — iterative prune chains otherwise nest the triangle
+        # lineage until plan stringification alone overwhelms the
+        # driver (measured in edge_trussness's ~20-level loop). Blocks
+        # are reclaimed by the ContextCleaner when unreferenced.
+        tris = (
+            _oriented_triangles(cur)
+            .select(
+                F.least("u", "w1").alias("a1"),
+                F.greatest("u", "w1").alias("b1"),
+                F.least("u", "w2").alias("a2"),
+                F.greatest("u", "w2").alias("b2"),
+                F.col("w1").alias("a3"),
+                F.col("w2").alias("b3"),
+            )
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    else:
+        tris = triangle_sides
     done = 0
     while (rounds is None or done < rounds) and n_cur > 0:
         sup = (
@@ -370,9 +385,8 @@ def ktruss_edges(
         if converged:
             break  # fixed point — extra peels are idempotent
         if (rounds is None or done < rounds) and n_cur > 0:
-            # surviving triangles = all three sides survived the peel;
-            # materialize the pruned list (disk) and release the parent
-            pruned = track(
+            # surviving triangles = all three sides survived the peel
+            tris = (
                 tris.join(
                     cur.withColumnsRenamed({"src": "a1", "dst": "b1"}),
                     ["a1", "b1"],
@@ -388,11 +402,10 @@ def ktruss_edges(
                     ["a3", "b3"],
                     "left_semi",
                 )
-                .persist(StorageLevel.DISK_ONLY)
+                .localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
             )
-            pruned.count()  # materialize before dropping the parent
-            tris.unpersist()
-            tris = pruned
     return cur
 
 
@@ -571,3 +584,94 @@ def scan_roles(
         )
     )
     return labeled.unionByName(hub_rows).unionByName(outlier_rows)
+
+
+def edge_trussness(edges: DataFrame, k_max: int = 64) -> DataFrame:
+    """Full truss decomposition: each edge's TRUSSNESS — the largest k
+    such that the edge survives in the k-truss (equivalently: the edge
+    belongs to the (k)-truss but not the (k+1)-truss). The per-edge
+    generalization of ktruss_edges, and the graph analogue of a core
+    number: community-strength scoring without picking k up front.
+
+    Level-peeling formulation built on the same
+    one-wedge-join-then-prune machinery as ktruss_edges: enumerate
+    triangles once, then for k = 3, 4, ... peel the CURRENT survivor
+    set to its k-truss fixed point (cheap semi-join pruning rounds —
+    the triangle list only ever shrinks), and the edges REMOVED while
+    peeling at level k get trussness k-1. Stops when the survivor set
+    empties or k_max is hit (a safety bound, not a semantic one: real
+    graphs exhaust long before 64 — max support bounds trussness).
+
+    Not SQL-oracle-gated (the per-level fixed points are unbounded
+    recursion on both axes); verified like the xxhash cluster-scale
+    twins instead — a property differential against pure-Python
+    peeling on randomized graphs (tests/test_graph_properties.py).
+    Returns (src, dst, trussness) for every input edge; edges in no
+    triangle have trussness 2 (every edge is trivially a 2-truss).
+    """
+    from pyspark import StorageLevel
+
+    if k_max < 3:
+        raise ValueError(f"k_max must be >= 3, got {k_max}")
+    cur = edges.select("src", "dst").localCheckpoint()
+    n_cur = cur.count()
+    tris = (
+        _oriented_triangles(cur)
+        .select(
+            F.least("u", "w1").alias("a1"),
+            F.greatest("u", "w1").alias("b1"),
+            F.least("u", "w2").alias("a2"),
+            F.greatest("u", "w2").alias("b2"),
+            F.col("w1").alias("a3"),
+            F.col("w2").alias("b3"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "src long, dst long, trussness long")
+    k = 3
+    while n_cur > 0 and k <= k_max:
+        survivors = ktruss_edges(cur, k=k, triangle_sides=tris)
+        n_surv = survivors.count()
+        removed = cur.join(survivors, ["src", "dst"], "left_anti")
+        out = out.unionByName(
+            removed.withColumn("trussness", F.lit(k - 1).cast("long"))
+        ).localCheckpoint()
+        cur, n_cur = survivors, n_surv
+        if n_cur > 0:
+            # shrink the shared triangle list to the survivor subgraph
+            # so the next level's internal peeling starts small
+            tris = (
+                tris.join(
+                    cur.withColumnsRenamed({"src": "a1", "dst": "b1"}),
+                    ["a1", "b1"],
+                    "left_semi",
+                )
+                .join(
+                    cur.withColumnsRenamed({"src": "a2", "dst": "b2"}),
+                    ["a2", "b2"],
+                    "left_semi",
+                )
+                .join(
+                    cur.withColumnsRenamed({"src": "a3", "dst": "b3"}),
+                    ["a3", "b3"],
+                    "left_semi",
+                )
+                .localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+            )
+        k += 1
+    if n_cur > 0:  # k_max safety bound hit: report the floor honestly
+        log.warning(
+            "edge_trussness: %d edges still in the %d-truss at k_max=%d; "
+            "their trussness is reported as >= k_max (column value %d)",
+            n_cur,
+            k_max,
+            k_max,
+            k_max,
+        )
+        out = out.unionByName(
+            cur.withColumn("trussness", F.lit(k_max).cast("long"))
+        )
+    return out

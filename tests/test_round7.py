@@ -95,6 +95,23 @@ def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
     caching.release_all()
 
 
+def test_trussness_two_cliques_and_bridge(spark):
+    """Each 4-clique is exactly a 4-truss (every edge in 2 triangles),
+    the bridge is in none — trussness 4 for all clique edges, 2 for
+    the bridge; every input edge gets a row."""
+    edges = _edges(spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE)
+    got = {
+        (r["src"], r["dst"]): r["trussness"]
+        for r in G.edge_trussness(edges).collect()
+    }
+    want = {e: 4 for e in _CLIQUE_A + _CLIQUE_B}
+    want[(4, 11)] = 2
+    assert got == want
+    with pytest.raises(ValueError):
+        G.edge_trussness(edges, k_max=2)
+    caching.release_all()
+
+
 def test_cooccurrence_hub_cap(spark, caplog):
     """max_context_size drops oversized contexts entirely (never a
     partial sample) and logs WHAT was dropped — the dedup max_df
