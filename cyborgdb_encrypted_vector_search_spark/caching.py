@@ -22,8 +22,21 @@ query boundaries, never mid-plan.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
+log = logging.getLogger(__name__)
+
+# Process-global, NOT thread-safe by design: the tracking list models
+# "the persists of the query being built right now", which is only
+# well-defined for a serial build-then-materialize driver (bench.py,
+# tools/parity.py, the round driver's correctness loop all are).
+# Drivers that overlap queries across threads must scope their own
+# tracking — calling release_all() between one thread's build and
+# another's action would unpersist a correctness persist mid-plan and
+# silently recompute e.g. scalable_row_number's two branches against
+# different boundary samples.
 _LIVE: list[DataFrame] = []
 
 
@@ -37,7 +50,9 @@ def release_all() -> int:
     """Unpersist every tracked frame; returns how many were released.
 
     Call between queries (after the previous result is materialized),
-    never while a plan that reads a tracked frame is still pending.
+    never while a plan that reads a tracked frame is still pending —
+    and only from the single driver thread that built those queries
+    (see the module note on _LIVE).
     """
     n = 0
     for df in _LIVE:
@@ -45,6 +60,9 @@ def release_all() -> int:
             df.unpersist()
             n += 1
         except Exception:
-            pass  # session already stopped — nothing to release
+            # expected when the owning session was already stopped;
+            # logged (not raised) so a genuine unpersist failure is
+            # still visible at DEBUG instead of vanishing
+            log.debug("release_all: unpersist failed", exc_info=True)
     _LIVE.clear()
     return n

@@ -209,9 +209,11 @@ def connected_components(
     coalesces them onto the same exchange. Rounds = graph diameter;
     duplicate clusters are near-cliques (diameter 2-3 in practice), so
     this converges in 2-4 rounds even at 100 TB. For adversarial
-    long-chain graphs swap in the large-star/small-star contraction
-    (Kiveris et al., SoCC'14) — same join-per-round skeleton, O(log n)
-    rounds. Each round's labels are localCheckpoint-ed: iterative
+    long-chain graphs use connected_components_star below — the
+    large-star/small-star contraction (Kiveris et al., SoCC'14), same
+    (node, component) contract, O(log n) rounds (the 25-round cap here
+    would MISLABEL a 64-node chain; the property suite pins both).
+    Each round's labels are localCheckpoint-ed: iterative
     self-referencing plans otherwise grow multiplicatively and blow up
     the driver (analysis + task serialization) long before the data
     does — the checkpoint truncates lineage so every round pays only
@@ -227,6 +229,23 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    # Empty-graph short-circuit: one round of joins/aggregates over
+    # empty frames still launches every stage (~4s of pure scheduling
+    # floor in local mode, measured via scan_clusters' empty core
+    # subgraph at sf0.1) — the count on the just-persisted edge set is
+    # far cheaper than the no-op round it avoids.
+    if edges.count() == 0:
+        edges.unpersist()
+        return labels.select("node", "component")
+    # Convergence probe: labels only ever DECREASE (min-aggregate of a
+    # superset), so Σ component is strictly monotone until the fixed
+    # point — one aggregate per round on the freshly checkpointed
+    # labels replaces the old join-old-vs-new probe (one exchange
+    # cheaper per round). Decimal sum: exact, overflow-free for any id
+    # range.
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["a"] == labels["node"]
@@ -238,21 +257,118 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage + cache this round
         )
-        # Convergence probe: any node whose label still shrank this
-        # round? count() of a limit(1) stops at the first hit.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("node", "component")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round alternative to
+    connected_components' min-label propagation, whose round count is
+    the graph DIAMETER (fine for near-clique duplicate clusters,
+    adversarial on chains: a path graph of length L needs L min-label
+    rounds but only ~log L contraction rounds — both measured in the
+    property suite and docs/COSTS.md).
+
+    Same (node, component) contract as connected_components: every
+    node of ``pairs`` labeled with the smallest node id reachable from
+    it (both operations attach nodes to local minima; the fixed point
+    is a star rooted at each component's global minimum).
+
+    Per round: LARGE-STAR — for every node u, connect each strictly
+    larger neighbor to min(Γ(u) ∪ {u}); SMALL-STAR — direct edges
+    large→small, and for every node u connect itself and all smaller
+    neighbors to their minimum. Each phase is one groupBy(min) + one
+    keyed join; rounds are O(log n) on any graph. Every round's edge
+    set is localCheckpoint-ed (same lineage-truncation discipline as
+    the min-label loop); convergence = the edge set is unchanged
+    (checked with one anti-join probe — both sides are distinct sets,
+    so equal counts + empty difference ⇒ equal sets).
+
+    ``stats``, when given, receives {'rounds': N} — the property tests
+    pin the O(log n) round count on the path fixture with it.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym0 = fwd.unionByName(rev).filter(F.col("a") != F.col("b"))
+    # single-use frames stay lazy: nodes is read once by the final
+    # label join, and the loop's own checkpoints bound all lineage —
+    # extra persists here were measurable action-floor in local mode
+    nodes = sym0.select(F.col("a").alias("node")).distinct()
+    # edges directed large -> small (the small-star invariant; also the
+    # canonical storage form between rounds)
+    e = (
+        sym0.filter(F.col("a") > F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_e = e.count()
+    rounds = 0
+    while n_e > 0 and rounds < max_iter:
+        # LARGE-STAR: symmetric adjacency; m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m(u)) for every neighbor v > u. Result stays
+        # large -> small because v > u >= m(u).
+        sym = e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("__mb", "a").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # SMALL-STAR: on large->small edges, key each node u over its
+        # smaller neighbors; attach u and all of them to the minimum.
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionAll(
+                mins2.select(F.col("a"), F.col("m").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        rounds += 1
+        if n_new == n_e:
+            diff = (
+                small.join(e, ["a", "b"], "left_anti").limit(1).count()
+            )
+            if diff == 0:
+                e = small
+                break
+        e, n_e = small, n_new
+    if stats is not None:
+        stats["rounds"] = rounds
+    parents = e.groupBy("a").agg(F.min("b").alias("component"))
+    return nodes.join(
+        parents.withColumnRenamed("a", "node"), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -6,18 +6,26 @@ classic distributed-graph kernels every large-scale pipeline ends up
 needing — triangle counting (community density / spam detection) and
 PageRank (entity importance for sampling weights) — expressed as
 DataFrame joins and aggregations so Catalyst plans them like any other
-query. Connected components (the third kernel) already lives in
-operators/dedup.connected_components for duplicate-cluster formation.
+query. Connected components (the third kernel) lives in
+operators/dedup: connected_components (min-label, O(diameter) rounds)
+and connected_components_star (large-star/small-star contraction,
+O(log n) rounds — what scan_clusters uses).
 
 Scale notes
 -----------
-- Triangle counting uses DEGREE ORIENTATION (each undirected edge is
-  directed from its lower-degree endpoint, ties by id): every wedge is
-  then enumerated at its lowest-degree vertex, which bounds
-  per-vertex wedge fan-out by O(sqrt(m)) even on power-law graphs —
-  the standard trick that keeps the wedge join from exploding at the
+- Triangle work uses DEGREE ORIENTATION (each undirected edge is
+  directed from its lower-degree endpoint, ties by id): every
+  triangle is then enumerated at its lowest-degree vertex, which
+  bounds per-vertex fan-out by O(sqrt(m)) even on power-law graphs —
+  the standard trick that keeps enumeration from exploding at the
   skewed hubs (a raw wedge join at a degree-10^6 hub would emit 10^12
   rows).
+- Per-edge SUPPORT has two physical kernels behind one logical
+  operator (edge_triangle_support): full-adjacency intersection
+  (|N(u) ∩ N(v)| inline per edge — minimal exchanges, work Σ d²) and
+  oriented enumerate-then-explode (O(m^1.5 + triangles) — the safe
+  bound under skew). One aggregate on the degree table picks the
+  kernel; both are differentially tested equal.
 - PageRank runs in FIXED-POINT integer arithmetic (ranks scaled by
   10^12, floor division): additions and divisions on positive BIGINTs
   are exactly reproducible across engines and partitionings, so an
@@ -71,6 +79,11 @@ def cooccurrence_edges(
             raise ValueError(
                 f"max_context_size must be >= 1, got {max_context_size}"
             )
+        # the capped path reads the distinct-occurrence frame three
+        # times (drop-count stats, keep filter, self-join sides) and
+        # the stats collect below materializes it eagerly — persist so
+        # the distinct shuffle runs once instead of three times
+        occ = track(occ.persist())
         sizes = occ.groupBy("ctx").agg(F.count(F.lit(1)).alias("__ctx_n"))
         stats = sizes.agg(
             F.sum(
@@ -101,19 +114,11 @@ def cooccurrence_edges(
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Count triangles in an undirected graph given canonical edges
-    (src < dst, distinct). Degree orientation: re-direct each edge
-    from its lower-degree endpoint (ties broken by id), enumerate
-    wedges at the source, close them against the oriented edge set.
-    Each triangle is counted exactly once — at its lowest-degree
-    vertex. Returns a single row (n_edges, n_triangles)."""
-    # the edge list feeds three consumers (degree table, wedge sides,
-    # closing probe) — persist so the derivation (often a join itself)
-    # runs once, the same invariant-frame caching every graph engine
-    # applies (skipped when the caller already pinned the frame)
-    if not edges.is_cached:
-        edges = track(edges.persist())
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree orientation: re-direct each canonical edge from its
+    lower-degree endpoint (ties broken by id). Returns (u, w) with
+    deg(u) < deg(w) or (deg equal and u < w) — every vertex's forward
+    fan-out is then bounded by O(sqrt(m)) even on power-law graphs."""
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -129,17 +134,23 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     fwd = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
-    oriented = e.select(
+    return e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("w"),
     )
-    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
-    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
-    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
-    closing = edges.select(
-        F.col("src").alias("w1"), F.col("dst").alias("w2")
-    )
-    tri = wedges.join(closing, ["w1", "w2"]).agg(
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given canonical edges
+    (src < dst, distinct). Delegates to _oriented_triangles — each
+    triangle is enumerated exactly once at its lowest-degree vertex —
+    and aggregates. Returns a single row (n_edges, n_triangles)."""
+    # the edge list feeds the orientation join and the count — persist
+    # so the derivation (often a join itself) runs once (skipped when
+    # the caller already pinned the frame)
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    tri = _oriented_triangles(edges).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
     ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -147,37 +158,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def _oriented_triangles(edges: DataFrame) -> DataFrame:
-    """Enumerate each triangle exactly once under degree orientation
-    (every edge re-directed from its lower-degree endpoint, ties by
-    id): returns (u, w1, w2) with w1 < w2 — the wedge apex u is the
-    triangle's lowest-degree vertex, so per-vertex wedge fan-out is
-    O(sqrt(m)) even at power-law hubs."""
-    deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+    """Enumerate each triangle exactly once under degree orientation:
+    returns (u, w1, w2) with w1 < w2 — the apex u is the triangle's
+    lowest-degree vertex, so per-vertex fan-out is O(sqrt(m)) even at
+    power-law hubs.
+
+    Implementation is forward-adjacency intersection rather than an
+    explicit wedge self-join: build each vertex's ORIENTED neighbor
+    list (bounded O(sqrt(m)) elements), then for every oriented edge
+    (a -> b) the common forward neighbors fwd(a) ∩ fwd(b) are exactly
+    the triangles in which a is the source and b the middle of the
+    3-node DAG — each triangle has a unique such (source, middle)
+    pair, so each is emitted once. Same O(Σ fwd²) work as the wedge
+    join, but it moves m rows + per-vertex arrays through 2 joins
+    (broadcast-able adjacency) instead of shuffling O(wedges) rows
+    twice — measured 4.9s vs 6.8s on the 243k-edge / 7.9M-triangle
+    sf0.1 co-purchase graph."""
+    oriented = _oriented_edges(edges)
+    fwd = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("w")).alias("fw")
     )
-    e = (
-        edges.join(deg.withColumnRenamed("v", "src"), "src")
-        .withColumnRenamed("d", "ds")
-        .join(deg.withColumnRenamed("v", "dst"), "dst")
-        .withColumnRenamed("d", "dd")
+    tri = (
+        oriented.join(
+            fwd.select(F.col("u").alias("__ja"), F.col("fw").alias("fa")),
+            F.col("u") == F.col("__ja"),
+        )
+        .join(
+            fwd.select(F.col("u").alias("__jb"), F.col("fw").alias("fb")),
+            F.col("w") == F.col("__jb"),
+        )
+        .select(
+            "u", "w", F.explode(F.array_intersect("fa", "fb")).alias("c")
+        )
     )
-    fwd = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    return tri.select(
+        "u",
+        F.least("w", "c").alias("w1"),
+        F.greatest("w", "c").alias("w2"),
     )
-    oriented = e.select(
-        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("w"),
-    )
-    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
-    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
-    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
-    closing = edges.select(
-        F.col("src").alias("w1"), F.col("dst").alias("w2")
-    )
-    return wedges.join(closing, ["w1", "w2"])
 
 
 def _triangle_sides(tri: DataFrame) -> DataFrame:
@@ -200,18 +218,132 @@ def _triangle_sides(tri: DataFrame) -> DataFrame:
     ).select("e.src", "e.dst")
 
 
-def edge_triangle_support(edges: DataFrame) -> DataFrame:
+# Cost-model constant for the support-kernel choice: the full-adjacency
+# intersect does Σ_v d(v)² array-hash probes but materializes NO
+# triangle rows and pays NO extra exchange, so it absorbs roughly an
+# 8x raw-op handicap before the oriented enumerate-then-explode path
+# (O(Σ fwd²) + an O(3·triangles) shuffle) wins. Measured on the sf0.1
+# co-purchase graph (Σd² = 168M vs m·sqrt(m) = 120M): fulladj 4.2s,
+# oriented+explode 8.4s. On a star graph Σd² = n² while the oriented
+# bound is O(m^1.5) = O(n^1.5) — exactly the skewed-hub case where the
+# rule flips to 'oriented'.
+_FULLADJ_COST_FACTOR = 8
+
+
+def _support_stats(edges: DataFrame) -> dict:
+    """One bounded aggregate over the degree table: the kernel cost
+    stats (Σd, Σd²) plus the vertex-id range (drives the int32
+    adjacency-array narrowing below). Returns
+    {kernel: 'fulladj'|'oriented', int_ids: bool}."""
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    row = deg.agg(
+        F.sum("d").alias("sum_d"),
+        F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ).collect()[0]
+    if not row["sum_d"]:
+        return {"kernel": "fulladj", "int_ids": False}  # empty graph
+    m = row["sum_d"] / 2.0
+    kernel = (
+        "fulladj"
+        if row["sum_d2"] <= _FULLADJ_COST_FACTOR * m * (m**0.5)
+        else "oriented"
+    )
+    int_ids = -(2**31) <= row["min_v"] and row["max_v"] < 2**31
+    return {"kernel": kernel, "int_ids": int_ids}
+
+
+def _support_kernel_auto(edges: DataFrame) -> str:
+    """Pick the per-edge support kernel from one bounded aggregate on
+    the degree table: 'fulladj' when Σ d² <= 8·m·sqrt(m) (near-regular
+    graphs — the common co-occurrence/dedup shape), else 'oriented'
+    (power-law hubs, where orientation's O(m^1.5) bound is the only
+    safe cost)."""
+    return _support_stats(edges)["kernel"]
+
+
+def _adjacency(edges: DataFrame, int_ids: bool = False) -> DataFrame:
+    """Full (symmetric) neighbor lists: (v, nb array). ``int_ids``
+    narrows array elements to int32 when the stats aggregate proved
+    every vertex id fits — half the join-materialized array bytes and
+    cheaper intersect hashing (measured 3.8s vs 5.1s for the sf0.1
+    strong-edge pass)."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    elem = F.col("dst").cast("int") if int_ids else F.col("dst")
+    return (
+        sym.groupBy("src")
+        .agg(F.collect_list(elem).alias("nb"))
+        .withColumnRenamed("src", "v")
+    )
+
+
+def _support_fulladj(edges: DataFrame, int_ids: bool = False) -> DataFrame:
+    """Per-edge support via FULL-adjacency intersection: an edge's
+    support is |N(u) ∩ N(v)| — computed inline per edge row from the
+    two neighbor lists, with no triangle materialization and no
+    support shuffle. Work is Σ d² (quadratic at extreme hubs — the
+    auto rule routes skewed graphs to the oriented kernel), but on
+    near-regular graphs it is the minimal plan: one adjacency groupBy
+    + two vertex-keyed (broadcast-able) joins. Emits ALL edges,
+    including support = 0."""
+    adj = _adjacency(edges, int_ids)
+    return (
+        edges.join(
+            adj.select(F.col("v").alias("__a"), F.col("nb").alias("na")),
+            F.col("src") == F.col("__a"),
+        )
+        .join(
+            adj.select(F.col("v").alias("__b"), F.col("nb").alias("nbv")),
+            F.col("dst") == F.col("__b"),
+        )
+        .select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("na", "nbv"))
+            .cast("bigint")
+            .alias("support"),
+        )
+    )
+
+
+def edge_triangle_support(
+    edges: DataFrame, kernel: str = "auto"
+) -> DataFrame:
     """Per-edge triangle support — the k-truss primitive (an edge's
     support is the number of triangles containing it; k-truss keeps
     edges with support >= k-2, the standard dense-community filter).
-    Same degree-oriented wedge enumeration as triangle_count — each
-    triangle is found ONCE at its lowest-degree vertex — then each
-    found triangle credits its THREE canonical edges via a 3-way
-    explode, and one groupBy((src,dst)) sums support. Cost identical
-    to triangle counting plus an output-sized shuffle. Returns
-    (src, dst, support) for edges in >= 1 triangle."""
+
+    Two physical kernels with identical output, chosen by a one-agg
+    cost model on the degree distribution (``kernel='auto'``):
+
+    - ``'fulladj'`` — |N(u) ∩ N(v)| inline per edge from full
+      neighbor lists (_support_fulladj): minimal exchanges, work Σ d².
+    - ``'oriented'`` — degree-oriented triangle enumeration (each
+      triangle found ONCE at its lowest-degree vertex) + a 3-way side
+      explode + one groupBy((src,dst)): work O(m^1.5 + triangles),
+      the safe bound on power-law graphs.
+
+    Returns (src, dst, support) for edges in >= 1 triangle."""
     if not edges.is_cached:
         edges = track(edges.persist())
+    int_ids = False
+    if kernel == "auto":
+        stats = _support_stats(edges)
+        kernel, int_ids = stats["kernel"], stats["int_ids"]
+    if kernel == "fulladj":
+        return _support_fulladj(edges, int_ids).filter(
+            F.col("support") >= 1
+        )
+    if kernel != "oriented":
+        raise ValueError(f"unknown support kernel: {kernel!r}")
     sides = _triangle_sides(_oriented_triangles(edges))
     return sides.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")
@@ -279,6 +411,7 @@ def ktruss_edges(
     k: int,
     rounds: int | None = None,
     triangle_sides: DataFrame | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """k-truss decomposition by iterative support peeling: repeatedly
     drop every edge whose triangle support is < k-2, recomputing
@@ -293,7 +426,21 @@ def ktruss_edges(
     contract the SQL oracle unrolls, independent of where convergence
     happens (an idempotent extra peel of a converged set is the set).
 
-    The wedge join runs ONCE: the round-1 triangle list (each
+    Two peeling strategies, chosen by the same one-agg degree cost
+    model as edge_triangle_support (``kernel='auto'``):
+
+    - ``'fulladj'`` (near-regular graphs): per-round support is
+      recomputed inline as |N(u) ∩ N(v)| on the CURRENT survivor set —
+      no triangle list is ever materialized, so there is no disk
+      artifact to re-read and no run-to-run I/O variance (the r7
+      DISK_ONLY list made the sf0.1 gate swing 4-18s; this path
+      measured 9.4s ± 0.0 across consecutive runs). Round cost is
+      Σ d² of the shrinking subgraph.
+    - ``'oriented'`` (power-law graphs, or when the caller supplies
+      ``triangle_sides``): the triangle-list prune design below.
+
+    In the oriented path the wedge work runs ONCE: the round-1 triangle
+    list (each
     triangle's three canonical sides) is materialized, and every
     later round derives support by PRUNING that list — a triangle of
     the peeled subgraph is exactly a round-1 triangle whose three
@@ -329,6 +476,30 @@ def ktruss_edges(
         return cur  # every edge is trivially in a 2-truss
     cur = cur.localCheckpoint()
     n_cur = cur.count()
+    int_ids = False
+    if kernel == "auto" and triangle_sides is None:
+        stats = _support_stats(cur)
+        kernel, int_ids = stats["kernel"], stats["int_ids"]
+    if kernel == "fulladj" and triangle_sides is None:
+        # recompute-per-round peeling: support inline from the current
+        # survivor adjacency; inner semantics (support-0 edges have no
+        # row in the oriented path) are preserved because thr >= 1 here
+        # and the filter drops them identically.
+        done = 0
+        while (rounds is None or done < rounds) and n_cur > 0:
+            nxt = (
+                _support_fulladj(cur, int_ids)
+                .filter(F.col("support") >= thr)
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            n_nxt = nxt.count()
+            done += 1
+            converged = n_nxt == n_cur
+            cur, n_cur = nxt, n_nxt
+            if converged:
+                break  # fixed point — extra peels are idempotent
+        return cur
     # one wedge join total: triangles as their three canonical sides.
     # Callers that already hold the (pruned) list for THIS edge set —
     # edge_trussness's level loop — pass it via ``triangle_sides`` so
@@ -432,8 +603,11 @@ def scan_clusters(
       (d(u)+1)·(d(v)+1).
     - v is a CORE iff |N_ε(v)| >= mu, i.e. strong_degree(v) + 1 >= mu
       (v belongs to its own ε-neighborhood).
-    - clusters = connected components (min-label) over core-core
-      strong edges; isolated cores seed their own cluster.
+    - clusters = connected components (large-star/small-star
+      contraction, O(log n) rounds) over core-core strong edges;
+      isolated cores seed their own cluster. Labels are component
+      minima either way, so the oracle's recursive min-label CTE
+      gates the contraction exactly.
     - BORDER members: non-core vertices strongly adjacent to >= 1
       core, attached to the smallest cluster label among their strong
       core neighbors (deterministic tie-break). Everything else is a
@@ -449,31 +623,72 @@ def scan_clusters(
     if mu < 2:
         raise ValueError(f"mu must be >= 2, got {mu}")
     from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     edges = track(edges.select("src", "dst").persist())
-    deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    cn = edge_triangle_support(edges).withColumnRenamed("support", "cn")
-    e = (
-        edges.join(cn, ["src", "dst"], "left")
-        .fillna(0, subset=["cn"])
-        .join(deg.withColumnRenamed("v", "src"), "src")
-        .withColumnRenamed("d", "ds")
-        .join(deg.withColumnRenamed("v", "dst"), "dst")
-        .withColumnRenamed("d", "dd")
-    )
-    lhs = (
-        (F.col("cn") + 2) * (F.col("cn") + 2) * F.lit(eps_den * eps_den)
-    ).cast("bigint")
+    # One pass computes cn AND both degrees when the cost model picks
+    # the full-adjacency kernel: |N(u) ∩ N(v)| is the edge's common
+    # neighbor count and size(N(·)) IS the degree, so the ε-test needs
+    # no degree table and no left-join-support step at all — the whole
+    # strong-edge derivation is one adjacency groupBy + two
+    # (broadcast-able) joins. The oriented kernel keeps the
+    # join-support-then-degrees shape (the skew-safe path).
+    stats = _support_stats(edges)
+    if stats["kernel"] == "fulladj":
+        adj = _adjacency(edges, stats["int_ids"])
+        e = (
+            edges.join(
+                adj.select(
+                    F.col("v").alias("__a"), F.col("nb").alias("na")
+                ),
+                F.col("src") == F.col("__a"),
+            )
+            .join(
+                adj.select(
+                    F.col("v").alias("__b"), F.col("nb").alias("nbv")
+                ),
+                F.col("dst") == F.col("__b"),
+            )
+            .select(
+                "src",
+                "dst",
+                F.size(F.array_intersect("na", "nbv"))
+                .cast("long")
+                .alias("cn"),
+                F.size("na").cast("long").alias("ds"),
+                F.size("nbv").cast("long").alias("dd"),
+            )
+        )
+    else:
+        deg = (
+            edges.select(F.col("src").alias("v"))
+            .unionAll(edges.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        cn = edge_triangle_support(edges, kernel="oriented").withColumnRenamed(
+            "support", "cn"
+        )
+        e = (
+            edges.join(cn, ["src", "dst"], "left")
+            .fillna(0, subset=["cn"])
+            .join(deg.withColumnRenamed("v", "src"), "src")
+            .withColumnRenamed("d", "ds")
+            .join(deg.withColumnRenamed("v", "dst"), "dst")
+            .withColumnRenamed("d", "dd")
+        )
+    # DECIMAL(38,0) comparison: (cn+2)²·eps_den² on 64-bit longs wraps
+    # silently in non-ANSI mode once an edge's support tops ~3e7 (the
+    # DuckDB oracle promotes to HUGEINT) — decimal keeps the squared
+    # ε-test exact at any hub scale.
+    cnp = (F.col("cn") + F.lit(2)).cast("decimal(19,0)")
+    lhs = cnp * cnp * F.lit(eps_den * eps_den).cast("decimal(19,0)")
     rhs = (
-        F.lit(eps_num * eps_num) * (F.col("ds") + 1) * (F.col("dd") + 1)
-    ).cast("bigint")
+        F.lit(eps_num * eps_num).cast("decimal(19,0)")
+        * (F.col("ds") + 1).cast("decimal(19,0)")
+        * (F.col("dd") + 1).cast("decimal(19,0)")
+    )
     strong = track(e.filter(lhs >= rhs).select("src", "dst").persist())
 
     strong_deg = (
@@ -487,7 +702,10 @@ def scan_clusters(
     core_edges = strong.join(
         cores.withColumnRenamed("v", "src"), "src", "left_semi"
     ).join(cores.withColumnRenamed("v", "dst"), "dst", "left_semi")
-    comp = connected_components(core_edges, "src", "dst")
+    # star contraction (O(log n) rounds on ANY core subgraph — min-label
+    # is O(diameter), unproven on co-purchase cores) with the same
+    # min-id component labels the oracle's recursive CTE computes
+    comp = connected_components_star(core_edges, "src", "dst")
     core_labels = (
         cores.join(comp, cores["v"] == comp["node"], "left")
         .select(

@@ -10759,6 +10759,86 @@ def q_graph_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded-level oracle for the full truss decomposition: unroll each
+# level's peeling to a FIXED number of rounds that covers the measured
+# fixed point on the gate graph (+1 idempotent margin — an extra peel
+# of a converged set is the set, so over-unrolling is always safe;
+# under-unrolling would diverge). Measured at sf0.01: k=3 converges in
+# 2 rounds, k=4 in 3, k=5 in 5 (pure-Python peeler, /tools lineage).
+_TRUSS_HIST_ROUNDS = {3: 3, 4: 4, 5: 6}
+
+
+def _truss_level_sql(src_cte: str, level: int) -> tuple[str, str]:
+    """CTE chain peeling ``src_cte`` to the {level}-truss fixed point
+    (unrolled _peel_sql rounds); returns (sql, final_cte_name)."""
+    blocks = []
+    cur = src_cte
+    n = _TRUSS_HIST_ROUNDS[level]
+    for i in range(1, n + 1):
+        out = f"t{level}" if i == n else f"t{level}r{i}"
+        blocks.append(_peel_sql(cur, out, level - 2))
+        cur = out
+    return ",\n".join(blocks), cur
+
+
+_TRUSS_HIST_SQL_PARTS = [
+    _truss_level_sql("edges", 3),
+    _truss_level_sql("t3", 4),
+    _truss_level_sql("t4", 5),
+]
+
+
+@query(
+    "q_graph_trussness_hist",
+    f"""
+    WITH edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    {",".join(sql for sql, _ in _TRUSS_HIST_SQL_PARTS)},
+    lab AS (
+      SELECT e.src, e.dst, 2 AS trussness FROM edges e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t3 WHERE t3.src = e.src AND t3.dst = e.dst)
+      UNION ALL
+      SELECT e.src, e.dst, 3 FROM t3 e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t4 WHERE t4.src = e.src AND t4.dst = e.dst)
+      UNION ALL
+      SELECT e.src, e.dst, 4 FROM t4 e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t5 WHERE t5.src = e.src AND t5.dst = e.dst)
+      UNION ALL
+      SELECT src, dst, 5 FROM t5
+    )
+    SELECT CAST(trussness AS BIGINT) AS trussness,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
+    FROM lab GROUP BY 1
+    """,
+)
+def q_graph_trussness_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trussness histogram — the driver gate the r7 verdict asked for
+    on the full truss decomposition (operators/graph.edge_trussness,
+    previously property-only): every co-purchase edge's trussness,
+    capped at 5 (the k_max safety bound doubles as the cap — edges
+    surviving the 5-truss report trussness 5, documented in the
+    operator), aggregated to (trussness -> edge count + position
+    checksum). Spark peels each level to its TRUE fixed point with the
+    shared one-enumeration prune machinery; the oracle unrolls each
+    level a fixed, measured-sufficient number of rounds (idempotent
+    margin included) — the same deterministic-round contract as
+    q_graph_ktruss, iterated across levels."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    t = G.edge_trussness(_graph_edges(spark, sf_dir), k_max=5)
+    return t.groupBy(
+        F.col("trussness").cast("bigint").alias("trussness")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("src") * F.lit(100003) + F.col("dst"))
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+
+
 @query(
     "q_events_ema_rows",
     """
@@ -10924,87 +11004,85 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 7 window — built under the STALENESS INVARIANT the round-6
-# verdict prescribed: (a) every NEW query gates immediately, (b) every
-# query whose body, oracle, or call-graph (shared helper) changed this
-# round re-gates even if recently verified, (c) the rest of the window
-# backfills OLDEST-FIRST so the maximum gate age keeps shrinking (the
-# 50-query window over a 190-query catalog bounds full coverage at 4
-# rounds; COVERAGE.md carries the query -> last-gated-round table).
+# Round 8 window — same staleness invariant: (a) every NEW query,
+# (b) every query whose body, oracle, or call-graph changed this
+# round, (c) oldest-first backfill (COVERAGE.md carries the
+# query -> last-gated-round table).
 #
-# (a) 5 round-7 additions: k-truss peeling, SCAN clustering + full
-#     vertex-role classification, per-row EMA trajectory,
-#     approx-vs-exact quantile error-bound cross-gate.
-# (b) 11 touched: the 3 queries whose oracle ASCII guard was dead in
-#     DuckDB (strlen counts bytes — fixed to length=strlen:
-#     dedup_editdist_pairs, multimodal_frame_sample,
-#     text_perplexity_filter); q_events_ema_user (oracle quantization
-#     DECIMAL(12,2) -> (18,4) to match the Spark side);
-#     knn_llm_reconstruction (StubChatModel no longer strips the
-#     candidate); the 4 graph gates (cooccurrence_edges gained the
-#     max_context_size hub cap; persists rerouted through
-#     caching.track); q_rank_scalable_orders + q_exact_quantiles_orders
-#     (ranking.py persist rerouted through caching.track).
-# (c) 34 oldest: q_events_range_join (r2) + 33 of the 38 r3-age
-#     entries.
-# Deferred to round 8 (r3 age, unchanged): source_text_lines,
-# streaming_incremental_dedup, text_lang_distribution,
-# text_quality_filter, q_window_top_orders_per_cust (+ all
-# r4-and-later-verified entries).
+# (a) 1 round-8 addition: q_graph_trussness_hist (bounded-level oracle
+#     for the full truss decomposition — upgrades edge_trussness from
+#     property-only to driver-gated).
+# (b) 8 touched: the 7 graph gates (support kernel now cost-chosen
+#     between full-adjacency intersect and oriented enumerate+explode;
+#     _oriented_triangles reimplemented as forward-adjacency intersect;
+#     triangle_count delegates to it; ktruss gains the fulladj
+#     recompute-per-round peel; scan_clusters' ε-test moved to
+#     DECIMAL(38,0) and its CC to star contraction; cooccurrence_edges
+#     persists the capped occurrence frame) + dedup_connected_components
+#     (min-label CC gained the empty short-circuit and the monotone
+#     Σ-label convergence probe).
+# (c) 5 r3-aged (source_text_lines, streaming_incremental_dedup,
+#     text_lang_distribution, text_quality_filter,
+#     q_window_top_orders_per_cust) + 36 of the 45 r4-age entries.
+# Deferred to round 9 (r4 age, unchanged): streaming_collection_ingest,
+# streaming_hourly_counts, streaming_interval_join, streaming_ivf_ingest,
+# streaming_stateful_user_counts, text_profile, text_winnow_profile,
+# vector_dim_stats (+ all r5-and-later-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-7 additions
-    "q_graph_ktruss",
-    "q_graph_scan_clusters",
-    "q_events_ema_rows",
-    "q_quantile_bounds_orders",
-    "q_graph_scan_roles",
-    # (b) oracle/call-graph touched this round
-    "dedup_editdist_pairs",
-    "multimodal_frame_sample",
-    "text_perplexity_filter",
-    "q_events_ema_user",
-    "knn_llm_reconstruction",
+    # (a) round-8 addition
+    "q_graph_trussness_hist",
+    # (b) call-graph touched this round
     "q_graph_triangles",
     "q_graph_pagerank",
     "q_graph_edge_support",
     "q_graph_structural_similarity",
-    "q_rank_scalable_orders",
-    "q_exact_quantiles_orders",
-    # (c) oldest-first backfill (r2 then r3 age)
-    "q_events_range_join",
-    "ann_ivf_assign",
-    "ann_ivf_batch_topk",
-    "ann_ivf_search_topk",
-    "ann_lsh_batch_topk",
-    "ann_lsh_bucket_stats",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_probe_topk",
-    "dedup_embedding_neardup",
-    "dedup_exact_groups",
-    "dedup_jaccard_verified",
-    "dedup_keep_best",
-    "dedup_minhash_pairs",
-    "dedup_simhash_wide",
-    "dedup_winnow_overlap",
-    "knn_batch_topk",
-    "knn_prompt_reconstruction",
-    "knn_topk_cosine",
-    "multimodal_features",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q_anti_join_quiet_customers",
-    "q_approx_sketches",
-    "q_events_sessionization",
-    "q_rollup_orders",
-    "q_set_ops_customers",
-    "q_shuffle_shard",
-    "q_split_train_val_test",
-    "q_token_budget_select",
+    "q_graph_ktruss",
+    "q_graph_scan_clusters",
+    "q_graph_scan_roles",
+    "dedup_connected_components",
+    # (c) oldest-first backfill: the 5 r3-age entries
+    "source_text_lines",
+    "streaming_incremental_dedup",
+    "text_lang_distribution",
+    "text_quality_filter",
+    "q_window_top_orders_per_cust",
+    # (c) oldest-first backfill: 36 of the 45 r4-age entries
+    "ann_ivf_incremental_append",
+    "ann_ivf_kmeans_build",
+    "ann_ivf_layout_search",
+    "ann_ivfadc_batch_topk",
+    "ann_ivfadc_search_topk",
+    "ann_ivfpq_batch_topk",
+    "ann_ivfpq_search_topk",
+    "ann_pq_search_topk",
+    "collection_lifecycle",
+    "collection_query_encrypted",
+    "collection_query_filtered",
+    "collection_query_topk",
+    "crypto_key_rotation",
+    "dedup_simhash",
+    "dedup_simhash_groups",
+    "json_vector_roundtrip",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q_argmax_order",
+    "q_cube_lineitem",
+    "q_events_asof_signup",
+    "q_events_user_gaps",
+    "q_like_regex_filter",
+    "q_part_brand_stats",
+    "q_percentiles",
+    "q_semi_join_active",
+    "q_skew_salted_join",
+    "q_supplier_nation",
+    "q_time_partitioned_events",
+    "q_window_running_total",
 )
 
 

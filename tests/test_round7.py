@@ -78,9 +78,12 @@ def test_ktruss_cascade_and_k2(spark):
 
 
 def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
-    """The peeling loop must run the wedge join ONCE and prune the
-    triangle list thereafter — re-enumerating per round cost 24.7s vs
-    4-8s at sf0.1. Pinned by counting _oriented_triangles calls."""
+    """The ORIENTED peeling path must run the triangle enumeration
+    ONCE and prune the list thereafter — re-enumerating per round cost
+    24.7s vs 4-8s at sf0.1. Pinned by counting _oriented_triangles
+    calls with the kernel forced (the auto rule would route this
+    near-regular fixture to the fulladj recompute path, which never
+    enumerates triangles at all — also pinned below)."""
     calls = {"n": 0}
     orig = G._oriented_triangles
 
@@ -90,8 +93,35 @@ def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
 
     monkeypatch.setattr(G, "_oriented_triangles", counting)
     edges = _edges(spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE + [(1, 11), (2, 12)])
-    G.ktruss_edges(edges, k=4, rounds=3).count()
+    G.ktruss_edges(edges, k=4, rounds=3, kernel="oriented").count()
     assert calls["n"] == 1, calls
+    # fulladj peeling never materializes triangles
+    G.ktruss_edges(edges, k=4, rounds=3, kernel="fulladj").count()
+    assert calls["n"] == 1, calls
+    # triangle_count now delegates to the same single enumeration
+    # helper (the r7 verdict flagged the inline duplicate copy)
+    G.triangle_count(edges).count()
+    assert calls["n"] == 2, calls
+    caching.release_all()
+
+
+def test_ktruss_kernels_agree(spark):
+    """Both peeling kernels (fulladj recompute-per-round and oriented
+    list-prune) must produce the identical survivor set at every k —
+    the auto rule is a cost choice, never a semantics choice."""
+    edges = _edges(
+        spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE + [(1, 11), (2, 12), (3, 13)]
+    )
+    for k in (3, 4, 5):
+        a = sorted(
+            (r["src"], r["dst"])
+            for r in G.ktruss_edges(edges, k=k, kernel="fulladj").collect()
+        )
+        b = sorted(
+            (r["src"], r["dst"])
+            for r in G.ktruss_edges(edges, k=k, kernel="oriented").collect()
+        )
+        assert a == b, (k, a, b)
     caching.release_all()
 
 

@@ -1,0 +1,185 @@
+"""Round-8 additions: star-contraction connected components (the
+O(log n)-round CC the r7 verdict asked to ship as executed code), the
+support-kernel cost split, and the trussness histogram gate pieces."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cyborgdb_encrypted_vector_search_spark import caching
+from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def _py_components(edges):
+    """Union-find reference: node -> min reachable node id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+edge_sets = st.sets(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] < p[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=edge_sets)
+def test_star_cc_matches_union_find(spark, edges):
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(_pairs(spark, edges)).collect()
+    }
+    assert got == _py_components(edges)
+    caching.release_all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_sets)
+def test_star_cc_differential_vs_minlabel(spark, edges):
+    """Both CC implementations must label every node with its
+    component minimum — interchangeable under the same contract."""
+    df = _pairs(spark, edges)
+    a = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert a == b
+    caching.release_all()
+
+
+def test_star_cc_path_graph_rounds_logarithmic(spark):
+    """The adversarial-diameter case the contraction exists for: a
+    64-node path has diameter 63 (min-label would need ~63 rounds and
+    the default max_iter=25 would return WRONG labels); star
+    contraction must finish in O(log n) rounds and still be exact."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    stats: dict = {}
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            _pairs(spark, edges), stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, stats  # ~log2(64)=6 + slack, never 63
+    caching.release_all()
+
+
+def test_star_cc_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty).count() == 0
+    one = _pairs(spark, [(7, 3)])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(one).collect()
+    }
+    assert got == {3: 3, 7: 3}
+    caching.release_all()
+
+
+def test_minlabel_cc_empty_short_circuit(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    caching.release_all()
+
+
+def test_support_kernels_agree(spark):
+    """fulladj and oriented support kernels are physical alternatives
+    for one logical operator — identical (src, dst, support) output,
+    including the inner semantics (no row for support-0 edges)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5), (1, 9)],
+        "src long, dst long",
+    )
+    a = sorted(
+        (r["src"], r["dst"], r["support"])
+        for r in G.edge_triangle_support(edges, kernel="fulladj").collect()
+    )
+    b = sorted(
+        (r["src"], r["dst"], r["support"])
+        for r in G.edge_triangle_support(edges, kernel="oriented").collect()
+    )
+    assert a == b
+    assert all(s >= 1 for _, _, s in a)
+    assert (1, 9) not in {(x, y) for x, y, _ in a}  # support-0 edge absent
+    with pytest.raises(ValueError):
+        G.edge_triangle_support(edges, kernel="bogus").collect()
+    caching.release_all()
+
+
+def test_support_kernel_auto_routes_by_skew(spark):
+    """The one-agg cost rule: near-regular graphs take the fulladj
+    kernel, star graphs (Σd² = n² vs the O(m^1.5) oriented bound)
+    take the oriented kernel."""
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 7) for b in range(a + 1, 7)],
+        "src long, dst long",
+    )
+    assert G._support_kernel_auto(clique) == "fulladj"
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 800)], "src long, dst long"
+    )
+    assert G._support_kernel_auto(star) == "oriented"
+    caching.release_all()
+
+
+def test_scan_eps_test_survives_huge_support(spark):
+    """The r8 DECIMAL fix: (cn+2)²·eps_den² in 64-bit longs wraps once
+    support tops ~3e7. Pin the decimal arithmetic with a synthetic
+    frame pushed through the same expressions scan_clusters builds."""
+    cn = 40_000_000  # (cn+2)² ≈ 1.6e15; ×eps_den²=1e4 ≈ 1.6e19 > 2^63
+    df = spark.createDataFrame(
+        [(cn, 50_000_000, 50_000_000)], "cn long, ds long, dd long"
+    )
+    eps_num, eps_den = 45, 100
+    cnp = (F.col("cn") + F.lit(2)).cast("decimal(19,0)")
+    lhs = cnp * cnp * F.lit(eps_den * eps_den).cast("decimal(19,0)")
+    rhs = (
+        F.lit(eps_num * eps_num).cast("decimal(19,0)")
+        * (F.col("ds") + 1).cast("decimal(19,0)")
+        * (F.col("dd") + 1).cast("decimal(19,0)")
+    )
+    row = df.select(
+        lhs.alias("lhs"), rhs.alias("rhs"), (lhs >= rhs).alias("strong")
+    ).head()
+    assert int(row["lhs"]) == (cn + 2) ** 2 * eps_den**2
+    assert int(row["rhs"]) == eps_num**2 * 50_000_001**2
+    assert bool(row["strong"]) == (
+        (cn + 2) ** 2 * eps_den**2 >= eps_num**2 * 50_000_001**2
+    )
