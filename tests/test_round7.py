@@ -85,22 +85,25 @@ def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
     near-regular fixture to the fulladj recompute path, which never
     enumerates triangles at all — also pinned below)."""
     calls = {"n": 0}
-    orig = G._oriented_triangles
+    orig = G._oriented_common_neighbors
 
     def counting(edges):
         calls["n"] += 1
         return orig(edges)
 
-    monkeypatch.setattr(G, "_oriented_triangles", counting)
+    monkeypatch.setattr(G, "_oriented_common_neighbors", counting)
     edges = _edges(spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE + [(1, 11), (2, 12)])
     G.ktruss_edges(edges, k=4, rounds=3, kernel="oriented").count()
     assert calls["n"] == 1, calls
     # fulladj peeling never materializes triangles
     G.ktruss_edges(edges, k=4, rounds=3, kernel="fulladj").count()
     assert calls["n"] == 1, calls
-    # triangle_count now delegates to the same single enumeration
-    # helper (the r7 verdict flagged the inline duplicate copy)
-    G.triangle_count(edges).count()
+    # triangle_count's oriented path delegates to the same shared core
+    # (the r7 verdict flagged the inline duplicate copy), summing
+    # intersection sizes; its fulladj path never enumerates
+    G.triangle_count(edges, kernel="oriented").count()
+    assert calls["n"] == 2, calls
+    G.triangle_count(edges, kernel="fulladj").count()
     assert calls["n"] == 2, calls
     caching.release_all()
 

@@ -140,6 +140,15 @@ def test_support_kernels_agree(spark):
     assert (1, 9) not in {(x, y) for x, y, _ in a}  # support-0 edge absent
     with pytest.raises(ValueError):
         G.edge_triangle_support(edges, kernel="bogus").collect()
+    # triangle_count: both kernels, same exact count
+    ca = G.triangle_count(edges, kernel="fulladj").head()
+    cb = G.triangle_count(edges, kernel="oriented").head()
+    assert (ca["n_edges"], ca["n_triangles"]) == (
+        cb["n_edges"],
+        cb["n_triangles"],
+    )
+    with pytest.raises(ValueError):
+        G.triangle_count(edges, kernel="bogus").collect()
     caching.release_all()
 
 
