@@ -18,8 +18,12 @@ minhash_xxhash`` in at cluster scale.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
 from cyborgdb_encrypted_vector_search_spark.functions import vector as V
@@ -246,6 +250,7 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["a"] == labels["node"]
@@ -263,8 +268,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # labels are still propagating: a component wider than max_iter
+        # hops would be silently SPLIT into several labels. Duplicate
+        # clusters are near-cliques so this never fires there; chain-y
+        # graphs belong on connected_components_star (O(log n) rounds).
+        log.warning(
+            "connected_components: not converged after max_iter=%d "
+            "rounds — components wider than that many hops are split; "
+            "use connected_components_star for high-diameter graphs",
+            max_iter,
+        )
     edges.unpersist()
     return labels.select("node", "component")
 

@@ -192,3 +192,30 @@ def test_scan_eps_test_survives_huge_support(spark):
     assert bool(row["strong"]) == (
         (cn + 2) ** 2 * eps_den**2 >= eps_num**2 * 50_000_001**2
     )
+
+
+def test_minlabel_cc_warns_when_not_converged(spark, caplog):
+    """A component wider than max_iter hops exits the loop UNconverged
+    — labels are split and the operator must say so (the silent-wrong
+    case connected_components_star exists to avoid)."""
+    import logging
+
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup as D
+
+    chain = _pairs(spark, [(i, i + 1) for i in range(10)])
+    with caplog.at_level(logging.WARNING, logger=D.__name__):
+        labels = {
+            r["node"]: r["component"]
+            for r in connected_components(chain, max_iter=3).collect()
+        }
+    assert any(
+        "not converged" in rec.getMessage() for rec in caplog.records
+    )
+    assert len(set(labels.values())) > 1  # split, as warned
+    # the contraction variant nails the same chain exactly
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert set(star.values()) == {0}
+    caching.release_all()
