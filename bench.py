@@ -132,6 +132,11 @@ HEADLINE = [
     # star-contraction CC + fused roles pass is what these price.
     "q_graph_scan_clusters",
     "q_graph_scan_roles",
+    # r8 additions: degree peeling (3 bounded rounds — almost pure
+    # stage floor at sf0.1, priced for transparency) and the
+    # common-neighbor wedge join (real work on both engines)
+    "q_graph_kcore",
+    "q_graph_link_prediction",
 ]
 
 

@@ -610,6 +610,124 @@ def ktruss_edges(
     return cur
 
 
+def kcore_edges(
+    edges: DataFrame, k: int, rounds: int | None = None
+) -> DataFrame:
+    """k-core decomposition by iterative degree peeling (Seidman 1983;
+    linear-time sequential algorithm Matula & Beck 1983): repeatedly
+    drop every vertex with fewer than k neighbors in the CURRENT
+    subgraph until none remains. The fixed point is the maximal
+    subgraph of minimum degree >= k — the standard first-pass density
+    filter one level weaker than k-truss (which ktruss_edges covers).
+
+    ``rounds=None`` peels to the fixed point; ``rounds=N`` runs
+    EXACTLY N peels — the same deterministic-round contract as
+    ktruss_edges (idempotent on a converged set), which is what lets
+    the SQL oracle unroll a fixed round count.
+
+    Per round: one degree aggregate + two vertex-keyed semi-joins —
+    all shuffles on the vertex id, survivor set localCheckpoint-ed so
+    the iterative plan doesn't nest. Rounds are bounded by the
+    peeling depth (degeneracy shells), tiny in practice. Returns the
+    surviving canonical edges (src, dst)."""
+    if k < 1:
+        raise ValueError(f"k-core requires k >= 1, got {k}")
+    cur = edges.select("src", "dst").localCheckpoint()
+    n_cur = cur.count()
+    done = 0
+    while (rounds is None or done < rounds) and n_cur > 0:
+        deg = (
+            cur.select(F.col("src").alias("v"))
+            .unionAll(cur.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        done += 1
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if converged:
+            break  # fixed point — extra peels are idempotent
+    return cur
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_apex_degree: int | None = None,
+) -> DataFrame:
+    """Friend-of-friend candidate generation: NON-adjacent vertex
+    pairs ranked by their common-neighbor count — the classic
+    link-prediction / recommendation-candidate primitive (Liben-Nowell
+    & Kleinberg 2003's simplest score, kept integer so it gates
+    exactly cross-engine).
+
+    Pairs are enumerated at the shared neighbor (the apex of the
+    2-path), so per-apex fan-out is O(d(w)²) — the same quadratic hub
+    problem as cooccurrence_edges, and the same discipline applies:
+    ``max_apex_degree`` DROPS oversized apexes whole (count logged at
+    WARNING). Dropping mega-hubs is also the statistically sound
+    choice here — a common neighbor shared with millions carries no
+    signal, the reason Adamic-Adar down-weights high-degree apexes.
+
+    Plan: symmetric adjacency self-joined on the apex (one shuffle),
+    id-ordered pair filter, groupBy((u, v)) count, anti-join against
+    the canonical edge set to keep non-edges only. Returns
+    (u, v, cn) for pairs with cn >= min_common."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    edges = edges.select("src", "dst")
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    if max_apex_degree is not None:
+        if max_apex_degree < 2:
+            raise ValueError(
+                f"max_apex_degree must be >= 2, got {max_apex_degree}"
+            )
+        sizes = sym.groupBy("w").agg(F.count(F.lit(1)).alias("__d"))
+        stats = sizes.agg(
+            F.sum(
+                F.when(F.col("__d") > max_apex_degree, 1).otherwise(0)
+            ).alias("n_dropped"),
+            F.max("__d").alias("max_seen"),
+        ).collect()[0]
+        if stats["n_dropped"]:
+            log.warning(
+                "common_neighbor_candidates: dropped %d apex(es) with "
+                "degree above max_apex_degree=%d (largest seen: %d) — "
+                "their wedge pairs are NOT candidates",
+                stats["n_dropped"],
+                max_apex_degree,
+                stats["max_seen"],
+            )
+        keep = sizes.filter(F.col("__d") <= max_apex_degree).select("w")
+        sym = sym.join(keep, "w", "left_semi")
+    a = sym.select("w", F.col("n").alias("u"))
+    b = sym.select("w", F.col("n").alias("v"))
+    cn = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    return cn.join(
+        edges.withColumnsRenamed({"src": "u", "dst": "v"}),
+        ["u", "v"],
+        "left_anti",
+    )
+
+
 def scan_clusters(
     edges: DataFrame,
     eps_num: int = 7,

@@ -10884,6 +10884,116 @@ def q_graph_trussness_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K, _KCORE_ROUNDS = 16, 3
+
+
+def _kcore_peel_sql(src_cte: str, out_cte: str, k: int) -> str:
+    """One degree-peeling round: vertices of {src_cte} with degree
+    >= k survive; {out_cte} is the induced edge set."""
+    return f"""
+    deg_{out_cte} AS MATERIALIZED (
+      SELECT v, count(*) AS d FROM (
+        SELECT src AS v FROM {src_cte}
+        UNION ALL SELECT dst FROM {src_cte}
+      ) GROUP BY 1
+    ),
+    {out_cte} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {src_cte} e
+      JOIN deg_{out_cte} da ON da.v = e.src AND da.d >= {k}
+      JOIN deg_{out_cte} db ON db.v = e.dst AND db.d >= {k}
+    )"""
+
+
+@query(
+    "q_graph_kcore",
+    f"""
+    WITH edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    {_kcore_peel_sql('edges', 'c1', _KCORE_K)},
+    {_kcore_peel_sql('c1', 'c2', _KCORE_K)},
+    {_kcore_peel_sql('c2', 'c3', _KCORE_K)}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c3) AS n_edges,
+           (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+              SELECT src AS v FROM c3 UNION ALL SELECT dst FROM c3
+            )) AS n_nodes,
+           (SELECT CAST(coalesce(sum(src * 100003 + dst), 0) AS BIGINT)
+              FROM c3) AS edge_checksum
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore_edges): iteratively
+    drop vertices with fewer than k={_KCORE_K} neighbors in the
+    current subgraph — the standard density filter one level weaker
+    than k-truss (degree, not triangle support). Gate contract is
+    EXACTLY {_KCORE_ROUNDS} peel rounds (convergence at sf0.01 takes
+    2; extra peels of a converged set are idempotent — same
+    deterministic-round contract as q_graph_ktruss); the oracle
+    unrolls the same degree-filter rounds as MATERIALIZED CTEs.
+    Output is the O(1) survivor summary."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    kept = G.kcore_edges(
+        _graph_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+    summary = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("src") * F.lit(100003) + F.col("dst")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+    nodes = kept.select(
+        F.explode(F.array("src", "dst")).alias("v")
+    ).agg(F.countDistinct("v").cast("bigint").alias("n_nodes"))
+    return summary.crossJoin(nodes).select(
+        "n_edges", "n_nodes", "edge_checksum"
+    )
+
+
+_LINKPRED_MIN_CN, _LINKPRED_TOPK = 2, 20
+
+
+@query(
+    "q_graph_link_prediction",
+    f"""
+    WITH edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    sym AS (
+      SELECT src AS w, dst AS n FROM edges
+      UNION ALL
+      SELECT dst AS w, src AS n FROM edges
+    ),
+    cn AS (
+      SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM sym a JOIN sym b ON a.w = b.w AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT u, v, cn FROM cn
+    WHERE cn >= {_LINKPRED_MIN_CN}
+      AND NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = cn.u AND e.dst = cn.v)
+    ORDER BY cn DESC, u, v LIMIT {_LINKPRED_TOPK}
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction
+    (operators/graph.common_neighbor_candidates): the top-{_LINKPRED_TOPK}
+    NON-adjacent user pairs of the co-purchase graph by shared-neighbor
+    count — friend-of-friend candidate generation, the simplest
+    Liben-Nowell/Kleinberg link-prediction score kept INTEGER so the
+    ranking gates exactly (ties broken by the id pair). Spark
+    enumerates pairs at the shared apex (one adjacency self-join +
+    anti-join against the edge set); the oracle runs the identical
+    wedge join in SQL."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    cand = G.common_neighbor_candidates(
+        _graph_edges(spark, sf_dir), min_common=_LINKPRED_MIN_CN
+    )
+    return cand.orderBy(
+        F.desc("cn"), F.asc("u"), F.asc("v")
+    ).limit(_LINKPRED_TOPK)
+
+
 @query(
     "q_events_ema_rows",
     """
@@ -11054,11 +11164,14 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round, (c) oldest-first backfill (COVERAGE.md carries the
 # query -> last-gated-round table).
 #
-# (a) 2 round-8 additions: q_graph_trussness_hist (bounded-level
+# (a) 4 round-8 additions: q_graph_trussness_hist (bounded-level
 #     oracle for the full truss decomposition — upgrades edge_trussness
-#     from property-only to driver-gated) and dedup_components_star
+#     from property-only to driver-gated), dedup_components_star
 #     (star-contraction CC against the min-label gate's recursive-CTE
-#     oracle — a three-way algorithmic differential).
+#     oracle — a three-way algorithmic differential), q_graph_kcore
+#     (degree peeling, deterministic-round contract), and
+#     q_graph_link_prediction (common-neighbor candidate generation,
+#     integer-exact top-k).
 # (b) 8 touched: the 7 graph gates (support kernel now cost-chosen
 #     between full-adjacency intersect and oriented enumerate+explode;
 #     _oriented_triangles reimplemented as forward-adjacency intersect;
@@ -11070,8 +11183,9 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     Σ-label convergence probe).
 # (c) 5 r3-aged (source_text_lines, streaming_incremental_dedup,
 #     text_lang_distribution, text_quality_filter,
-#     q_window_top_orders_per_cust) + 35 of the 45 r4-age entries.
-# Deferred to round 9 (r4 age, unchanged): q_window_running_total,
+#     q_window_top_orders_per_cust) + 33 of the 45 r4-age entries.
+# Deferred to round 9 (r4 age, unchanged): q_supplier_nation,
+# q_time_partitioned_events, q_window_running_total,
 # streaming_collection_ingest,
 # streaming_hourly_counts, streaming_interval_join, streaming_ivf_ingest,
 # streaming_stateful_user_counts, text_profile, text_winnow_profile,
@@ -11080,6 +11194,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (a) round-8 additions
     "q_graph_trussness_hist",
     "dedup_components_star",
+    "q_graph_kcore",
+    "q_graph_link_prediction",
     # (b) call-graph touched this round
     "q_graph_triangles",
     "q_graph_pagerank",
@@ -11129,8 +11245,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_percentiles",
     "q_semi_join_active",
     "q_skew_salted_join",
-    "q_supplier_nation",
-    "q_time_partitioned_events",
 )
 
 

@@ -219,3 +219,119 @@ def test_minlabel_cc_warns_when_not_converged(spark, caplog):
     }
     assert set(star.values()) == {0}
     caching.release_all()
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        sorted((int(a), int(b)) for a, b in edges), "src long, dst long"
+    )
+
+
+def _py_kcore(edges, k):
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {(a, b) for a, b in cur if deg[a] >= k and deg[b] >= k}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+graph_sets = st.sets(
+    st.tuples(st.integers(1, 10), st.integers(1, 10)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] < p[1]),
+    min_size=3,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges=graph_sets, k=st.integers(1, 4))
+def test_kcore_matches_python_peeler(spark, edges, k):
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in G.kcore_edges(_edges_df(spark, edges), k=k).collect()
+    )
+    assert got == sorted(_py_kcore(edges, k))
+    caching.release_all()
+
+
+def test_kcore_cascade_and_bounds(spark):
+    """A chain hanging off a 4-clique peels one link per round for
+    k=2 — peeling must cascade; the clique itself is the 3-core."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = _edges_df(spark, clique + chain)
+    assert sorted(
+        (r["src"], r["dst"]) for r in G.kcore_edges(df, k=3).collect()
+    ) == sorted(clique)
+    # one bounded round of k=2 removes only the chain's free end
+    one = sorted(
+        (r["src"], r["dst"])
+        for r in G.kcore_edges(df, k=2, rounds=1).collect()
+    )
+    assert one == sorted(clique + [(4, 5), (5, 6)])
+    assert G.kcore_edges(df, k=5).count() == 0
+    with pytest.raises(ValueError):
+        G.kcore_edges(df, k=0)
+    caching.release_all()
+
+
+def _py_common_neighbors(edges, min_common):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for w, nb in adj.items():
+        nbs = sorted(nb)
+        for i, u in enumerate(nbs):
+            for v in nbs[i + 1:]:
+                if v not in adj[u]:
+                    out[(u, v)] = out.get((u, v), 0) + 1
+    return {p: c for p, c in out.items() if c >= min_common}
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges=graph_sets, min_common=st.integers(1, 3))
+def test_link_prediction_matches_bruteforce(spark, edges, min_common):
+    got = {
+        (r["u"], r["v"]): r["cn"]
+        for r in G.common_neighbor_candidates(
+            _edges_df(spark, edges), min_common=min_common
+        ).collect()
+    }
+    assert got == _py_common_neighbors(edges, min_common)
+    caching.release_all()
+
+
+def test_link_prediction_hub_cap(spark, caplog):
+    """max_apex_degree drops oversized apexes whole (their wedge pairs
+    vanish) and logs the drop — the cooccurrence hub-cap discipline."""
+    import logging
+
+    hub = [(1, i) for i in range(2, 8)]       # apex 1, degree 6
+    small = [(10, 20), (10, 30)]              # apex 10, degree 2
+    df = _edges_df(spark, hub + small)
+    with caplog.at_level(logging.WARNING, logger=G.__name__):
+        got = {
+            (r["u"], r["v"]): r["cn"]
+            for r in G.common_neighbor_candidates(
+                df, min_common=1, max_apex_degree=3
+            ).collect()
+        }
+    assert got == {(20, 30): 1}
+    assert any("dropped 1 apex" in rec.getMessage() for rec in caplog.records)
+    # uncapped, apex 1 contributes C(6,2) = 15 non-edge pairs
+    assert (
+        G.common_neighbor_candidates(df, min_common=1).count() == 16
+    )
+    with pytest.raises(ValueError):
+        G.common_neighbor_candidates(df, min_common=0)
+    with pytest.raises(ValueError):
+        G.common_neighbor_candidates(df, max_apex_degree=1)
+    caching.release_all()
