@@ -10165,6 +10165,32 @@ def graph_scan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_kcore_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_kcore (3 bounded
+    degree-peeling rounds; per-round cost is one degree aggregate +
+    two semi-joins over the surviving edges)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    kept = G.kcore_edges(
+        _graph_curve_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+    return kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+
+
+def graph_linkpred_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_link_prediction
+    (apex-keyed wedge join + (u,v) count + anti-join; work tracks
+    Σ d² of the replica-disjoint graph)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    cand = G.common_neighbor_candidates(
+        _graph_curve_edges(spark, sf_dir), min_common=_LINKPRED_MIN_CN
+    )
+    return cand.orderBy(F.desc("cn"), F.asc("u"), F.asc("v")).limit(
+        _LINKPRED_TOPK
+    )
+
+
 @query(
     "q_events_gapfill_hourly",
     """

@@ -209,6 +209,9 @@ def main() -> None:
         # replica-disjoint graph
         "graph_ktruss_curve": C.graph_ktruss_curve,
         "graph_scan_curve": C.graph_scan_curve,
+        # r8 twins: degree peeling and the common-neighbor wedge join
+        "graph_kcore_curve": C.graph_kcore_curve,
+        "graph_linkpred_curve": C.graph_linkpred_curve,
     }
 
     for scale in scales:
