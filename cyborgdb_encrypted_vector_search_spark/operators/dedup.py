@@ -322,11 +322,15 @@ def connected_components_star(
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    sym0 = fwd.unionByName(rev).filter(F.col("a") != F.col("b"))
-    # single-use frames stay lazy: nodes is read once by the final
-    # label join, and the loop's own checkpoints bound all lineage —
-    # extra persists here were measurable action-floor in local mode
-    nodes = sym0.select(F.col("a").alias("node")).distinct()
+    unfiltered = fwd.unionByName(rev)
+    sym0 = unfiltered.filter(F.col("a") != F.col("b"))
+    # nodes come from the UNFILTERED union: a node whose only
+    # incidences are self-pairs must still be labeled (with itself) —
+    # the same contract as connected_components. Single-use frames
+    # stay lazy: nodes is read once by the final label join, and the
+    # loop's own checkpoints bound all lineage — extra persists here
+    # were measurable action-floor in local mode.
+    nodes = unfiltered.select(F.col("a").alias("node")).distinct()
     # edges directed large -> small (the small-star invariant; also the
     # canonical storage form between rounds)
     e = (
@@ -380,6 +384,17 @@ def connected_components_star(
         e, n_e = small, n_new
     if stats is not None:
         stats["rounds"] = rounds
+    if n_e > 0 and rounds >= max_iter:
+        # the loop exhausted max_iter with edges still contracting:
+        # parents below are intermediate, not component minima — the
+        # same silent-wrong case connected_components warns about.
+        # Kiveris et al. bound rounds by O(log² n) worst case, so 50
+        # covers any real graph; this fires only on pathological input.
+        log.warning(
+            "connected_components_star: not converged after "
+            "max_iter=%d rounds — labels may not be component minima",
+            max_iter,
+        )
     parents = e.groupBy("a").agg(F.min("b").alias("component"))
     return nodes.join(
         parents.withColumnRenamed("a", "node"), "node", "left"

@@ -114,17 +114,29 @@ def cooccurrence_edges(
     )
 
 
-def _oriented_edges(edges: DataFrame) -> DataFrame:
-    """Degree orientation: re-direct each canonical edge from its
-    lower-degree endpoint (ties broken by id). Returns (u, w) with
-    deg(u) < deg(w) or (deg equal and u < w) — every vertex's forward
-    fan-out is then bounded by O(sqrt(m)) even on power-law graphs."""
-    deg = (
+def _degree_table(edges: DataFrame) -> DataFrame:
+    """(v, d) — per-vertex degree of the canonical edge set. Shared by
+    the cost model and the orientation join; callers that compute
+    both persist it so the degree shuffle runs once."""
+    return (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _oriented_edges(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """Degree orientation: re-direct each canonical edge from its
+    lower-degree endpoint (ties broken by id). Returns (u, w) with
+    deg(u) < deg(w) or (deg equal and u < w) — every vertex's forward
+    fan-out is then bounded by O(sqrt(m)) even on power-law graphs.
+    Pass a (persisted) ``deg`` to reuse a degree table the caller
+    already built (the cost-model pass)."""
+    if deg is None:
+        deg = _degree_table(edges)
     e = (
         edges.join(deg.withColumnRenamed("v", "src"), "src")
         .withColumnRenamed("d", "ds")
@@ -156,9 +168,13 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
     # the caller already pinned the frame)
     if not edges.is_cached:
         edges = track(edges.persist())
-    int_ids = False
+    int_ids, deg = False, None
     if kernel == "auto":
-        stats = _support_stats(edges)
+        # persist the degree table: the cost model reads it here and,
+        # on the oriented route, the orientation join reads it again —
+        # one degree shuffle instead of two
+        deg = track(_degree_table(edges).persist())
+        stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
     if kernel == "fulladj":
         tri = _support_fulladj(edges, int_ids).agg(
@@ -167,7 +183,7 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
             .alias("n_triangles")
         )
     elif kernel == "oriented":
-        tri = _oriented_common_neighbors(edges).agg(
+        tri = _oriented_common_neighbors(edges, deg).agg(
             F.coalesce(F.sum(F.size("common")), F.lit(0))
             .cast("bigint")
             .alias("n_triangles")
@@ -178,7 +194,9 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
     return ne.crossJoin(tri)
 
 
-def _oriented_triangles(edges: DataFrame) -> DataFrame:
+def _oriented_triangles(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
     """Enumerate each triangle exactly once under degree orientation:
     returns (u, w1, w2) with w1 < w2 — the apex u is the triangle's
     lowest-degree vertex, so per-vertex fan-out is O(sqrt(m)) even at
@@ -195,7 +213,7 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     (broadcast-able adjacency) instead of shuffling O(wedges) rows
     twice — measured 4.9s vs 6.8s on the 243k-edge / 7.9M-triangle
     sf0.1 co-purchase graph."""
-    tri = _oriented_common_neighbors(edges).select(
+    tri = _oriented_common_neighbors(edges, deg).select(
         "u", "w", F.explode("common").alias("c")
     )
     return tri.select(
@@ -205,13 +223,15 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_common_neighbors(edges: DataFrame) -> DataFrame:
+def _oriented_common_neighbors(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
     """The shared enumeration core: per ORIENTED edge (u -> w), the
     array of common forward neighbors fwd(u) ∩ fwd(w) — each element
     is one triangle, found exactly once (see _oriented_triangles).
     Counting consumers sum sizes without ever exploding the rows;
     enumerating consumers explode."""
-    oriented = _oriented_edges(edges)
+    oriented = _oriented_edges(edges, deg)
     fwd = oriented.groupBy("u").agg(
         F.sort_array(F.collect_list("w")).alias("fw")
     )
@@ -260,17 +280,14 @@ def _triangle_sides(tri: DataFrame) -> DataFrame:
 _FULLADJ_COST_FACTOR = 8
 
 
-def _support_stats(edges: DataFrame) -> dict:
+def _support_stats(edges: DataFrame, deg: DataFrame | None = None) -> dict:
     """One bounded aggregate over the degree table: the kernel cost
     stats (Σd, Σd²) plus the vertex-id range (drives the int32
     adjacency-array narrowing below). Returns
-    {kernel: 'fulladj'|'oriented', int_ids: bool}."""
-    deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    {kernel: 'fulladj'|'oriented', int_ids: bool}. Pass a (persisted)
+    ``deg`` to share the degree shuffle with the orientation join."""
+    if deg is None:
+        deg = _degree_table(edges)
     row = deg.agg(
         F.sum("d").alias("sum_d"),
         F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
@@ -285,7 +302,14 @@ def _support_stats(edges: DataFrame) -> dict:
         if row["sum_d2"] <= _FULLADJ_COST_FACTOR * m * (m**0.5)
         else "oriented"
     )
-    int_ids = -(2**31) <= row["min_v"] and row["max_v"] < 2**31
+    # ids may be any orderable type (string doc ids etc.) — the int32
+    # narrowing applies only to integer graphs whose range fits
+    int_ids = (
+        isinstance(row["min_v"], int)
+        and isinstance(row["max_v"], int)
+        and -(2**31) <= row["min_v"]
+        and row["max_v"] < 2**31
+    )
     return {"kernel": kernel, "int_ids": int_ids}
 
 
@@ -315,7 +339,9 @@ def _adjacency(edges: DataFrame, int_ids: bool = False) -> DataFrame:
     )
 
 
-def _support_fulladj(edges: DataFrame, int_ids: bool = False) -> DataFrame:
+def _support_fulladj(
+    edges: DataFrame, int_ids: bool = False, with_degrees: bool = False
+) -> DataFrame:
     """Per-edge support via FULL-adjacency intersection: an edge's
     support is |N(u) ∩ N(v)| — computed inline per edge row from the
     two neighbor lists, with no triangle materialization and no
@@ -323,8 +349,22 @@ def _support_fulladj(edges: DataFrame, int_ids: bool = False) -> DataFrame:
     auto rule routes skewed graphs to the oriented kernel), but on
     near-regular graphs it is the minimal plan: one adjacency groupBy
     + two vertex-keyed (broadcast-able) joins. Emits ALL edges,
-    including support = 0."""
+    including support = 0. ``with_degrees`` additionally emits both
+    endpoint degrees (size(N(·)) is free here) — the fused shape
+    scan_clusters' ε-test consumes."""
     adj = _adjacency(edges, int_ids)
+    cols = [
+        F.col("src"),
+        F.col("dst"),
+        F.size(F.array_intersect("na", "nbv"))
+        .cast("bigint")
+        .alias("support"),
+    ]
+    if with_degrees:
+        cols += [
+            F.size("na").cast("long").alias("ds"),
+            F.size("nbv").cast("long").alias("dd"),
+        ]
     return (
         edges.join(
             adj.select(F.col("v").alias("__a"), F.col("nb").alias("na")),
@@ -334,13 +374,7 @@ def _support_fulladj(edges: DataFrame, int_ids: bool = False) -> DataFrame:
             adj.select(F.col("v").alias("__b"), F.col("nb").alias("nbv")),
             F.col("dst") == F.col("__b"),
         )
-        .select(
-            "src",
-            "dst",
-            F.size(F.array_intersect("na", "nbv"))
-            .cast("bigint")
-            .alias("support"),
-        )
+        .select(*cols)
     )
 
 
@@ -364,9 +398,10 @@ def edge_triangle_support(
     Returns (src, dst, support) for edges in >= 1 triangle."""
     if not edges.is_cached:
         edges = track(edges.persist())
-    int_ids = False
+    int_ids, deg = False, None
     if kernel == "auto":
-        stats = _support_stats(edges)
+        deg = track(_degree_table(edges).persist())
+        stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
     if kernel == "fulladj":
         return _support_fulladj(edges, int_ids).filter(
@@ -374,7 +409,7 @@ def edge_triangle_support(
         )
     if kernel != "oriented":
         raise ValueError(f"unknown support kernel: {kernel!r}")
-    sides = _triangle_sides(_oriented_triangles(edges))
+    sides = _triangle_sides(_oriented_triangles(edges, deg))
     return sides.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")
     )
@@ -506,9 +541,12 @@ def ktruss_edges(
         return cur  # every edge is trivially in a 2-truss
     cur = cur.localCheckpoint()
     n_cur = cur.count()
-    int_ids = False
+    if triangle_sides is None and kernel not in ("auto", "fulladj", "oriented"):
+        raise ValueError(f"unknown support kernel: {kernel!r}")
+    int_ids, deg = False, None
     if kernel == "auto" and triangle_sides is None:
-        stats = _support_stats(cur)
+        deg = track(_degree_table(cur).persist())
+        stats = _support_stats(cur, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
     if kernel == "fulladj" and triangle_sides is None:
         # recompute-per-round peeling: support inline from the current
@@ -542,7 +580,7 @@ def ktruss_edges(
         # driver (measured in edge_trussness's ~20-level loop). Blocks
         # are reclaimed by the ContextCleaner when unreferenced.
         tris = (
-            _oriented_triangles(cur)
+            _oriented_triangles(cur, deg)
             .select(
                 F.least("u", "w1").alias("a1"),
                 F.greatest("u", "w1").alias("b1"),
@@ -782,39 +820,13 @@ def scan_clusters(
     # strong-edge derivation is one adjacency groupBy + two
     # (broadcast-able) joins. The oriented kernel keeps the
     # join-support-then-degrees shape (the skew-safe path).
-    stats = _support_stats(edges)
+    deg = track(_degree_table(edges).persist())
+    stats = _support_stats(edges, deg)
     if stats["kernel"] == "fulladj":
-        adj = _adjacency(edges, stats["int_ids"])
-        e = (
-            edges.join(
-                adj.select(
-                    F.col("v").alias("__a"), F.col("nb").alias("na")
-                ),
-                F.col("src") == F.col("__a"),
-            )
-            .join(
-                adj.select(
-                    F.col("v").alias("__b"), F.col("nb").alias("nbv")
-                ),
-                F.col("dst") == F.col("__b"),
-            )
-            .select(
-                "src",
-                "dst",
-                F.size(F.array_intersect("na", "nbv"))
-                .cast("long")
-                .alias("cn"),
-                F.size("na").cast("long").alias("ds"),
-                F.size("nbv").cast("long").alias("dd"),
-            )
-        )
+        e = _support_fulladj(
+            edges, stats["int_ids"], with_degrees=True
+        ).withColumnRenamed("support", "cn")
     else:
-        deg = (
-            edges.select(F.col("src").alias("v"))
-            .unionAll(edges.select(F.col("dst").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
         cn = edge_triangle_support(edges, kernel="oriented").withColumnRenamed(
             "support", "cn"
         )

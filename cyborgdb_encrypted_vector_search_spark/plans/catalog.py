@@ -11237,7 +11237,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lang_distribution",
     "text_quality_filter",
     "q_window_top_orders_per_cust",
-    # (c) oldest-first backfill: 36 of the 45 r4-age entries
+    # (c) oldest-first backfill: 33 of the 45 r4-age entries
     "ann_ivf_incremental_append",
     "ann_ivf_kmeans_build",
     "ann_ivf_layout_search",

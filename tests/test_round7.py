@@ -87,9 +87,9 @@ def test_ktruss_enumerates_wedges_once(spark, monkeypatch):
     calls = {"n": 0}
     orig = G._oriented_common_neighbors
 
-    def counting(edges):
+    def counting(edges, deg=None):
         calls["n"] += 1
-        return orig(edges)
+        return orig(edges, deg)
 
     monkeypatch.setattr(G, "_oriented_common_neighbors", counting)
     edges = _edges(spark, _CLIQUE_A + _CLIQUE_B + _BRIDGE + [(1, 11), (2, 12)])

@@ -335,3 +335,62 @@ def test_link_prediction_hub_cap(spark, caplog):
     with pytest.raises(ValueError):
         G.common_neighbor_candidates(df, max_apex_degree=1)
     caching.release_all()
+
+
+def test_support_auto_kernel_string_ids(spark):
+    """Vertex ids may be any orderable type (string doc ids): the
+    auto cost model must not assume integers — the int32 narrowing
+    simply stays off. (Regression: r8's first cut compared a Python
+    int bound against string min/max and raised TypeError.)"""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    row = G.triangle_count(edges).head()
+    assert (row["n_edges"], row["n_triangles"]) == (4, 1)
+    sup = {
+        (r["src"], r["dst"]): r["support"]
+        for r in G.edge_triangle_support(edges).collect()
+    }
+    assert sup == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+    caching.release_all()
+
+
+def test_star_cc_self_loop_only_node(spark):
+    """A node whose only incidences are self-pairs must still be
+    labeled with itself — the min-label contract. (Regression: the
+    first cut derived nodes from the self-loop-filtered union.)"""
+    pairs = _pairs(spark, [(5, 5), (1, 2)])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 5: 5}
+    caching.release_all()
+
+
+def test_star_cc_warns_when_not_converged(spark, caplog):
+    import logging
+
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup as D
+
+    chain = _pairs(spark, [(i, i + 1) for i in range(32)])
+    with caplog.at_level(logging.WARNING, logger=D.__name__):
+        connected_components_star(chain, max_iter=1).collect()
+    assert any(
+        "not converged" in rec.getMessage() for rec in caplog.records
+    )
+    caching.release_all()
+
+
+def test_ktruss_rejects_unknown_kernel(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError):
+        G.ktruss_edges(edges, k=3, kernel="fulladk")
+    caching.release_all()
