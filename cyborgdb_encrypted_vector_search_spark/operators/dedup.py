@@ -246,10 +246,23 @@ def connected_components(
     # point — one aggregate per round on the freshly checkpointed
     # labels replaces the old join-old-vs-new probe (one exchange
     # cheaper per round). Decimal sum: exact, overflow-free for any id
-    # range.
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # range. NUMERIC ids only: casting string doc ids to decimal yields
+    # NULL (non-ANSI) or errors (ANSI), and a NULL sum would compare
+    # equal every round — silently-split components. Non-numeric label
+    # graphs keep the type-agnostic changed-row probe (one join per
+    # round instead of one aggregate).
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["component"].dataType, NumericType
+    )
+    prev_sum = (
+        labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if numeric_ids
+        else None
+    )
     converged = False
     for _ in range(max_iter):
         prop = edges.join(
@@ -262,15 +275,31 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage + cache this round
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if numeric_ids:
+            new_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            round_converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            round_converged = (
+                new_labels.alias("n")
+                .join(
+                    labels.select(
+                        "node", F.col("component").alias("__old")
+                    ),
+                    "node",
+                )
+                .filter(F.col("component") != F.col("__old"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if round_converged:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         # labels are still propagating: a component wider than max_iter
         # hops would be silently SPLIT into several labels. Duplicate
@@ -340,6 +369,7 @@ def connected_components_star(
     )
     n_e = e.count()
     rounds = 0
+    converged = n_e == 0  # an empty edge set is trivially a fixed point
     while n_e > 0 and rounds < max_iter:
         # LARGE-STAR: symmetric adjacency; m(u) = min(Γ(u) ∪ {u});
         # emit (v, m(u)) for every neighbor v > u. Result stays
@@ -380,11 +410,12 @@ def connected_components_star(
             )
             if diff == 0:
                 e = small
+                converged = True
                 break
         e, n_e = small, n_new
     if stats is not None:
         stats["rounds"] = rounds
-    if n_e > 0 and rounds >= max_iter:
+    if not converged:
         # the loop exhausted max_iter with edges still contracting:
         # parents below are intermediate, not component minima — the
         # same silent-wrong case connected_components warns about.

@@ -176,6 +176,8 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
         deg = track(_degree_table(edges).persist())
         stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        if kernel == "fulladj":
+            deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj":
         tri = _support_fulladj(edges, int_ids).agg(
             F.expr("coalesce(sum(support), 0) div 3")
@@ -403,6 +405,8 @@ def edge_triangle_support(
         deg = track(_degree_table(edges).persist())
         stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        if kernel == "fulladj":
+            deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj":
         return _support_fulladj(edges, int_ids).filter(
             F.col("support") >= 1
@@ -548,6 +552,8 @@ def ktruss_edges(
         deg = track(_degree_table(cur).persist())
         stats = _support_stats(cur, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        if kernel == "fulladj":
+            deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj" and triangle_sides is None:
         # recompute-per-round peeling: support inline from the current
         # survivor adjacency; inner semantics (support-0 edges have no

@@ -10976,6 +10976,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the docstring references the module constants — interpolate them so
+# help() shows the values, not literal '{_KCORE_K}' placeholders
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
+    _KCORE_K=_KCORE_K, _KCORE_ROUNDS=_KCORE_ROUNDS
+)
+
+
 _LINKPRED_MIN_CN, _LINKPRED_TOPK = 2, 20
 
 
@@ -11018,6 +11025,11 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.desc("cn"), F.asc("u"), F.asc("v")
     ).limit(_LINKPRED_TOPK)
+
+
+q_graph_link_prediction.__doc__ = q_graph_link_prediction.__doc__.format(
+    _LINKPRED_TOPK=_LINKPRED_TOPK
+)
 
 
 @query(
