@@ -197,7 +197,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components of the duplicate-pair graph by iterative
     min-label propagation: each node's component id converges to the
@@ -210,13 +210,17 @@ def connected_components(
 
     Scale shape: per round, one shuffle join (edges ⋈ labels on node)
     plus one min-aggregate — both partitioned on the node id, so AQE
-    coalesces them onto the same exchange. Rounds = graph diameter;
-    duplicate clusters are near-cliques (diameter 2-3 in practice), so
-    this converges in 2-4 rounds even at 100 TB. For adversarial
-    long-chain graphs use connected_components_star below — the
-    large-star/small-star contraction (Kiveris et al., SoCC'14), same
-    (node, component) contract, O(log n) rounds (the 25-round cap here
-    would MISLABEL a 64-node chain; the property suite pins both).
+    coalesces them onto the same exchange. Rounds = label eccentricity
+    (bounded by graph diameter); duplicate CLUSTERS are near-cliques
+    (2-4 rounds), but band evidence CHAINS across perturbation
+    generations — the sf0.1 LSH pair graph measures 24 rounds through a
+    4,605-node chained component, which is why the default cap is 50,
+    not the near-clique 25 (converged loops break early, so slack is
+    free). For adversarial long-chain graphs use
+    connected_components_star below — the large-star/small-star
+    contraction (Kiveris et al., SoCC'14), same (node, component)
+    contract, O(log n) rounds (a round cap here would MISLABEL a chain
+    longer than it; the property suite pins both).
     Each round's labels are localCheckpoint-ed: iterative
     self-referencing plans otherwise grow multiplicatively and blow up
     the driver (analysis + task serialization) long before the data
@@ -368,8 +372,19 @@ def connected_components_star(
         .localCheckpoint()
     )
     n_e = e.count()
+    if n_e == 0:
+        # Empty-graph short-circuit (same rationale as the min-label
+        # loop's): with no contractible edges every node is its own
+        # component, and skipping the parents aggregate + left join
+        # saves ~4 stage launches of pure local-mode scheduling floor —
+        # scan_clusters hits this path whenever the ε/μ gate yields no
+        # core-core edges (measured: the whole sf0.1 co-purchase core
+        # subgraph is empty at ε=0.45).
+        if stats is not None:
+            stats["rounds"] = 0
+        return nodes.withColumn("component", F.col("node"))
     rounds = 0
-    converged = n_e == 0  # an empty edge set is trivially a fixed point
+    converged = False
     while n_e > 0 and rounds < max_iter:
         # LARGE-STAR: symmetric adjacency; m(u) = min(Γ(u) ∪ {u});
         # emit (v, m(u)) for every neighbor v > u. Result stays

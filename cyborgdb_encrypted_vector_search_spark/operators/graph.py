@@ -342,7 +342,10 @@ def _adjacency(edges: DataFrame, int_ids: bool = False) -> DataFrame:
 
 
 def _support_fulladj(
-    edges: DataFrame, int_ids: bool = False, with_degrees: bool = False
+    edges: DataFrame,
+    int_ids: bool = False,
+    with_degrees: bool = False,
+    defer_intersect: bool = False,
 ) -> DataFrame:
     """Per-edge support via FULL-adjacency intersection: an edge's
     support is |N(u) ∩ N(v)| — computed inline per edge row from the
@@ -353,15 +356,21 @@ def _support_fulladj(
     + two vertex-keyed (broadcast-able) joins. Emits ALL edges,
     including support = 0. ``with_degrees`` additionally emits both
     endpoint degrees (size(N(·)) is free here) — the fused shape
-    scan_clusters' ε-test consumes."""
+    scan_clusters' ε-test consumes. ``defer_intersect`` emits the raw
+    neighbor arrays (na, nbv) instead of the support column, so a
+    caller can FILTER on the (free) degrees before paying the O(d)
+    intersect — the SCAN ε-prune consumes this shape."""
     adj = _adjacency(edges, int_ids)
-    cols = [
-        F.col("src"),
-        F.col("dst"),
-        F.size(F.array_intersect("na", "nbv"))
-        .cast("bigint")
-        .alias("support"),
-    ]
+    if defer_intersect:
+        cols = [F.col("src"), F.col("dst"), F.col("na"), F.col("nbv")]
+    else:
+        cols = [
+            F.col("src"),
+            F.col("dst"),
+            F.size(F.array_intersect("na", "nbv"))
+            .cast("bigint")
+            .alias("support"),
+        ]
     if with_degrees:
         cols += [
             F.size("na").cast("long").alias("ds"),
@@ -733,29 +742,7 @@ def common_neighbor_candidates(
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
-    if max_apex_degree is not None:
-        if max_apex_degree < 2:
-            raise ValueError(
-                f"max_apex_degree must be >= 2, got {max_apex_degree}"
-            )
-        sizes = sym.groupBy("w").agg(F.count(F.lit(1)).alias("__d"))
-        stats = sizes.agg(
-            F.sum(
-                F.when(F.col("__d") > max_apex_degree, 1).otherwise(0)
-            ).alias("n_dropped"),
-            F.max("__d").alias("max_seen"),
-        ).collect()[0]
-        if stats["n_dropped"]:
-            log.warning(
-                "common_neighbor_candidates: dropped %d apex(es) with "
-                "degree above max_apex_degree=%d (largest seen: %d) — "
-                "their wedge pairs are NOT candidates",
-                stats["n_dropped"],
-                max_apex_degree,
-                stats["max_seen"],
-            )
-        keep = sizes.filter(F.col("__d") <= max_apex_degree).select("w")
-        sym = sym.join(keep, "w", "left_semi")
+    sym = _cap_apexes(sym, max_apex_degree, "common_neighbor_candidates")
     a = sym.select("w", F.col("n").alias("u"))
     b = sym.select("w", F.col("n").alias("v"))
     cn = (
@@ -770,6 +757,114 @@ def common_neighbor_candidates(
         ["u", "v"],
         "left_anti",
     )
+
+
+LINKPRED_SCALE = 1_000_000_000_000  # 10^12 fixed-point score units
+
+
+def weighted_link_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_apex_degree: int | None = None,
+) -> DataFrame:
+    """Degree-weighted link-prediction scores over the
+    common_neighbor_candidates wedge machinery — the ranking an actual
+    recommender uses on top of raw common-neighbor counts
+    (Liben-Nowell & Kleinberg 2003; Adamic & Adar 2003; Zhou, Lü &
+    Zhang 2009's resource allocation):
+
+    - ``ra_fp``  — resource allocation Σ_w 1/d(w), the strongest of the
+      classic local scores in published benchmarks. Fixed-point:
+      Σ (LINKPRED_SCALE div d(w)) on BIGINTs — floor division makes
+      every engine and partitioning produce the identical integer.
+    - ``aa_fp``  — Adamic-Adar Σ_w 1/log(d(w)), with the log taken as
+      the integer STAIRCASE log2 (1 + floor(log2 d) = bit length of d,
+      computed from the binary string — exact in any engine; float
+      ln() differs across libm implementations in the last ulp, which
+      a cross-engine value hash cannot tolerate). Same monotone
+      down-weighting of promiscuous apexes, integer-exact.
+
+    Each common neighbor w contributes both terms at the apex, so the
+    whole thing is ONE extra projection on the wedge join — the same
+    single shuffle + groupBy((u,v)) as the unweighted count, the same
+    ``max_apex_degree`` hub-cap discipline (a neighbor shared with
+    millions carries no signal — dropping mega-hub apexes is the
+    Adamic-Adar rationale applied as a hard cap; drop count logged at
+    WARNING inside common_neighbor_candidates' shared helper).
+
+    Returns (u, v, cn, ra_fp, aa_fp) for NON-adjacent pairs with
+    cn >= min_common."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    edges = edges.select("src", "dst")
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    sym = _cap_apexes(sym, max_apex_degree, "weighted_link_scores")
+    # per-apex degree d(w) = |N(w)| — the symmetric adjacency has
+    # exactly one row per (w, neighbor), so a count per w is the degree
+    wdeg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("dw"))
+    a = sym.join(wdeg, "w").select(
+        "w",
+        F.col("n").alias("u"),
+        F.expr(f"{LINKPRED_SCALE} div dw").alias("ra_w"),
+        # bit length of dw == 1 + floor(log2 dw): length of the binary
+        # string — integer-exact in Spark (bin) and DuckDB (printf %b)
+        F.expr(f"{LINKPRED_SCALE} div length(bin(dw))").alias("aa_w"),
+    )
+    b = sym.select("w", F.col("n").alias("v"))
+    scored = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("ra_w").cast("bigint").alias("ra_fp"),
+            F.sum("aa_w").cast("bigint").alias("aa_fp"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    return scored.join(
+        edges.withColumnsRenamed({"src": "u", "dst": "v"}),
+        ["u", "v"],
+        "left_anti",
+    )
+
+
+def _cap_apexes(
+    sym: DataFrame, max_apex_degree: int | None, op_name: str
+) -> DataFrame:
+    """Shared hub-cap for wedge enumeration at the apex: DROP apexes
+    whose degree exceeds the cap (whole, loudly) — one oversized apex
+    would otherwise emit O(d²) wedge pairs silently at 100x. Returns
+    the (possibly filtered) symmetric adjacency."""
+    if max_apex_degree is None:
+        return sym
+    if max_apex_degree < 2:
+        raise ValueError(
+            f"max_apex_degree must be >= 2, got {max_apex_degree}"
+        )
+    sizes = sym.groupBy("w").agg(F.count(F.lit(1)).alias("__d"))
+    stats = sizes.agg(
+        F.sum(
+            F.when(F.col("__d") > max_apex_degree, 1).otherwise(0)
+        ).alias("n_dropped"),
+        F.max("__d").alias("max_seen"),
+    ).collect()[0]
+    if stats["n_dropped"]:
+        log.warning(
+            "%s: dropped %d apex(es) with degree above "
+            "max_apex_degree=%d (largest seen: %d) — their wedge pairs "
+            "are NOT candidates",
+            op_name,
+            stats["n_dropped"],
+            max_apex_degree,
+            stats["max_seen"],
+        )
+    keep = sizes.filter(F.col("__d") <= max_apex_degree).select("w")
+    return sym.join(keep, "w", "left_semi")
 
 
 def scan_clusters(
@@ -814,24 +909,66 @@ def scan_clusters(
         raise ValueError(f"need 0 < eps_num <= eps_den, got {eps_num}/{eps_den}")
     if mu < 2:
         raise ValueError(f"mu must be >= 2, got {mu}")
+    edges = track(edges.select("src", "dst").persist())
+    deg = track(_degree_table(edges).persist())
+    stats = _support_stats(edges, deg)
+    if stats["kernel"] == "fulladj":
+        # deg fed only the cost probe on this route (_scan_members'
+        # fulladj ε-test reads degrees as size(N(·)) inline)
+        deg.unpersist()
+    return _scan_members(edges, deg, stats, eps_num, eps_den, mu)
+
+
+def _scan_members(
+    edges: DataFrame,
+    deg: DataFrame,
+    stats: dict,
+    eps_num: int,
+    eps_den: int,
+    mu: int,
+) -> DataFrame:
+    """Shared SCAN member derivation (strong edges → cores → clusters →
+    borders) behind scan_clusters and scan_roles. ``edges`` and (on the
+    oriented route) ``deg`` must be persisted by the caller; ``stats``
+    is the caller's _support_stats probe."""
     from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
         connected_components_star,
     )
 
-    edges = track(edges.select("src", "dst").persist())
     # One pass computes cn AND both degrees when the cost model picks
     # the full-adjacency kernel: |N(u) ∩ N(v)| is the edge's common
     # neighbor count and size(N(·)) IS the degree, so the ε-test needs
     # no degree table and no left-join-support step at all — the whole
     # strong-edge derivation is one adjacency groupBy + two
-    # (broadcast-able) joins. The oriented kernel keeps the
-    # join-support-then-degrees shape (the skew-safe path).
-    deg = track(_degree_table(edges).persist())
-    stats = _support_stats(edges, deg)
+    # (broadcast-able) joins. A degree-only NECESSARY condition runs
+    # first: cn + 2 <= min(d(u), d(v)) + 1 always (closed
+    # neighborhoods), so an edge can only be ε-strong if
+    # (min+1)²·den² >= num²·(d(u)+1)·(d(v)+1) — cheap long arithmetic
+    # that skips the O(d) array intersect entirely for degree-skewed
+    # edges (the hub fringe), without changing the strong set. The
+    # oriented kernel keeps the join-support-then-degrees shape (the
+    # skew-safe path).
     if stats["kernel"] == "fulladj":
-        e = _support_fulladj(
-            edges, stats["int_ids"], with_degrees=True
-        ).withColumnRenamed("support", "cn")
+        raw = _support_fulladj(
+            edges, stats["int_ids"], with_degrees=True, defer_intersect=True
+        )
+        minp = (F.least("ds", "dd") + 1).cast("decimal(19,0)")
+        prune = minp * minp * F.lit(eps_den * eps_den).cast(
+            "decimal(19,0)"
+        ) >= (
+            F.lit(eps_num * eps_num).cast("decimal(19,0)")
+            * (F.col("ds") + 1).cast("decimal(19,0)")
+            * (F.col("dd") + 1).cast("decimal(19,0)")
+        )
+        e = raw.filter(prune).select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("na", "nbv"))
+            .cast("bigint")
+            .alias("cn"),
+            "ds",
+            "dd",
+        )
     else:
         cn = edge_triangle_support(edges, kernel="oriented").withColumnRenamed(
             "support", "cn"
@@ -902,6 +1039,7 @@ def scan_roles(
     eps_num: int = 7,
     eps_den: int = 10,
     mu: int = 3,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """Full SCAN vertex classification — scan_clusters' members plus
     the two non-member roles the algorithm exists to separate (Xu et
@@ -913,61 +1051,70 @@ def scan_roles(
         (v, cluster, role)   role in {'core','border','hub','outlier'}
 
     with ``cluster = -1`` for hubs/outliers (a sentinel rather than
-    NULL so the frame value-hashes unambiguously cross-engine). The
-    classification pass is one symmetric-adjacency join against the
-    member labels plus a countDistinct per non-member — vertex-keyed
-    shuffles, nothing quadratic."""
+    NULL so the frame value-hashes unambiguously cross-engine).
+
+    ``members``, when given, is a precomputed scan_clusters result for
+    the SAME (edges, ε, μ) — callers that already hold the clustering
+    (a pipeline that prices / materializes clusters separately) pay
+    only the classification here. When None, the member derivation is
+    fused with this pass: one shared edge persist, one shared degree
+    table (its key column IS the node set — no separate distinct), and
+    classification as ONE left-join pass over (members, neighbor
+    cluster counts) instead of the former semi/anti-join cascade plus
+    three-way union — vertex-keyed shuffles, nothing quadratic."""
+    if not (0 < eps_num <= eps_den):
+        raise ValueError(f"need 0 < eps_num <= eps_den, got {eps_num}/{eps_den}")
+    if mu < 2:
+        raise ValueError(f"mu must be >= 2, got {mu}")
     edges = edges.select("src", "dst")
     if not edges.is_cached:
         edges = track(edges.persist())
-    # members feeds three consumers (labels, the non-member anti-join,
-    # the neighbor-cluster join), and each would otherwise embed the
-    # ENTIRE scan_clusters lineage (support kernel + CC rounds) in its
-    # plan tree — the classification joins then nest those copies, and
+    # deg stays persisted on BOTH kernel routes here (unlike
+    # scan_clusters): its key column doubles as the node universe for
+    # the classification join below.
+    deg = track(_degree_table(edges).persist())
+    if members is None:
+        stats = _support_stats(edges, deg)
+        members = _scan_members(edges, deg, stats, eps_num, eps_den, mu)
+    # members feeds two consumers (the label join and the
+    # neighbor-cluster join), and each would otherwise embed the ENTIRE
+    # clusters lineage (support kernel + CC rounds) in its plan tree —
     # the resulting plan STRING alone OOMs a default-heap driver during
     # AQE's explain (measured at sf0.001: the data is 15 rows; the
     # plan is the problem). localCheckpoint truncates the lineage to a
     # materialized-RDD scan, which also stops the kernel re-running
     # per consumer.
-    members = scan_clusters(edges, eps_num, eps_den, mu).localCheckpoint()
+    members = members.localCheckpoint()
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    nodes = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    nonmembers = nodes.join(members, "v", "left_anti")
-    neighbor_clusters = (
+    # per-vertex distinct neighbor clusters (members included — their
+    # role is decided by is_core before nc is consulted)
+    nc = (
         sym.join(
             members.select(F.col("v").alias("src"), "cluster"), "src"
         )
-        .select(F.col("dst").alias("v"), "cluster")
-        .join(nonmembers, "v", "left_semi")
-        .groupBy("v")
+        .groupBy(F.col("dst").alias("v"))
         .agg(F.countDistinct("cluster").alias("nc"))
     )
-    hubs = neighbor_clusters.filter(F.col("nc") >= 2).select("v")
-    labeled = members.select(
-        "v",
-        "cluster",
+    role = (
         F.when(F.col("is_core"), F.lit("core"))
-        .otherwise(F.lit("border"))
-        .alias("role"),
+        .when(~F.col("is_core"), F.lit("border"))
+        .when(F.col("nc") >= 2, F.lit("hub"))
+        .otherwise(F.lit("outlier"))
     )
-    hub_rows = hubs.select(
-        "v", F.lit(-1).cast("long").alias("cluster"), F.lit("hub").alias("role")
-    )
-    outlier_rows = (
-        nonmembers.join(hubs, "v", "left_anti")
+    return (
+        deg.select("v")
+        .join(members, "v", "left")
+        .join(nc, "v", "left")
         .select(
             "v",
-            F.lit(-1).cast("long").alias("cluster"),
-            F.lit("outlier").alias("role"),
+            F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias(
+                "cluster"
+            ),
+            role.alias("role"),
         )
     )
-    return labeled.unionByName(hub_rows).unionByName(outlier_rows)
 
 
 def edge_trussness(edges: DataFrame, k_max: int = 64) -> DataFrame:

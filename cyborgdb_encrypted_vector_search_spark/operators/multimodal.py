@@ -2,20 +2,25 @@
 
 North-star scope: a training-data pipeline carries images/audio/video as
 ``binary`` columns with typed metadata, processed by Arrow-batched
-``mapInPandas`` stages. The decode step itself needs media libraries
-that are NOT in this environment, so decoding is stubbed behind
-``NotImplementedError`` (clearly marked); everything Spark-side —
-schema, batch iteration, feature extraction shape, partition behavior —
-is real and tested.
+``mapInPandas`` stages. IMAGE decode is REAL: a pure-Python 24-bit BMP
+codec (decode_image / encode_bmp below — header parse, bottom-up row
+order, BGR channel order, 4-byte row padding), so the decode →
+feature-extract stage runs actual pixel recovery and is oracle-gated
+end to end (``multimodal_decode_stats``). Video demux still needs a
+container library that is NOT in this environment, so frame extraction
+from real containers remains stubbed behind ``NotImplementedError``
+(clearly marked); its Spark-side plumbing (1→N fan-out, schema, batch
+iteration) is real and tested with a deterministic stand-in.
 
-Feature extraction here is a deterministic byte-level profile (length,
-md5 digest, simple byte statistics) standing in where a vision/audio
-model would run; it keeps the whole path oracle-checkable.
+Feature extraction elsewhere is a deterministic byte-level profile
+(length, md5 digest, simple byte statistics) standing in where a
+vision/audio model would run; it keeps the whole path oracle-checkable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd

@@ -28,6 +28,9 @@ from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
 from cyborgdb_encrypted_vector_search_spark.functions import text as X
 from cyborgdb_encrypted_vector_search_spark.functions import vector as V
 from cyborgdb_encrypted_vector_search_spark.operators import dedup, knn
+from cyborgdb_encrypted_vector_search_spark.operators.graph import (
+    LINKPRED_SCALE,
+)
 from cyborgdb_encrypted_vector_search_spark.sources.registry import load
 
 
@@ -2729,11 +2732,56 @@ _CORPUS3X_CHAIN_SQL = """
              text || ' zz qq ww xj kq vz' AS text FROM documents
 """
 
+# Oracle round budget for the unrolled min-label CTEs below: the sf0.1
+# pair graph's worst component needs 24 propagation rounds (a
+# 4,605-node chained near-dup cluster, measured); +margin. The unroll
+# is SELF-VERIFYING (same discipline as _truss_level_sql): labels only
+# ever decrease, so equal Σ label across the final two rounds proves
+# the fixed point was reached — the cc CTE empties (loud gate failure)
+# if a corpus/sf change ever needs more rounds. This replaced the
+# original `reach` recursive CTE, whose transitive closure materialized
+# O(component²) rows per recursion depth — 542 s at sf0.1 on DuckDB vs
+# ~1 s for the 28 keyed rounds; the gate semantics are identical.
+_CC_ORACLE_ROUNDS = 28
+
+
+def _cc_minlabel_sql(rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    """Unrolled min-label propagation over the symmetric `edges` CTE:
+    l0 = identity labels; l_{{i+1}}(v) = min(l_i(v), min_{{u~v}} l_i(u));
+    final `cc` guarded on Σ-label equality of the last two rounds
+    (monotone labels ⇒ equal sums ⇒ identical sets — convergence
+    proven inside the SQL, not trusted)."""
+    assert rounds >= 2, "convergence proof needs two comparable rounds"
+    blocks = [
+        """
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, min(lab) AS lab FROM (
+        SELECT node, lab FROM l{i - 1}
+        UNION ALL
+        SELECT e.b AS node, l.lab FROM l{i - 1} l JOIN edges e ON e.a = l.node
+      ) GROUP BY node
+    )"""
+        )
+    blocks.append(
+        f"""
+    cc AS (
+      SELECT node, lab AS component FROM l{rounds}
+      WHERE (SELECT sum(lab) FROM l{rounds})
+          = (SELECT sum(lab) FROM l{rounds - 1})
+    )"""
+    )
+    return ",".join(blocks)
+
 
 @query(
     "dedup_connected_components",
     f"""
-    WITH RECURSIVE corpus AS ({_CORPUS3X_CHAIN_SQL}),
+    WITH corpus AS ({_CORPUS3X_CHAIN_SQL}),
     shingled AS (
       SELECT doc_id, {_SH} AS sh FROM corpus
     ),
@@ -2752,14 +2800,7 @@ _CORPUS3X_CHAIN_SQL = """
       UNION
       SELECT doc_b AS a, doc_a AS b FROM pairs
     ),
-    reach(node, lab) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a
-    ),
-    cc AS (
-      SELECT node, min(lab) AS component FROM reach GROUP BY node
-    )
+    {_cc_minlabel_sql()}
     SELECT CAST(component AS BIGINT) AS component,
            CAST(count(*) AS BIGINT) AS n_docs,
            array_to_string(list_sort(list(node)), ',') AS doc_ids
@@ -2772,8 +2813,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) so every transitive chain collapses into one
     cluster with the smallest member as representative. This is the
     cluster step real 100 TB dedup pipelines run between pair
-    generation and survivor selection; the DuckDB oracle computes the
-    same components with a recursive CTE over the identical pair graph.
+    generation and survivor selection; the DuckDB oracle runs the SAME
+    min-label rounds unrolled over the identical pair graph and PROVES
+    its own convergence in-SQL (Σ-label equality across the last two
+    rounds — see _cc_minlabel_sql; the former transitive-closure
+    recursion was O(component²) per depth and took 542 s at sf0.1).
     Output is O(clusters): rep, size, sorted member list."""
     docs = (
         load(spark, "documents", sf_dir)
@@ -2808,9 +2852,9 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kiveris et al. SoCC'14, O(log n) rounds where min-label is
     O(diameter)) swapped in as the cluster step. Both algorithms label
     every node with its component MINIMUM, so this gate reuses the
-    min-label gate's recursive-CTE oracle verbatim — a three-way
-    algorithmic differential (contraction vs propagation vs recursive
-    SQL) on the identical LSH pair graph."""
+    min-label gate's unrolled-propagation oracle verbatim — a three-way
+    algorithmic differential (contraction vs propagation vs unrolled
+    SQL rounds) on the identical LSH pair graph."""
     docs = (
         load(spark, "documents", sf_dir)
         .select("doc_id", "text")
@@ -10836,20 +10880,42 @@ def q_graph_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of a converged set is the set, so over-unrolling is always safe;
 # under-unrolling would diverge). Measured at sf0.01: k=3 converges in
 # 2 rounds, k=4 in 3, k=5 in 5 (pure-Python peeler, /tools lineage).
+# The margin round is not just slack — _truss_level_sql turns it into
+# an in-SQL convergence PROOF (see below), so these constants are
+# verified by every oracle run, not trusted.
 _TRUSS_HIST_ROUNDS = {3: 3, 4: 4, 5: 6}
 
 
 def _truss_level_sql(src_cte: str, level: int) -> tuple[str, str]:
     """CTE chain peeling ``src_cte`` to the {level}-truss fixed point
-    (unrolled _peel_sql rounds); returns (sql, final_cte_name)."""
+    (unrolled _peel_sql rounds); returns (sql, final_cte_name).
+
+    SELF-VERIFYING: peeling is monotone (every round's survivor set is
+    a subset of the previous round's), so equal COUNTS between the last
+    two unrolled rounds proves they are the identical set — i.e. the
+    unroll reached the true fixed point. The level's output CTE guards
+    on that equality and yields ZERO rows when it fails, so a corpus or
+    scale-factor change that outgrows the measured round constants
+    breaks the gate LOUDLY (empty histogram level → hash mismatch)
+    instead of silently comparing a non-converged oracle against
+    Spark's true fixed point."""
+    n = _TRUSS_HIST_ROUNDS[level]
+    assert n >= 2, "convergence proof needs two comparable rounds"
     blocks = []
     cur = src_cte
-    n = _TRUSS_HIST_ROUNDS[level]
     for i in range(1, n + 1):
-        out = f"t{level}" if i == n else f"t{level}r{i}"
+        out = f"t{level}r{i}"
         blocks.append(_peel_sql(cur, out, level - 2))
         cur = out
-    return ",\n".join(blocks), cur
+    blocks.append(
+        f"""
+    t{level} AS MATERIALIZED (
+      SELECT * FROM t{level}r{n}
+      WHERE (SELECT count(*) FROM t{level}r{n})
+          = (SELECT count(*) FROM t{level}r{n - 1})
+    )"""
+    )
+    return ",\n".join(blocks), f"t{level}"
 
 
 _TRUSS_HIST_SQL_PARTS = [
@@ -10894,9 +10960,13 @@ def q_graph_trussness_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator), aggregated to (trussness -> edge count + position
     checksum). Spark peels each level to its TRUE fixed point with the
     shared one-enumeration prune machinery; the oracle unrolls each
-    level a fixed, measured-sufficient number of rounds (idempotent
-    margin included) — the same deterministic-round contract as
-    q_graph_ktruss, iterated across levels."""
+    level a fixed, measured-sufficient number of rounds AND PROVES
+    convergence in-SQL (peeling is monotone, so equal counts across
+    the final two rounds ⇒ identical sets; the level CTE empties —
+    failing the gate loudly — if the round constants ever
+    under-unroll; see _truss_level_sql). Same deterministic-round
+    contract as q_graph_ktruss, iterated across levels, but hardened
+    against corpus/sf drift."""
     from cyborgdb_encrypted_vector_search_spark.operators import graph as G
 
     t = G.edge_trussness(_graph_edges(spark, sf_dir), k_max=5)
@@ -11030,6 +11100,317 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_link_prediction.__doc__ = q_graph_link_prediction.__doc__.format(
     _LINKPRED_TOPK=_LINKPRED_TOPK
 )
+
+
+@query(
+    "q_graph_adamic_adar",
+    f"""
+    WITH edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    sym AS (
+      SELECT src AS w, dst AS n FROM edges
+      UNION ALL
+      SELECT dst AS w, src AS n FROM edges
+    ),
+    wdeg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS dw FROM sym GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.n AS u, b.n AS v,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum({LINKPRED_SCALE} // d.dw) AS BIGINT) AS ra_fp,
+             CAST(sum({LINKPRED_SCALE}
+                      // length(printf('%b', d.dw))) AS BIGINT) AS aa_fp
+      FROM sym a
+      JOIN sym b ON a.w = b.w AND a.n < b.n
+      JOIN wdeg d ON d.w = a.w
+      GROUP BY 1, 2
+    )
+    SELECT u, v, cn, ra_fp, aa_fp FROM scored
+    WHERE cn >= {_LINKPRED_MIN_CN}
+      AND NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = scored.u AND e.dst = scored.v)
+    ORDER BY aa_fp DESC, u, v LIMIT {_LINKPRED_TOPK}
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-weighted link prediction
+    (operators/graph.weighted_link_scores): the ranking a recommender
+    actually uses on top of q_graph_link_prediction's raw candidate
+    counts — Adamic-Adar (Σ 1/log d(w)) and resource allocation
+    (Σ 1/d(w)) down-weight common neighbors that are promiscuous hubs.
+    Both scores are FIXED-POINT integers so the ranking gates exactly
+    cross-engine: RA sums 10^12 div d(w); AA takes the log as the
+    integer staircase 1 + floor(log2 d) = bit length of d (Spark
+    length(bin(d)), DuckDB length(printf('%b', d)) — float ln() is a
+    last-ulp portability hazard a value hash cannot tolerate). One
+    extra projection on the same single-shuffle wedge join; top-
+    {_LINKPRED_TOPK} by aa_fp, ties broken by the id pair."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    scored = G.weighted_link_scores(
+        _graph_edges(spark, sf_dir), min_common=_LINKPRED_MIN_CN
+    )
+    return scored.orderBy(
+        F.desc("aa_fp"), F.asc("u"), F.asc("v")
+    ).limit(_LINKPRED_TOPK)
+
+
+q_graph_adamic_adar.__doc__ = q_graph_adamic_adar.__doc__.format(
+    _LINKPRED_TOPK=_LINKPRED_TOPK
+)
+
+
+# ----------------------------------------------------------------------
+# Skewed-graph gates: the ORIENTED support kernel under the driver
+# oracle. The co-purchase graph is near-regular, so _support_stats
+# routes every gate above to the fulladj kernel — the oriented path
+# (the one the 100 TB power-law claim rests on) was covered only by
+# forced-kernel unit differentials. This fixture is the adversarial
+# shape degree orientation exists for: ONE mega-hub (node 0 spoked to
+# every other orderkey — a flash-sale context / boilerplate cluster),
+# a chain+skip strip along the dense orderkey line (so peeling
+# cascades), and a K32 seed community that survives it. Σd² is
+# hub-dominated (≈ n² vs the 8·m·√m rule at ~3x margin at sf0.01,
+# ~9x at sf0.1), so the auto cost model provably picks 'oriented' —
+# asserted by tests/test_round9.py.
+#
+# The ORACLE must be hub-safe too: a naive id-ordered wedge join
+# (what _GRAPH_EDGES_SQL's gates use) would emit O(n²) pairs at the
+# hub, so these oracles enumerate triangles DEGREE-ORIENTED in SQL —
+# the same O(m^1.5) bound as the kernel under test, independently
+# implemented.
+# ----------------------------------------------------------------------
+
+_SKEW_EDGES_SQL = """
+      SELECT CAST(0 AS BIGINT) AS src, o_orderkey AS dst
+      FROM orders WHERE o_orderkey >= 1
+      UNION ALL
+      SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+      FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 1
+      WHERE a.o_orderkey >= 1
+      UNION ALL
+      SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+      FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey + 2
+      WHERE a.o_orderkey >= 1
+      UNION ALL
+      SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+      FROM orders a JOIN orders b
+        ON b.o_orderkey > a.o_orderkey + 2 AND b.o_orderkey < 32
+      WHERE a.o_orderkey >= 1 AND a.o_orderkey < 32
+"""
+
+# Degree-oriented triangle enumeration over the `edges` CTE: orient
+# each edge from its lower-degree endpoint (ties by id), wedge-join at
+# the oriented source, close against the canonical edge set. Work is
+# O(Σ fwd²) = O(m^1.5) — the hub contributes NO wedges (all its edges
+# point into it).
+_SKEW_TRI_SQL = """
+    deg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY 1
+    ),
+    oe AS MATERIALIZED (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS w
+      FROM edges e
+      JOIN deg da ON da.v = e.src
+      JOIN deg db ON db.v = e.dst
+    ),
+    tri0 AS MATERIALIZED (
+      SELECT a.u AS u, least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+      FROM oe a
+      JOIN oe b ON b.u = a.u AND a.w < b.w
+      JOIN edges e3 ON e3.src = least(a.w, b.w)
+                   AND e3.dst = greatest(a.w, b.w)
+    )
+"""
+
+
+def _skew_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew fixture as one canonical (src < dst, disjoint-by-
+    construction) edge frame: hub spokes + chain + skip strip + K32
+    completion — see the block comment above."""
+    o = load(spark, "orders", sf_dir).select(F.col("o_orderkey").alias("k"))
+    pos = o.filter(F.col("k") >= 1)
+    nxt = o.select(F.col("k").alias("k2"))
+    spokes = pos.select(
+        F.lit(0).cast("long").alias("src"), F.col("k").alias("dst")
+    )
+    chain = pos.join(nxt, F.col("k2") == F.col("k") + 1).select(
+        F.col("k").alias("src"), F.col("k2").alias("dst")
+    )
+    skip = pos.join(nxt, F.col("k2") == F.col("k") + 2).select(
+        F.col("k").alias("src"), F.col("k2").alias("dst")
+    )
+    clique = (
+        pos.filter(F.col("k") < 32)
+        .join(
+            nxt.filter(F.col("k2") < 32),
+            F.col("k2") > F.col("k") + 2,
+        )
+        .select(F.col("k").alias("src"), F.col("k2").alias("dst"))
+    )
+    return (
+        spokes.unionAll(chain).unionAll(skip).unionAll(clique)
+    )
+
+
+@query(
+    "q_graph_skew_triangles",
+    f"""
+    WITH edges AS MATERIALIZED ({_SKEW_EDGES_SQL}),
+    {_SKEW_TRI_SQL}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tri0) AS n_triangles
+    """,
+)
+def q_graph_skew_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the hub-dominated skew fixture — the gate
+    that puts a CORRECTNESS row on the ORIENTED kernel's auto route
+    (operators/graph.triangle_count; route asserted by
+    test_skew_fixture_routes_oriented). The oracle enumerates the same
+    triangles degree-oriented in SQL; an id-ordered wedge join would be
+    O(n²) at the hub on BOTH engines, which is exactly the failure mode
+    the kernel under test avoids."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    return G.triangle_count(_skew_edges(spark, sf_dir))
+
+
+@query(
+    "q_graph_skew_support",
+    f"""
+    WITH edges AS MATERIALIZED ({_SKEW_EDGES_SQL}),
+    {_SKEW_TRI_SQL},
+    sides AS (
+      SELECT least(u, w1) AS src, greatest(u, w1) AS dst FROM tri0
+      UNION ALL
+      SELECT least(u, w2), greatest(u, w2) FROM tri0
+      UNION ALL
+      SELECT w1, w2 FROM tri0
+    ),
+    sup AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS support
+      FROM sides GROUP BY 1, 2
+    )
+    SELECT support,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
+    FROM sup GROUP BY 1
+    """,
+)
+def q_graph_skew_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support on the skew fixture, aggregated to a
+    support histogram (support → edge count + position checksum) so
+    the output stays O(distinct supports) while pinning every edge's
+    exact support through the checksum. Exercises
+    edge_triangle_support's ORIENTED enumerate-then-explode path end to
+    end under the driver oracle (the auto route — see
+    q_graph_skew_triangles)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    sup = G.edge_triangle_support(_skew_edges(spark, sf_dir))
+    return sup.groupBy("support").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("src") * F.lit(100003) + F.col("dst"))
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+
+
+_SKEW_KTRUSS_K, _SKEW_KTRUSS_ROUNDS = 5, 4
+
+
+def _skew_peel_sql(cur: str, tri_cur: str, rnd: int, thr: int) -> str:
+    """One oracle peel round over the PRUNED shared triangle list —
+    the SQL mirror of ktruss_edges' enumerate-once-then-prune design:
+    support from {tri_cur}'s three sides (inner join ⇒ support-0 edges
+    drop, matching the operator), survivors p{rnd}, triangle list
+    pruned to triangles whose three sides all survived."""
+    out, tri_out = f"p{rnd}", f"tri{rnd}"
+    return f"""
+    sup_{out} AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT least(u, w1) AS src, greatest(u, w1) AS dst FROM {tri_cur}
+        UNION ALL
+        SELECT least(u, w2), greatest(u, w2) FROM {tri_cur}
+        UNION ALL
+        SELECT w1, w2 FROM {tri_cur}
+      ) GROUP BY 1, 2
+    ),
+    {out} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {cur} e
+      JOIN sup_{out} s USING (src, dst)
+      WHERE s.s >= {thr}
+    ),
+    {tri_out} AS MATERIALIZED (
+      SELECT t.u, t.w1, t.w2 FROM {tri_cur} t
+      WHERE EXISTS (SELECT 1 FROM {out} e
+                    WHERE e.src = least(t.u, t.w1)
+                      AND e.dst = greatest(t.u, t.w1))
+        AND EXISTS (SELECT 1 FROM {out} e
+                    WHERE e.src = least(t.u, t.w2)
+                      AND e.dst = greatest(t.u, t.w2))
+        AND EXISTS (SELECT 1 FROM {out} e
+                    WHERE e.src = t.w1 AND e.dst = t.w2)
+    )"""
+
+
+@query(
+    "q_graph_skew_ktruss",
+    f"""
+    WITH edges AS MATERIALIZED ({_SKEW_EDGES_SQL}),
+    {_SKEW_TRI_SQL},
+    {",".join(
+        _skew_peel_sql(f"p{r - 1}" if r > 1 else "edges",
+                       f"tri{r - 1}" if r > 1 else "tri0",
+                       r, _SKEW_KTRUSS_K - 2)
+        for r in range(1, _SKEW_KTRUSS_ROUNDS + 1)
+    )}
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+              FROM p{_SKEW_KTRUSS_ROUNDS}) AS n_edges,
+           (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+              SELECT src AS v FROM p{_SKEW_KTRUSS_ROUNDS}
+              UNION ALL SELECT dst FROM p{_SKEW_KTRUSS_ROUNDS}
+            )) AS n_nodes,
+           (SELECT CAST(coalesce(sum(src * 100003 + dst), 0) AS BIGINT)
+              FROM p{_SKEW_KTRUSS_ROUNDS}) AS edge_checksum
+    """,
+)
+def q_graph_skew_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling on the skew fixture — k=5, EXACTLY 4 peel
+    rounds (the chain/skip strip cascades over 3 rounds: skips die at
+    support 2, chains follow, then the tail spokes; the K32 seed — all
+    supports 30 — is the surviving fixed point, so the gate answer is
+    structurally non-trivial). Exercises ktruss_edges' ORIENTED
+    enumerate-once-then-prune path on its auto route; the oracle runs
+    the identical prune design in SQL over the degree-oriented
+    triangle list (a per-round wedge re-join would be O(n²) at the
+    hub)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    kept = G.ktruss_edges(
+        _skew_edges(spark, sf_dir),
+        k=_SKEW_KTRUSS_K,
+        rounds=_SKEW_KTRUSS_ROUNDS,
+    )
+    summary = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("src") * F.lit(100003) + F.col("dst")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+    nodes = kept.select(
+        F.explode(F.array("src", "dst")).alias("v")
+    ).agg(F.countDistinct("v").cast("bigint").alias("n_nodes"))
+    return summary.crossJoin(nodes).select(
+        "n_edges", "n_nodes", "edge_checksum"
+    )
 
 
 @query(
