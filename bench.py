@@ -137,6 +137,16 @@ HEADLINE = [
     # common-neighbor wedge join (real work on both engines)
     "q_graph_kcore",
     "q_graph_link_prediction",
+    # r9: the two r8-gated-but-unpriced rows the verdict flagged —
+    # full truss decomposition (capped at 5) and star-contraction CC —
+    # plus the round's additions: weighted link prediction, the
+    # oriented-kernel skew gates, and the real BMP decode.
+    "q_graph_trussness_hist",
+    "dedup_components_star",
+    "q_graph_adamic_adar",
+    "q_graph_skew_triangles",
+    "q_graph_skew_ktruss",
+    "multimodal_decode_stats",
 ]
 
 
