@@ -168,7 +168,7 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
     # the caller already pinned the frame)
     if not edges.is_cached:
         edges = track(edges.persist())
-    int_ids, deg = False, None
+    int_ids, deg, small_adj = False, None, False
     if kernel == "auto":
         # persist the degree table: the cost model reads it here and,
         # on the oriented route, the orientation join reads it again —
@@ -176,10 +176,11 @@ def triangle_count(edges: DataFrame, kernel: str = "auto") -> DataFrame:
         deg = track(_degree_table(edges).persist())
         stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        small_adj = stats["small_adj"]
         if kernel == "fulladj":
             deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj":
-        tri = _support_fulladj(edges, int_ids).agg(
+        tri = _support_fulladj(edges, int_ids, broadcast_adj=small_adj).agg(
             F.expr("coalesce(sum(support), 0) div 3")
             .cast("bigint")
             .alias("n_triangles")
@@ -295,9 +296,10 @@ def _support_stats(edges: DataFrame, deg: DataFrame | None = None) -> dict:
         F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+        F.count(F.lit(1)).alias("n_v"),
     ).collect()[0]
     if not row["sum_d"]:
-        return {"kernel": "fulladj", "int_ids": False}  # empty graph
+        return {"kernel": "fulladj", "int_ids": False, "small_adj": True}
     m = row["sum_d"] / 2.0
     kernel = (
         "fulladj"
@@ -312,7 +314,17 @@ def _support_stats(edges: DataFrame, deg: DataFrame | None = None) -> dict:
         and -(2**31) <= row["min_v"]
         and row["max_v"] < 2**31
     )
-    return {"kernel": kernel, "int_ids": int_ids}
+    # Whether the FULL adjacency (one row per vertex, Σd total array
+    # elements) fits a broadcast comfortably: ~8 B/element (long ids;
+    # int narrowing halves it) + per-row overhead, capped well below
+    # the driver's comfort zone. The same probe that prices the kernel
+    # prices this for free, so the fulladj join can hash-broadcast its
+    # neighbor lists on small graphs (keeps the streamed edge scan's
+    # partitioning — AQE's byte-based coalesce otherwise serializes
+    # the CPU-dense intersect stage) while big graphs keep the
+    # scale-safe shuffle join.
+    small_adj = (8 * row["sum_d"] + 32 * row["n_v"]) < (32 << 20)
+    return {"kernel": kernel, "int_ids": int_ids, "small_adj": small_adj}
 
 
 def _support_kernel_auto(edges: DataFrame) -> str:
@@ -345,7 +357,7 @@ def _support_fulladj(
     edges: DataFrame,
     int_ids: bool = False,
     with_degrees: bool = False,
-    defer_intersect: bool = False,
+    broadcast_adj: bool = False,
 ) -> DataFrame:
     """Per-edge support via FULL-adjacency intersection: an edge's
     support is |N(u) ∩ N(v)| — computed inline per edge row from the
@@ -356,21 +368,23 @@ def _support_fulladj(
     + two vertex-keyed (broadcast-able) joins. Emits ALL edges,
     including support = 0. ``with_degrees`` additionally emits both
     endpoint degrees (size(N(·)) is free here) — the fused shape
-    scan_clusters' ε-test consumes. ``defer_intersect`` emits the raw
-    neighbor arrays (na, nbv) instead of the support column, so a
-    caller can FILTER on the (free) degrees before paying the O(d)
-    intersect — the SCAN ε-prune consumes this shape."""
+    scan_clusters' ε-test consumes. ``broadcast_adj`` hash-broadcasts
+    the neighbor lists (callers decide from _support_stats'
+    ``small_adj`` — the stats probe already knows Σd): it keeps the
+    streamed edge scan's partitioning, which AQE's byte-based
+    post-shuffle coalesce otherwise collapses to ~1 partition on
+    small graphs, serializing the CPU-dense intersect (measured 6.5 s
+    -> 1.0 s at sf0.1)."""
     adj = _adjacency(edges, int_ids)
-    if defer_intersect:
-        cols = [F.col("src"), F.col("dst"), F.col("na"), F.col("nbv")]
-    else:
-        cols = [
-            F.col("src"),
-            F.col("dst"),
-            F.size(F.array_intersect("na", "nbv"))
-            .cast("bigint")
-            .alias("support"),
-        ]
+    if broadcast_adj:
+        adj = F.broadcast(adj)
+    cols = [
+        F.col("src"),
+        F.col("dst"),
+        F.size(F.array_intersect("na", "nbv"))
+        .cast("bigint")
+        .alias("support"),
+    ]
     if with_degrees:
         cols += [
             F.size("na").cast("long").alias("ds"),
@@ -409,15 +423,18 @@ def edge_triangle_support(
     Returns (src, dst, support) for edges in >= 1 triangle."""
     if not edges.is_cached:
         edges = track(edges.persist())
-    int_ids, deg = False, None
+    int_ids, deg, small_adj = False, None, False
     if kernel == "auto":
         deg = track(_degree_table(edges).persist())
         stats = _support_stats(edges, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        small_adj = stats["small_adj"]
         if kernel == "fulladj":
             deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj":
-        return _support_fulladj(edges, int_ids).filter(
+        return _support_fulladj(
+            edges, int_ids, broadcast_adj=small_adj
+        ).filter(
             F.col("support") >= 1
         )
     if kernel != "oriented":
@@ -556,11 +573,12 @@ def ktruss_edges(
     n_cur = cur.count()
     if triangle_sides is None and kernel not in ("auto", "fulladj", "oriented"):
         raise ValueError(f"unknown support kernel: {kernel!r}")
-    int_ids, deg = False, None
+    int_ids, deg, small_adj = False, None, False
     if kernel == "auto" and triangle_sides is None:
         deg = track(_degree_table(cur).persist())
         stats = _support_stats(cur, deg)
         kernel, int_ids = stats["kernel"], stats["int_ids"]
+        small_adj = stats["small_adj"]
         if kernel == "fulladj":
             deg.unpersist()  # the stats aggregate was its only reader
     if kernel == "fulladj" and triangle_sides is None:
@@ -571,7 +589,7 @@ def ktruss_edges(
         done = 0
         while (rounds is None or done < rounds) and n_cur > 0:
             nxt = (
-                _support_fulladj(cur, int_ids)
+                _support_fulladj(cur, int_ids, broadcast_adj=small_adj)
                 .filter(F.col("support") >= thr)
                 .select("src", "dst")
                 .localCheckpoint()
@@ -814,6 +832,19 @@ def weighted_link_scores(
         # string — integer-exact in Spark (bin) and DuckDB (printf %b)
         F.expr(f"{LINKPRED_SCALE} div length(bin(dw))").alias("aa_w"),
     )
+    # The degree join's output is tiny (O(m) rows), so AQE coalesces it
+    # — measured to ONE partition at sf0.1 — and that partitioning is
+    # inherited by the wedge join's STREAMED side, serializing the
+    # O(Σ d(w)²) wedge enumeration onto one core (43 s vs 7 s at
+    # sf0.1). AQE sizes partitions by input bytes and cannot see the
+    # join's fan-out; checkpoint (truncates the adaptive plan) + an
+    # explicit round-robin repartition restores enumeration
+    # parallelism. The unweighted candidate path needs none of this —
+    # its streamed side is a pure sym projection that keeps the scan
+    # partitioning.
+    a = a.localCheckpoint().repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    )
     b = sym.select("w", F.col("n").alias("v"))
     scored = (
         a.join(b, "w")
@@ -940,35 +971,19 @@ def _scan_members(
     # neighbor count and size(N(·)) IS the degree, so the ε-test needs
     # no degree table and no left-join-support step at all — the whole
     # strong-edge derivation is one adjacency groupBy + two
-    # (broadcast-able) joins. A degree-only NECESSARY condition runs
-    # first: cn + 2 <= min(d(u), d(v)) + 1 always (closed
-    # neighborhoods), so an edge can only be ε-strong if
-    # (min+1)²·den² >= num²·(d(u)+1)·(d(v)+1) — cheap long arithmetic
-    # that skips the O(d) array intersect entirely for degree-skewed
-    # edges (the hub fringe), without changing the strong set. The
-    # oriented kernel keeps the join-support-then-degrees shape (the
-    # skew-safe path).
+    # (broadcast-able) joins. (An r9 draft prefixed a degree-only
+    # necessary condition to skip intersects at degree-skewed edges;
+    # measured, it was pure overhead — the fulladj route is only ever
+    # taken on near-regular graphs, where the skewed fringe the prune
+    # targets doesn't exist. Skewed graphs take the oriented branch
+    # below.)
     if stats["kernel"] == "fulladj":
-        raw = _support_fulladj(
-            edges, stats["int_ids"], with_degrees=True, defer_intersect=True
-        )
-        minp = (F.least("ds", "dd") + 1).cast("decimal(19,0)")
-        prune = minp * minp * F.lit(eps_den * eps_den).cast(
-            "decimal(19,0)"
-        ) >= (
-            F.lit(eps_num * eps_num).cast("decimal(19,0)")
-            * (F.col("ds") + 1).cast("decimal(19,0)")
-            * (F.col("dd") + 1).cast("decimal(19,0)")
-        )
-        e = raw.filter(prune).select(
-            "src",
-            "dst",
-            F.size(F.array_intersect("na", "nbv"))
-            .cast("bigint")
-            .alias("cn"),
-            "ds",
-            "dd",
-        )
+        e = _support_fulladj(
+            edges,
+            stats["int_ids"],
+            with_degrees=True,
+            broadcast_adj=stats["small_adj"],
+        ).withColumnRenamed("support", "cn")
     else:
         cn = edge_triangle_support(edges, kernel="oriented").withColumnRenamed(
             "support", "cn"
@@ -992,7 +1007,14 @@ def _scan_members(
         * (F.col("ds") + 1).cast("decimal(19,0)")
         * (F.col("dd") + 1).cast("decimal(19,0)")
     )
-    strong = track(e.filter(lhs >= rhs).select("src", "dst").persist())
+    # localCheckpoint, not persist: strong feeds three consumers
+    # (strong-degree, core-edge semi-joins, the border pass), so it
+    # must be materialized once — but persist() pins the CACHED build
+    # plan, which runs without AQE's coalesced-read optimization
+    # (canChangeCachedPlanOutputPartitioning is off by default) and
+    # measured +2 s on the sf0.1 gate; the eager checkpoint pays one
+    # pass and hands consumers a plain partitioned RDD scan.
+    strong = e.filter(lhs >= rhs).select("src", "dst").localCheckpoint()
 
     strong_deg = (
         strong.select(F.col("src").alias("v"))

@@ -407,3 +407,41 @@ def test_skew_fixture_survives_fulladj_selfjoin(spark):
         _skew_edges(spark, "/root/testdata/sf0.001"), k=5, rounds=4
     )
     assert kept.count() >= 0  # completing the plan IS the assertion
+
+
+class TestSmallAdjBroadcast:
+    """r9 perf fix: the stats probe prices the full adjacency and the
+    fulladj kernel hash-broadcasts it when it fits — same results,
+    parallel intersect stage (AQE's byte-based coalesce otherwise
+    serialized it)."""
+
+    def test_probe_reports_small_adj_on_gate_graph(self, spark):
+        from cyborgdb_encrypted_vector_search_spark.operators.graph import (
+            _support_stats,
+        )
+        from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+            _graph_edges,
+        )
+
+        stats = _support_stats(_graph_edges(spark, "/root/testdata/sf0.01"))
+        assert stats["kernel"] == "fulladj"
+        assert stats["small_adj"] is True
+
+    def test_broadcast_kernel_matches_shuffle_kernel(self, spark):
+        from cyborgdb_encrypted_vector_search_spark.operators.graph import (
+            _support_fulladj,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (1, 5)],
+            "src long, dst long",
+        )
+        plain = {
+            (r["src"], r["dst"]): r["support"]
+            for r in _support_fulladj(edges).collect()
+        }
+        bcast = {
+            (r["src"], r["dst"]): r["support"]
+            for r in _support_fulladj(edges, broadcast_adj=True).collect()
+        }
+        assert plain == bcast and len(plain) == 7

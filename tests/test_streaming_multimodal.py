@@ -117,9 +117,12 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # run advances it; what matters here is the late drop)
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+def test_multimodal_decode_real_demux_stubbed():
+    # r9: image decode is REAL (pure-Python BMP codec — a PNG payload
+    # is rejected as not-a-BMP, not NotImplementedError); video demux
+    # remains the one documented stub.
+    with pytest.raises(ValueError, match="BM magic"):
+        M.decode_image(b"\x89PNG" + b"\x00" * 60)
     with pytest.raises(NotImplementedError):
         M.sample_frames(b"\x00")
 

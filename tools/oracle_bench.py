@@ -48,6 +48,16 @@ def main() -> None:
         )
 
     cat = entries()
+    # Oracles whose SQL formulation is structurally expensive (the
+    # trussness oracle re-enumerates ~30M triangles per unrolled peel
+    # round — 13 rounds of MATERIALIZED CTEs; the CC oracle unrolls 28
+    # min-label rounds): timed ONCE instead of min-of-2 so the twin
+    # run stays bounded. Caveat for readers: a single run can only
+    # OVERSTATE DuckDB's time vs the warm-min-2 protocol, which
+    # flatters Spark's ratio on exactly these rows — read them as
+    # order-of-magnitude only. (Spark wins both by >4x either way;
+    # warm-vs-cold does not change that verdict.)
+    single_run = {"q_graph_trussness_hist", "dedup_components_star"}
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name in HEADLINE:
@@ -56,7 +66,7 @@ def main() -> None:
             skipped.append(name)
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(1 if name in single_run else 2):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
