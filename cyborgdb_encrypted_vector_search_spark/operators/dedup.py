@@ -250,15 +250,18 @@ def connected_components(
     # point — one aggregate per round on the freshly checkpointed
     # labels replaces the old join-old-vs-new probe (one exchange
     # cheaper per round). Decimal sum: exact, overflow-free for any id
-    # range. NUMERIC ids only: casting string doc ids to decimal yields
-    # NULL (non-ANSI) or errors (ANSI), and a NULL sum would compare
-    # equal every round — silently-split components. Non-numeric label
-    # graphs keep the type-agnostic changed-row probe (one join per
-    # round instead of one aggregate).
-    from pyspark.sql.types import NumericType
+    # range. INTEGRAL ids only: casting string doc ids to decimal
+    # yields NULL (non-ANSI) or errors (ANSI), and a NULL sum would
+    # compare equal every round — silently-split components; fractional
+    # ids (float/double) are equally unsafe because decimal(38,0)
+    # ROUNDS them, so two distinct label states can share a sum (e.g.
+    # labels {1.4,1.2,1.0} and {1.2,1.0,1.0} both sum to 3). Every
+    # other label type keeps the type-agnostic changed-row probe (one
+    # join per round instead of one aggregate).
+    from pyspark.sql.types import IntegralType
 
     numeric_ids = isinstance(
-        labels.schema["component"].dataType, NumericType
+        labels.schema["component"].dataType, IntegralType
     )
     prev_sum = (
         labels.agg(

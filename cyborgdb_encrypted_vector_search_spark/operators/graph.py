@@ -404,7 +404,7 @@ def _support_fulladj(
 
 
 def edge_triangle_support(
-    edges: DataFrame, kernel: str = "auto"
+    edges: DataFrame, kernel: str = "auto", deg: DataFrame | None = None
 ) -> DataFrame:
     """Per-edge triangle support — the k-truss primitive (an edge's
     support is the number of triangles containing it; k-truss keeps
@@ -420,10 +420,14 @@ def edge_triangle_support(
       explode + one groupBy((src,dst)): work O(m^1.5 + triangles),
       the safe bound on power-law graphs.
 
+    ``deg``: a (persisted) degree table to reuse for the orientation
+    join when the caller already built one (the SCAN oriented route) —
+    otherwise the auto probe builds and owns it.
+
     Returns (src, dst, support) for edges in >= 1 triangle."""
     if not edges.is_cached:
         edges = track(edges.persist())
-    int_ids, deg, small_adj = False, None, False
+    int_ids, small_adj = False, False
     if kernel == "auto":
         deg = track(_degree_table(edges).persist())
         stats = _support_stats(edges, deg)
@@ -729,6 +733,27 @@ def kcore_edges(
     return cur
 
 
+def _wedge_adjacency(
+    edges: DataFrame,
+    min_common: int,
+    max_apex_degree: int | None,
+    op_name: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared preamble of the wedge-enumeration link predictors:
+    validate, pin the canonical edge frame, build the symmetric
+    (apex w, neighbor n) adjacency, and apply the apex hub cap.
+    Returns (edges, sym)."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    edges = edges.select("src", "dst")
+    if not edges.is_cached:
+        edges = track(edges.persist())
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    return edges, _cap_apexes(sym, max_apex_degree, op_name)
+
+
 def common_neighbor_candidates(
     edges: DataFrame,
     min_common: int = 2,
@@ -752,20 +777,26 @@ def common_neighbor_candidates(
     id-ordered pair filter, groupBy((u, v)) count, anti-join against
     the canonical edge set to keep non-edges only. Returns
     (u, v, cn) for pairs with cn >= min_common."""
-    if min_common < 1:
-        raise ValueError(f"min_common must be >= 1, got {min_common}")
-    edges = edges.select("src", "dst")
-    if not edges.is_cached:
-        edges = track(edges.persist())
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
-    sym = _cap_apexes(sym, max_apex_degree, "common_neighbor_candidates")
+    edges, sym = _wedge_adjacency(
+        edges, min_common, max_apex_degree, "common_neighbor_candidates"
+    )
     a = sym.select("w", F.col("n").alias("u"))
     b = sym.select("w", F.col("n").alias("v"))
+    # Repartition the wedge stream on the GROUP key before counting:
+    # it arrives partitioned by APEX, where (u,v) keys are nearly all
+    # distinct per task, so the map-side partial aggregate builds
+    # wedge-sized hash maps for no reduction; grouping-key partitions
+    # make the count a single complete pass (measured 4.7 s vs 5.9 s
+    # at sf0.1 and 65 s vs 74 s at the 16x curve — a win at both
+    # scales for these 2-long rows; the WEIGHTED path cost-chooses
+    # instead because its wider rows make the extra shuffle a loss at
+    # gate scale).
     cn = (
         a.join(b, "w")
         .filter(F.col("u") < F.col("v"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "u", "v"
+        )
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
         .filter(F.col("cn") >= min_common)
@@ -812,18 +843,30 @@ def weighted_link_scores(
 
     Returns (u, v, cn, ra_fp, aa_fp) for NON-adjacent pairs with
     cn >= min_common."""
-    if min_common < 1:
-        raise ValueError(f"min_common must be >= 1, got {min_common}")
-    edges = edges.select("src", "dst")
-    if not edges.is_cached:
-        edges = track(edges.persist())
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
-    sym = _cap_apexes(sym, max_apex_degree, "weighted_link_scores")
+    edges, sym = _wedge_adjacency(
+        edges, min_common, max_apex_degree, "weighted_link_scores"
+    )
     # per-apex degree d(w) = |N(w)| — the symmetric adjacency has
     # exactly one row per (w, neighbor), so a count per w is the degree
-    wdeg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("dw"))
+    wdeg = track(
+        sym.groupBy("w").agg(F.count(F.lit(1)).alias("dw")).persist()
+    )
+    # Wedge volume Σ dw(dw-1)/2 — the exact row count the (u,v)
+    # aggregation will see — priced from the degree table the scores
+    # need anyway. Above the threshold, the partial aggregate is a
+    # liability: the wedge stream arrives partitioned by APEX, so
+    # per-task (u,v) keys are nearly all distinct, the partial hash
+    # maps overflow and spill while achieving no reduction (measured
+    # at the 16x curve: 178 s as-is vs 108 s pre-partitioned, with
+    # GC-locker thrash); an explicit repartition on the GROUP key
+    # makes the aggregation a single complete pass per partition.
+    # Below it, the extra 39M-row shuffle costs more than the partial
+    # maps (6.2 s vs 11.3 s at sf0.1) — so the plan is cost-chosen,
+    # same discipline as the support-kernel probe.
+    vol = wdeg.agg(
+        F.sum(F.col("dw") * (F.col("dw") - 1) / 2).alias("v")
+    ).collect()[0]["v"]
+    heavy_wedges = vol is not None and vol > 2.5e8
     a = sym.join(wdeg, "w").select(
         "w",
         F.col("n").alias("u"),
@@ -846,10 +889,13 @@ def weighted_link_scores(
         edges.sparkSession.sparkContext.defaultParallelism
     )
     b = sym.select("w", F.col("n").alias("v"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    if heavy_wedges:
+        wedges = wedges.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "u", "v"
+        )
     scored = (
-        a.join(b, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        wedges.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
             F.sum("ra_w").cast("bigint").alias("ra_fp"),
@@ -985,9 +1031,11 @@ def _scan_members(
             broadcast_adj=stats["small_adj"],
         ).withColumnRenamed("support", "cn")
     else:
-        cn = edge_triangle_support(edges, kernel="oriented").withColumnRenamed(
-            "support", "cn"
-        )
+        # pass the caller's persisted deg: the orientation join inside
+        # would otherwise re-run the degree shuffle from scratch
+        cn = edge_triangle_support(
+            edges, kernel="oriented", deg=deg
+        ).withColumnRenamed("support", "cn")
         e = (
             edges.join(cn, ["src", "dst"], "left")
             .fillna(0, subset=["cn"])

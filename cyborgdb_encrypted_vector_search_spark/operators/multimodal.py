@@ -112,6 +112,13 @@ def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, in
         )
     if width <= 0 or raw_height == 0 or planes != 1:
         raise ValueError("malformed BMP dimensions")
+    if data_offset < 14 + hdr_size:
+        # a data offset inside the headers would silently decode
+        # header bytes as pixels — reject loudly like every other
+        # malformation
+        raise ValueError(
+            f"BMP data offset {data_offset} points inside the headers"
+        )
     bottom_up = raw_height > 0
     height = abs(raw_height)
     row_stride = (width * 3 + 3) & ~3

@@ -10294,6 +10294,20 @@ def graph_linkpred_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_adamic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_adamic_adar (the
+    same wedge join carrying fixed-point RA/AA contributions per apex;
+    work tracks Σ d², output tracks distinct non-adjacent pairs)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    scored = G.weighted_link_scores(
+        _graph_curve_edges(spark, sf_dir), min_common=_LINKPRED_MIN_CN
+    )
+    return scored.orderBy(F.desc("aa_fp"), F.asc("u"), F.asc("v")).limit(
+        _LINKPRED_TOPK
+    )
+
+
 @query(
     "q_events_gapfill_hourly",
     """

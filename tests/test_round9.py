@@ -445,3 +445,33 @@ class TestSmallAdjBroadcast:
             for r in _support_fulladj(edges, broadcast_adj=True).collect()
         }
         assert plain == bcast and len(plain) == 7
+
+
+def test_min_label_fractional_ids_use_changed_row_probe(spark):
+    """Review finding (r9): decimal(38,0) ROUNDS fractional labels, so
+    two distinct label states can share a sum and the Σ-probe would
+    declare convergence early. Fractional ids must take the
+    type-agnostic changed-row probe — a 3-hop double-id chain needs 2+
+    propagation rounds and every node must reach the minimum."""
+    pairs = spark.createDataFrame(
+        [(1.4, 1.2), (1.2, 1.0)], "doc_a double, doc_b double"
+    )
+    got = _labels(connected_components(pairs))
+    assert got == {1.4: 1.0, 1.2: 1.0, 1.0: 1.0}
+
+
+def test_bmp_rejects_data_offset_inside_headers():
+    """Review finding (r9): a data_offset pointing into the headers
+    would silently decode header bytes as pixels."""
+    import struct
+
+    from cyborgdb_encrypted_vector_search_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    good = encode_bmp(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (1, 1, 1)]])
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 10)  # offset inside the file header
+    with pytest.raises(ValueError, match="inside the headers"):
+        decode_image(bytes(bad))

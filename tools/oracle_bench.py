@@ -83,6 +83,12 @@ def main() -> None:
                 "sf": sf,
                 "engine": "duckdb",
                 "mode": "warm (min of 2 runs/query)",
+                # rows NOT under the min-of-2 protocol (timed once,
+                # cold — see the single_run comment above); the
+                # artifact must self-describe the exception or a
+                # reader auditing it alone is misled on exactly the
+                # two rows that dominate the total
+                "single_run": sorted(single_run & set(timings)),
                 "skipped": skipped,
             }
         )

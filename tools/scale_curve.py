@@ -212,6 +212,9 @@ def main() -> None:
         # r8 twins: degree peeling and the common-neighbor wedge join
         "graph_kcore_curve": C.graph_kcore_curve,
         "graph_linkpred_curve": C.graph_linkpred_curve,
+        # r9 twin: the weighted (Adamic-Adar/RA) scoring on the same
+        # wedge machinery
+        "graph_adamic_curve": C.graph_adamic_curve,
     }
 
     for scale in scales:
