@@ -255,13 +255,20 @@ def connected_components(
     # compare equal every round — silently-split components; fractional
     # ids (float/double) are equally unsafe because decimal(38,0)
     # ROUNDS them, so two distinct label states can share a sum (e.g.
-    # labels {1.4,1.2,1.0} and {1.2,1.0,1.0} both sum to 3). Every
-    # other label type keeps the type-agnostic changed-row probe (one
-    # join per round instead of one aggregate).
-    from pyspark.sql.types import IntegralType
+    # labels {1.4,1.2,1.0} and {1.2,1.0,1.0} both sum to 3). Exact
+    # DECIMAL(p, 0) ids are as safe as integers — the decimal(38,0)
+    # sum represents them exactly — so they keep the cheap probe too
+    # (r10, per advisory: the r9 IntegralType narrowing needlessly
+    # demoted decimal-keyed graphs to the one-join-per-round probe).
+    # Every other label type keeps the type-agnostic changed-row probe
+    # (one join per round instead of one aggregate).
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    numeric_ids = isinstance(
-        labels.schema["component"].dataType, IntegralType
+    _label_type = labels.schema["component"].dataType
+    numeric_ids = isinstance(_label_type, IntegralType) or (
+        isinstance(_label_type, DecimalType)
+        and _label_type.scale == 0
+        and _label_type.precision <= 38
     )
     prev_sum = (
         labels.agg(

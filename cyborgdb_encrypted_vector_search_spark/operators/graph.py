@@ -48,6 +48,23 @@ log = logging.getLogger(__name__)
 RANK_SCALE = 1_000_000_000_000  # 10^12 fixed-point rank units
 
 
+def _wedge_width(df: DataFrame) -> int:
+    """Partition width for explicit wedge-stream repartitions — the
+    AQE-coalesce escape hatch (AQE sizes post-shuffle reads by bytes
+    and cannot see a join's fan-out, so it serializes CPU-dense wedge
+    stages; see weighted_link_scores). Width comes from
+    ``spark.sql.shuffle.partitions`` — the knob the user already sizes
+    to the cluster's reduce width — NOT from defaultParallelism, which
+    under dynamic allocation reflects only the executors alive at plan
+    time and silently under-parallelizes the O(Σ d²) wedge stream
+    (r10, per advisory)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # "auto" (AQE-managed) or unset — fall back
+        return spark.sparkContext.defaultParallelism
+
+
 def cooccurrence_edges(
     df: DataFrame,
     entity_col: str,
@@ -466,26 +483,51 @@ def pagerank_fixedpoint(
     Undirected ⇒ edges are symmetrized before the transfer join and
     every node has deg >= 1 (no dangling mass). Each iteration is one
     join (ranks × adjacency) + one groupBy(dst) — the canonical
-    message-passing shape; at cluster scale pre-partition both sides
-    by vertex id so the per-iteration shuffle moves only rank rows.
+    message-passing shape. The (src, dst, deg) adjacency is joined and
+    persisted ONCE (r10 — it was rebuilt from sym per iteration), and
+    the deg.count() the constants need anyway prices the rank frame:
+    when the n rank rows fit a broadcast comfortably, each iteration's
+    transfer join hash-broadcasts them over the cached adjacency scan
+    — per-iteration cost drops to the ONE O(m) groupBy(dst) exchange
+    (measured, 3 rounds on the 243k-edge sf0.1 co-purchase graph:
+    2.6 → 2.0 s warm on a cached edge frame, 5.4 → 2.6 s cold; the
+    full gate incl. edge derivation 3.15 → 2.7 s warm-min).
+    Big graphs keep the scale-safe shuffle join:
+    the cached adjacency is already hash-partitioned on src from the
+    degree join, so only rank rows move — the same cost-chosen
+    discipline as the support kernel's small_adj probe.
     Returns (v, rank_fp) — rank in RANK_SCALE units, exact."""
+    # pin the (often join-derived) edge frame: sym's union reads it
+    # twice, and deg/adj/initial-ranks all read sym
+    if not edges.is_cached:
+        edges = track(edges.persist())
     sym = edges.select("src", "dst").unionAll(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
-    sym = track(sym.persist())  # the invariant adjacency — read once per iteration
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds the n count, the initial rank frame AND the adjacency
+    # join — persist so the degree shuffle runs once
+    deg = track(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    )
+    # the invariant per-iteration input: neighbor lists WITH the
+    # source degree attached — persist the joined frame, not sym, so
+    # no iteration re-pays the degree join
+    adj = track(sym.join(deg, "src").persist())
     n = deg.count()  # bounded: one long — fixes the constants below
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n)
+    # ~16 B/rank row: broadcast while the frame stays well under the
+    # driver/executor comfort zone (same bound class as small_adj)
+    broadcast_ranks = 16 * n < (32 << 20)
     ranks = deg.select(
         F.col("src").alias("v"),
         F.lit(RANK_SCALE // n).cast("bigint").alias("rank_fp"),
     )
-    adj = sym.join(deg, "src")
     for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         transfer = (
-            adj.join(ranks, adj["src"] == ranks["v"])
+            adj.join(r, adj["src"] == r["v"])
             .select(
                 F.col("dst"),
                 F.expr("rank_fp div deg").alias("share"),
@@ -794,9 +836,7 @@ def common_neighbor_candidates(
     cn = (
         a.join(b, "w")
         .filter(F.col("u") < F.col("v"))
-        .repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "u", "v"
-        )
+        .repartition(_wedge_width(edges), "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
         .filter(F.col("cn") >= min_common)
@@ -885,15 +925,11 @@ def weighted_link_scores(
     # parallelism. The unweighted candidate path needs none of this —
     # its streamed side is a pure sym projection that keeps the scan
     # partitioning.
-    a = a.localCheckpoint().repartition(
-        edges.sparkSession.sparkContext.defaultParallelism
-    )
+    a = a.localCheckpoint().repartition(_wedge_width(edges))
     b = sym.select("w", F.col("n").alias("v"))
     wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
     if heavy_wedges:
-        wedges = wedges.repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "u", "v"
-        )
+        wedges = wedges.repartition(_wedge_width(edges), "u", "v")
     scored = (
         wedges.groupBy("u", "v")
         .agg(

@@ -117,13 +117,15 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # run advances it; what matters here is the late drop)
 
 
-def test_multimodal_decode_real_demux_stubbed():
+def test_multimodal_decode_real_both_paths():
     # r9: image decode is REAL (pure-Python BMP codec — a PNG payload
-    # is rejected as not-a-BMP, not NotImplementedError); video demux
-    # remains the one documented stub.
+    # is rejected as not-a-BMP, not NotImplementedError); r10: video
+    # demux is REAL too (pure-Python RIFF/AVI walk — a non-RIFF
+    # payload is rejected loudly, not NotImplementedError; roundtrip
+    # and malformation coverage in tests/test_round10.py).
     with pytest.raises(ValueError, match="BM magic"):
         M.decode_image(b"\x89PNG" + b"\x00" * 60)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="RIFF"):
         M.sample_frames(b"\x00")
 
 

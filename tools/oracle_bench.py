@@ -82,7 +82,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "engine": "duckdb",
-                "mode": "warm (min of 2 runs/query)",
+                "mode": (
+                    "warm (min of 2 runs/query; rows listed in "
+                    "single_run timed once, cold)"
+                ),
                 # rows NOT under the min-of-2 protocol (timed once,
                 # cold — see the single_run comment above); the
                 # artifact must self-describe the exception or a

@@ -215,6 +215,15 @@ def main() -> None:
         # r9 twin: the weighted (Adamic-Adar/RA) scoring on the same
         # wedge machinery
         "graph_adamic_curve": C.graph_adamic_curve,
+        # r10 twins: the ORIENTED kernel's growth curve — replica-
+        # disjoint hub-dominated fixture (one hub per id-offset block)
+        # so the power-law code path's O(m^1.5) bound is measured, not
+        # argued (the r9 verdict's top item). Covers the one-pass
+        # count, the enumerate-then-explode support, and the 4-round
+        # peel.
+        "graph_skew_triangles_curve": C.graph_skew_triangles_curve,
+        "graph_skew_support_curve": C.graph_skew_support_curve,
+        "graph_skew_ktruss_curve": C.graph_skew_ktruss_curve,
     }
 
     for scale in scales:
