@@ -297,7 +297,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf,
-            "mode": "warm-min2",
+            "mode": "warm-min3",
             "n_queries": len(timings),
             "queries": families,
             "detail": "BENCH_DETAIL.json",

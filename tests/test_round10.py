@@ -128,6 +128,45 @@ class TestAviCodec:
         with pytest.raises(ValueError, match="movi"):
             M.demux_avi(broken)
 
+    def test_property_roundtrip_random_videos(self):
+        """Hypothesis: any geometry (every row-pad residue), any frame
+        count, any pixel values survive encode → demux → decode
+        bit-exactly."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            w=st.integers(1, 9),
+            h=st.integers(1, 7),
+            nf=st.integers(1, 5),
+            seed=st.integers(0, 2**31),
+        )
+        def check(w, h, nf, seed):
+            import random
+
+            rng = random.Random(seed)
+            frames = [
+                [
+                    [
+                        (
+                            rng.randrange(256),
+                            rng.randrange(256),
+                            rng.randrange(256),
+                        )
+                        for _ in range(w)
+                    ]
+                    for _ in range(h)
+                ]
+                for _ in range(nf)
+            ]
+            w2, h2, dibs = M.demux_avi(M.encode_avi(w, h, frames))
+            assert (w2, h2) == (w, h) and len(dibs) == nf
+            for f, dib in enumerate(dibs):
+                assert M.decode_video_frame(w2, h2, dib) == frames[f]
+
+        check()
+
 
 class TestMediaNullLoudness:
     """Missing media must not silently vanish from stats output
