@@ -256,19 +256,23 @@ def connected_components(
     # ids (float/double) are equally unsafe because decimal(38,0)
     # ROUNDS them, so two distinct label states can share a sum (e.g.
     # labels {1.4,1.2,1.0} and {1.2,1.0,1.0} both sum to 3). Exact
-    # DECIMAL(p, 0) ids are as safe as integers — the decimal(38,0)
-    # sum represents them exactly — so they keep the cheap probe too
-    # (r10, per advisory: the r9 IntegralType narrowing needlessly
-    # demoted decimal-keyed graphs to the one-join-per-round probe).
-    # Every other label type keeps the type-agnostic changed-row probe
-    # (one join per round instead of one aggregate).
+    # DECIMAL(p, 0) ids are as safe as integers PROVIDED the sum has
+    # headroom: Spark types sum(decimal(p,0)) as decimal(min(38,p+10),
+    # 0), so p <= 28 keeps 10 digits of slack (same margin integers
+    # get: 19-digit longs in a 38-digit accumulator) while p > 28 can
+    # overflow — ANSI mode crashes, non-ANSI yields NULL sums that
+    # compare equal every round and silently split components (caught
+    # by review in r10; pinned by
+    # test_min_label_wide_decimal_ids_use_changed_row_probe). Every
+    # other label type keeps the type-agnostic changed-row probe (one
+    # join per round instead of one aggregate).
     from pyspark.sql.types import DecimalType, IntegralType
 
     _label_type = labels.schema["component"].dataType
     numeric_ids = isinstance(_label_type, IntegralType) or (
         isinstance(_label_type, DecimalType)
         and _label_type.scale == 0
-        and _label_type.precision <= 38
+        and _label_type.precision <= 28
     )
     prev_sum = (
         labels.agg(

@@ -275,11 +275,15 @@ def _walk_riff_chunks(buf: bytes, start: int, end: int):
 
 def demux_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     """REAL AVI demux, pure Python: walk the RIFF chunk tree, read the
-    frame geometry from LIST hdrl's strf BITMAPINFOHEADER (require the
-    uncompressed 24-bit DIB codec this module encodes/decodes), then
-    collect every video frame chunk ('##db'/'##dc') inside LIST movi
-    in stream order. Returns (width, height, [raw DIB frame bytes]).
-    Rejects non-AVI, compressed, or structurally damaged containers
+    frame geometry from LIST hdrl's first VIDEO stream strf (require
+    the uncompressed 24-bit DIB codec this module encodes/decodes),
+    then collect THAT stream's frame chunks ('NNdb'/'NNdc', where NN
+    is the stream's index in hdrl order) inside LIST movi — including
+    frames grouped under the interleaved-AVI LIST 'rec ' wrapper —
+    in stream order. Other streams' chunks (audio 'NNwb', a second
+    video stream) are ignored by stream id, never decoded as DIB.
+    Returns (width, height, [raw DIB frame bytes]). Rejects non-AVI,
+    compressed-first-video-stream, or structurally damaged containers
     loudly — silent partial demux would vanish frames from a stats
     gate downstream."""
     if len(payload) < 12 or payload[:4] != b"RIFF":
@@ -291,9 +295,19 @@ def demux_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(
             f"RIFF form {payload[8:12]!r} is not 'AVI '"
         )
-    dims: tuple[int, int] | None = None
+    geo: tuple[int, int, int] | None = None
     frames: list[bytes] = []
     saw_movi = False
+
+    def collect(start: int, end: int, want: bytes) -> None:
+        for cc, fbody, fsize in _walk_riff_chunks(payload, start, end):
+            if cc == b"LIST" and payload[fbody : fbody + 4] == b"rec ":
+                # interleaved-AVI record grouping — frames nest one
+                # level down; descend rather than silently skipping
+                collect(fbody + 4, fbody + fsize, want)
+            elif cc[:2] == want and cc[2:4] in (b"db", b"dc"):
+                frames.append(payload[fbody : fbody + fsize])
+
     for fourcc, body, size in _walk_riff_chunks(
         payload, 12, 8 + riff_size
     ):
@@ -301,27 +315,31 @@ def demux_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
             continue  # idx1 / JUNK — index is advisory, movi is truth
         list_type = payload[body : body + 4]
         if list_type == b"hdrl":
-            dims = _parse_hdrl(payload, body + 4, body + size)
+            geo = _parse_hdrl(payload, body + 4, body + size)
         elif list_type == b"movi":
             saw_movi = True
-            for cc, fbody, fsize in _walk_riff_chunks(
-                payload, body + 4, body + size
-            ):
-                if cc[2:4] in (b"db", b"dc"):
-                    frames.append(payload[fbody : fbody + fsize])
-    if dims is None:
+            if geo is None:
+                raise ValueError("AVI movi before hdrl")
+            collect(body + 4, body + size, b"%02d" % geo[2])
+    if geo is None:
         raise ValueError("AVI missing LIST hdrl / strf geometry")
     if not saw_movi:
         raise ValueError("AVI missing LIST movi")
-    return dims[0], dims[1], frames
+    return geo[0], geo[1], frames
 
 
-def _parse_hdrl(buf: bytes, start: int, end: int) -> tuple[int, int]:
-    """Extract (width, height) from hdrl's first video stream strf,
-    validating the codec is uncompressed 24-bit DIB."""
+def _parse_hdrl(buf: bytes, start: int, end: int) -> tuple[int, int, int]:
+    """Extract (width, height, stream_index) from hdrl's first video
+    stream strf, validating the codec is uncompressed 24-bit DIB.
+    The stream index (position of the strl among ALL streams, the
+    number embedded in its movi chunk ids) keys the frame collection
+    so a multi-stream file's audio/second-video chunks are never
+    mistaken for frames."""
+    stream_idx = -1
     for fourcc, body, size in _walk_riff_chunks(buf, start, end):
         if fourcc != b"LIST" or buf[body : body + 4] != b"strl":
             continue
+        stream_idx += 1
         is_video = False
         for cc, sbody, ssize in _walk_riff_chunks(
             buf, body + 4, body + size
@@ -341,7 +359,7 @@ def _parse_hdrl(buf: bytes, start: int, end: int) -> tuple[int, int]:
                     )
                 if width <= 0 or height == 0:
                     raise ValueError("malformed AVI frame dimensions")
-                return width, height
+                return width, height, stream_idx
     raise ValueError("AVI hdrl has no video stream (vids strh + strf)")
 
 
@@ -398,7 +416,14 @@ def sample_frame_chunks(
             out = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    continue
+                    # same loud-NULL contract as the decode stats
+                    # stages (r10): a silently skipped payload would
+                    # vanish from a frame-count gate downstream
+                    raise ValueError(
+                        f"sample_frame_chunks: NULL payload for "
+                        f"media_id={mid}; filter or repair missing "
+                        "media upstream"
+                    )
                 raw = bytes(payload)
                 if demuxer is not None:
                     chunks = list(demuxer(raw))

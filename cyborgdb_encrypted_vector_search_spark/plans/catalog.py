@@ -11818,20 +11818,23 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (a) 1 round-10 addition: multimodal_video_stats (REAL RIFF/AVI
 #     container demux + per-frame pixel decode — closes the last
 #     stub; per-frame position-weighted checksum oracle).
-# (b) 5 touched since their last driver rows: q_graph_link_prediction
+# (b) 6 touched since their last driver rows: q_graph_link_prediction
 #     + q_graph_adamic_adar (wedge repartition width now derived from
 #     spark.sql.shuffle.partitions via _wedge_width — advisory fix),
 #     q_graph_pagerank (persisted (src,dst,deg) adjacency + cost-
 #     chosen broadcast-ranks transfer join — one exchange/iteration),
 #     multimodal_decode_stats (encode_bmp refactored onto the shared
 #     _dib_frame_bytes writer; decode_image_stats now rejects NULL
-#     payloads loudly), dedup_connected_components (Σ-convergence
-#     probe widened to exact DecimalType(p,0) ids — advisory fix).
+#     payloads loudly), multimodal_frame_sample (sample_frame_chunks
+#     now rejects NULL payloads loudly — r10 review finding),
+#     dedup_connected_components (Σ-convergence probe widened to
+#     exact DecimalType(p,0) ids with p <= 28 — the p <= 38 draft
+#     overflowed the decimal sum, r10 review finding).
 # (c) the 27 r5-age entries (the whole cohort at the staleness
 #     ceiling — mandatory this round, per the r9 verdict's task 2) +
-#     the 17 alphabetically-first r6-age entries. Deferred to round 11
-#     (r6 age, hits the ceiling there): the remaining 24 r6 entries —
-#     COVERAGE.md's r6 table row minus the 17 below — which the
+#     the 16 alphabetically-first r6-age entries. Deferred to round 11
+#     (r6 age, hits the ceiling there): the remaining 25 r6 entries —
+#     COVERAGE.md's r6 table row minus the 16 below — which the
 #     round-11 window must lead with after its new/touched block.
 GATE_PRIORITY: tuple[str, ...] = (
     # (a) round-10 addition
@@ -11841,6 +11844,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_adamic_adar",
     "q_graph_pagerank",
     "multimodal_decode_stats",
+    "multimodal_frame_sample",
     "dedup_connected_components",
     # (c) the 27 r5-age entries (mandatory: age hits the ceiling)
     "q_events_retention",
@@ -11870,7 +11874,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_pack_windows",
     "vector_point_get",
     "vector_scan_stats",
-    # (c) oldest-first backfill: 17 of the 41 r6-age entries
+    # (c) oldest-first backfill: 16 of the 41 r6-age entries
     "ann_ivf_adaptive_topk",
     "dedup_incremental_minhash",
     "dedup_incremental_verified",
@@ -11887,7 +11891,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q_bloom_filtered_join",
     "q_compact_small_files",
-    "q_dpp_star_join",
 )
 
 

@@ -128,6 +128,84 @@ class TestAviCodec:
         with pytest.raises(ValueError, match="movi"):
             M.demux_avi(broken)
 
+    @staticmethod
+    def _chunk(cc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    @staticmethod
+    def _strl(fcc_type, handler, strf_body):
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            fcc_type, handler, 0, 0, 0, 0, 1, 30, 0, 1, 64,
+            0, 0, 0, 0, 0, 0,
+        )
+        c = TestAviCodec._chunk
+        return c(
+            b"LIST", b"strl" + c(b"strh", strh) + c(b"strf", strf_body)
+        )
+
+    def test_multistream_collects_only_the_video_stream(self):
+        """Review finding (r10): a file whose stream 0 is audio and
+        stream 1 the DIB video must collect ONLY '01db' chunks — and
+        never decode the audio stream's '00wb' bytes as DIB."""
+        c = self._chunk
+        w, h = 1, 1
+        dib = bytes([30, 20, 10, 0])
+        strf_vid = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(dib), 0, 0, 0, 0
+        )
+        strf_aud = struct.pack("<HHIIHHHH", 1, 1, 8000, 8000, 1, 8, 0, 0)
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            33333, 0, 0, 0, 1, 0, 2, len(dib), w, h, 0, 0, 0, 0,
+        )
+        hdrl = c(
+            b"LIST",
+            b"hdrl"
+            + c(b"avih", avih)
+            + self._strl(b"auds", b"\x00\x00\x00\x00", strf_aud)
+            + self._strl(b"vids", b"DIB ", strf_vid),
+        )
+        movi = c(
+            b"LIST",
+            b"movi"
+            + c(b"00wb", b"\xde\xad\xbe\xef")  # audio — NOT a frame
+            + c(b"01db", dib),
+        )
+        avi = c(b"RIFF", b"AVI " + hdrl + movi)
+        w2, h2, frames = M.demux_avi(avi)
+        assert (w2, h2) == (w, h)
+        assert frames == [dib]
+        assert M.decode_video_frame(w2, h2, frames[0]) == [[(10, 20, 30)]]
+
+    def test_rec_wrapped_frames_are_collected(self):
+        """Review finding (r10): interleaved AVIs group frames inside
+        LIST 'rec ' wrappers — the walker must descend, not silently
+        return zero frames."""
+        c = self._chunk
+        w, h = 1, 1
+        d0, d1 = bytes([3, 2, 1, 0]), bytes([6, 5, 4, 0])
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 4, 0, 0, 0, 0
+        )
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", 33333, 0, 0, 0, 2, 0, 1, 4, w, h, 0, 0, 0, 0
+        )
+        hdrl = c(
+            b"LIST",
+            b"hdrl" + c(b"avih", avih) + self._strl(b"vids", b"DIB ", strf),
+        )
+        movi = c(
+            b"LIST",
+            b"movi"
+            + c(b"LIST", b"rec " + c(b"00db", d0))
+            + c(b"LIST", b"rec " + c(b"00db", d1)),
+        )
+        avi = c(b"RIFF", b"AVI " + hdrl + movi)
+        _, _, frames = M.demux_avi(avi)
+        assert frames == [d0, d1]
+
     def test_property_roundtrip_random_videos(self):
         """Hypothesis: any geometry (every row-pad residue), any frame
         count, any pixel values survive encode → demux → decode
@@ -187,10 +265,10 @@ class TestMediaNullLoudness:
 
 
 def test_min_label_decimal_ids_full_propagation(spark):
-    """Advisory (r9): exact DECIMAL(p,0) ids are summed exactly by the
-    decimal(38,0) Σ-convergence probe, so they keep the cheap
-    one-aggregate-per-round path — and must still fully propagate a
-    4-hop chain (3+ rounds) to the minimum label."""
+    """Advisory (r9): exact DECIMAL(p,0) ids with sum headroom
+    (p <= 28) keep the cheap one-aggregate-per-round Σ-probe — and
+    must still fully propagate a 4-hop chain (3+ rounds) to the
+    minimum label."""
     import decimal
 
     pairs = spark.createDataFrame(
@@ -199,13 +277,39 @@ def test_min_label_decimal_ids_full_propagation(spark):
             for i in range(1, 5)
         ]
         + [(decimal.Decimal(90), decimal.Decimal(91))],
-        "doc_a decimal(38,0), doc_b decimal(38,0)",
+        "doc_a decimal(28,0), doc_b decimal(28,0)",
     )
     got = {
         int(r["node"]): int(r["component"])
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 90: 90, 91: 90}
+
+
+def test_min_label_wide_decimal_ids_use_changed_row_probe(spark):
+    """Review finding (r10): decimal(38,0) ids near 1e37 overflow the
+    decimal(38,0) Σ accumulator — ANSI crashes, non-ANSI NULLs the sum
+    so every round compares equal and components silently split.
+    Wide decimals must take the type-agnostic changed-row probe and
+    still fully propagate a multi-hop chain of huge ids."""
+    import decimal
+
+    lo = 3 * 10**37  # 4 ids this size overflow the 38-digit sum
+    # NB: construct each Decimal from the exact int — Decimal
+    # ARITHMETIC (base*3 + i) rounds to the context's 28 significant
+    # digits and would collapse all five ids to the same value
+    pairs = spark.createDataFrame(
+        [
+            (decimal.Decimal(lo + i), decimal.Decimal(lo + i + 1))
+            for i in range(4)
+        ],
+        "doc_a decimal(38,0), doc_b decimal(38,0)",
+    )
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {lo + i: lo for i in range(5)}
 
 
 def test_wedge_width_follows_shuffle_partitions(spark):
@@ -224,6 +328,29 @@ def test_wedge_width_follows_shuffle_partitions(spark):
         assert _wedge_width(df) == 17
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_skew_curve_twin_equals_gate_fixture_at_1x(spark):
+    """Curve honesty: at 1x (every key in id-offset block 0) the
+    replica-disjoint curve fixture must be EXACTLY the gate's skew
+    fixture — same edges, same counts — so the measured curve's 1x
+    point prices the gate's own workload."""
+    from cyborgdb_encrypted_vector_search_spark.plans.catalog import (
+        _skew_curve_edges,
+        _skew_edges,
+    )
+
+    from conftest import SF_SMOKE
+
+    gate = {
+        (r["src"], r["dst"])
+        for r in _skew_edges(spark, SF_SMOKE).collect()
+    }
+    twin = {
+        (r["src"], r["dst"])
+        for r in _skew_curve_edges(spark, SF_SMOKE).collect()
+    }
+    assert gate == twin and len(gate) > 0
 
 
 def test_greedy_restarts_actually_parallelize(spark):

@@ -282,9 +282,8 @@ def test_frame_sampling_fanout_and_demuxer_seam(spark):
     frame_idx for timestamp alignment), and a custom demuxer plugs
     into the same dataflow unchanged."""
     rows = [
-        (1, "video", b"a" * 200, None),   # 4 chunks of 64 -> idx 0 kept... 
+        (1, "video", b"a" * 200, None),   # 4 chunks of 64 -> idx 0 kept...
         (2, "video", b"xy", None),        # 1 chunk -> idx 0
-        (3, "video", None, None),         # null payload -> no frames
     ]
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     out = M.sample_frame_chunks(media, frame_bytes=64, every_n=2).collect()
@@ -293,6 +292,14 @@ def test_frame_sampling_fanout_and_demuxer_seam(spark):
     assert set(got) == {(1, 0), (1, 2), (2, 0)}
     assert got[(1, 0)] == b"a" * 64 and got[(1, 2)] == b"a" * 64
     assert got[(2, 0)] == b"xy"
+
+    # r10: NULL payloads are rejected loudly (the decode stages'
+    # contract) — missing media must not vanish from a frame count
+    null_media = spark.createDataFrame(
+        [(3, "video", None, None)], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NULL payload"):
+        M.sample_frame_chunks(null_media, frame_bytes=64).collect()
 
     # the real-decoder seam: a demuxer yielding 3 fake "frames";
     # every_n=2 keeps positions 0 and 2
