@@ -149,9 +149,11 @@ HEADLINE = [
     "multimodal_decode_stats",
     # r10: the r9-gated-but-unpriced row the verdict flagged (third
     # round running of that failure mode — priced same-round now) and
-    # the round's addition: real RIFF/AVI demux + frame decode.
+    # the round's additions: real RIFF/AVI demux + frame decode, and
+    # SCAN on the skew fixture (the oriented-branch driver row).
     "q_graph_skew_support",
     "multimodal_video_stats",
+    "q_graph_skew_scan",
 ]
 
 

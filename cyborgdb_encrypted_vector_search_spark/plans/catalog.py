@@ -11645,6 +11645,112 @@ def q_graph_skew_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_SCAN_EPS_NUM, _SKEW_SCAN_EPS_DEN, _SKEW_SCAN_MU = 9, 10, 3
+
+
+@query(
+    "q_graph_skew_scan",
+    f"""
+    WITH RECURSIVE edges AS MATERIALIZED ({_SKEW_EDGES_SQL}),
+    {_SKEW_TRI_SQL},
+    cn AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS cn FROM (
+        SELECT least(u, w1) AS src, greatest(u, w1) AS dst FROM tri0
+        UNION ALL
+        SELECT least(u, w2), greatest(u, w2) FROM tri0
+        UNION ALL
+        SELECT w1, w2 FROM tri0
+      ) GROUP BY 1, 2
+    ),
+    strong AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM edges e
+      LEFT JOIN cn USING (src, dst)
+      JOIN deg da ON da.v = e.src
+      JOIN deg db ON db.v = e.dst
+      WHERE (coalesce(cn.cn, 0) + 2) * (coalesce(cn.cn, 0) + 2)
+              * {_SKEW_SCAN_EPS_DEN * _SKEW_SCAN_EPS_DEN}
+            >= {_SKEW_SCAN_EPS_NUM * _SKEW_SCAN_EPS_NUM}
+               * (da.d + 1) * (db.d + 1)
+    ),
+    sdeg AS (
+      SELECT v, count(*) AS sd FROM (
+        SELECT src AS v FROM strong UNION ALL SELECT dst FROM strong
+      ) GROUP BY 1
+    ),
+    cores AS MATERIALIZED (
+      SELECT v FROM sdeg WHERE sd + 1 >= {_SKEW_SCAN_MU}
+    ),
+    ce AS (
+      SELECT s.src, s.dst FROM strong s
+      JOIN cores c1 ON c1.v = s.src
+      JOIN cores c2 ON c2.v = s.dst
+    ),
+    ces AS (
+      SELECT src AS a, dst AS b FROM ce
+      UNION
+      SELECT dst AS a, src AS b FROM ce
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM ces
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN ces e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    corelab AS (
+      SELECT c.v, coalesce(p.component, c.v) AS cluster
+      FROM cores c LEFT JOIN comp p ON p.node = c.v
+    ),
+    symstrong AS (
+      SELECT src, dst FROM strong
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM strong
+    ),
+    border AS (
+      SELECT s.dst AS v, min(cl.cluster) AS cluster
+      FROM symstrong s JOIN corelab cl ON cl.v = s.src
+      WHERE s.dst NOT IN (SELECT v FROM cores)
+      GROUP BY s.dst
+    )
+    SELECT CAST(v AS BIGINT) AS v, CAST(cluster AS BIGINT) AS cluster,
+           TRUE AS is_core
+    FROM corelab
+    UNION ALL
+    SELECT CAST(v AS BIGINT), CAST(cluster AS BIGINT), FALSE FROM border
+    """,
+)
+def q_graph_skew_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering on the hub-dominated skew fixture —
+    the driver row for _scan_members' ORIENTED branch (r10): the AUTO
+    cost probe routes this fixture's degree distribution to the
+    oriented support kernel, so the cn derivation under test is
+    edge_triangle_support(kernel='oriented') + the left-join-support
+    + degree-join path, never exercised by the co-purchase SCAN gates
+    (which route fulladj). ε = 9/10 separates the fixture's σ strata
+    exactly: the dense clique's closed-neighborhood similarity is 1.0
+    (strong, the surviving community), interior chain edges sit at
+    5/6 ≈ 0.83 and skip edges at 2/3 (both weak), and every hub spoke
+    is diluted to ~0 by the hub's degree — so the clustering output
+    is the clique community plus whatever small isolated key-segments
+    clear the threshold, all computed identically by the oracle's
+    hub-safe degree-oriented triangle CTEs (an id-ordered wedge join
+    would be O(n²) at the hub) and its recursive min-label components
+    over the tiny core subgraph."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    members = G.scan_clusters(
+        _skew_edges(spark, sf_dir),
+        eps_num=_SKEW_SCAN_EPS_NUM,
+        eps_den=_SKEW_SCAN_EPS_DEN,
+        mu=_SKEW_SCAN_MU,
+    )
+    return members.select(
+        F.col("v").cast("bigint").alias("v"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_core",
+    )
+
+
 @query(
     "q_events_ema_rows",
     """
@@ -11815,9 +11921,12 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last driver row, (c) oldest-first backfill (COVERAGE.md carries the
 # query -> last-gated-round table).
 #
-# (a) 1 round-10 addition: multimodal_video_stats (REAL RIFF/AVI
+# (a) 2 round-10 additions: multimodal_video_stats (REAL RIFF/AVI
 #     container demux + per-frame pixel decode — closes the last
-#     stub; per-frame position-weighted checksum oracle).
+#     stub; per-frame position-weighted checksum oracle) and
+#     q_graph_skew_scan (SCAN clustering on the hub-dominated fixture
+#     — the driver row for _scan_members' ORIENTED branch, the one
+#     kernel path no co-purchase gate can reach).
 # (b) 6 touched since their last driver rows: q_graph_link_prediction
 #     + q_graph_adamic_adar (wedge repartition width now derived from
 #     spark.sql.shuffle.partitions via _wedge_width — advisory fix),
@@ -11832,13 +11941,14 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     overflowed the decimal sum, r10 review finding).
 # (c) the 27 r5-age entries (the whole cohort at the staleness
 #     ceiling — mandatory this round, per the r9 verdict's task 2) +
-#     the 16 alphabetically-first r6-age entries. Deferred to round 11
-#     (r6 age, hits the ceiling there): the remaining 25 r6 entries —
-#     COVERAGE.md's r6 table row minus the 16 below — which the
+#     the 15 alphabetically-first r6-age entries. Deferred to round 11
+#     (r6 age, hits the ceiling there): the remaining 26 r6 entries —
+#     COVERAGE.md's r6 table row minus the 15 below — which the
 #     round-11 window must lead with after its new/touched block.
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-10 addition
+    # (a) round-10 additions
     "multimodal_video_stats",
+    "q_graph_skew_scan",
     # (b) body/oracle/call-graph touched since their last driver row
     "q_graph_link_prediction",
     "q_graph_adamic_adar",
@@ -11874,7 +11984,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_pack_windows",
     "vector_point_get",
     "vector_scan_stats",
-    # (c) oldest-first backfill: 16 of the 41 r6-age entries
+    # (c) oldest-first backfill: 15 of the 41 r6-age entries
     "ann_ivf_adaptive_topk",
     "dedup_incremental_minhash",
     "dedup_incremental_verified",
@@ -11890,7 +12000,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q_bloom_filtered_join",
-    "q_compact_small_files",
 )
 
 

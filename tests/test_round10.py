@@ -330,6 +330,45 @@ def test_wedge_width_follows_shuffle_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_scan_members_oriented_branch_matches_fulladj(spark):
+    """Coverage hole (r10): every SCAN test and gate rides the AUTO
+    probe, which routes small/near-regular graphs to the fulladj
+    branch of _scan_members — the oriented branch (the 100 TB
+    power-law path: edge_triangle_support(kernel='oriented') + the
+    left-join-support + degree-join derivation) was never forced.
+    Both branches must produce identical members on the same graph."""
+    from cyborgdb_encrypted_vector_search_spark.caching import (
+        release_all,
+        track,
+    )
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # two 4-cliques + bridge + a pendant: cores, borders, an excluded
+    # vertex — every member class exercised
+    clique_a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    raw = clique_a + clique_b + [(4, 11), (1, 7)]
+    edges = track(
+        spark.createDataFrame(sorted(raw), "src long, dst long").persist()
+    )
+    deg = track(G._degree_table(edges).persist())
+    stats = G._support_stats(edges, deg)
+    assert stats["kernel"] == "fulladj"  # AUTO would never go oriented
+
+    def members(kernel):
+        forced = dict(stats, kernel=kernel)
+        return sorted(
+            (r["v"], r["cluster"], r["is_core"])
+            for r in G._scan_members(
+                edges, deg, forced, 7, 10, 3
+            ).collect()
+        )
+
+    assert members("oriented") == members("fulladj")
+    assert len(members("fulladj")) == 8  # the two cliques' cores
+    release_all()
+
+
 def test_skew_curve_twin_equals_gate_fixture_at_1x(spark):
     """Curve honesty: at 1x (every key in id-offset block 0) the
     replica-disjoint curve fixture must be EXACTLY the gate's skew
