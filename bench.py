@@ -219,8 +219,9 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 3))
             # correctness-device persists (ranking/graph) are
-            # per-invocation; release so the 90-query sweep doesn't
-            # accumulate InMemoryRelations across runs
+            # per-invocation; release so the full sweep (HEADLINE +
+            # serve-only twins) doesn't accumulate InMemoryRelations
+            # across runs
             release_all()
         timings[name], runs_sec[name] = min(runs), runs
     for name, fn in serve_only.items():

@@ -257,10 +257,12 @@ def connected_components(
     # ROUNDS them, so two distinct label states can share a sum (e.g.
     # labels {1.4,1.2,1.0} and {1.2,1.0,1.0} both sum to 3). Exact
     # DECIMAL(p, 0) ids are as safe as integers PROVIDED the sum has
-    # headroom: Spark types sum(decimal(p,0)) as decimal(min(38,p+10),
-    # 0), so p <= 28 keeps 10 digits of slack (same margin integers
-    # get: 19-digit longs in a 38-digit accumulator) while p > 28 can
-    # overflow — ANSI mode crashes, non-ANSI yields NULL sums that
+    # headroom: the probe's explicit cast fixes the accumulator at
+    # decimal(38,0) (sum of decimal(38,0) stays decimal(38,0) — no
+    # precision promotion is available above the cap), so p <= 28
+    # guarantees >= 10 digits of slack in that fixed accumulator
+    # (the same margin integers get: 19-digit longs in a 38-digit
+    # accumulator) while p > 28 can
     # compare equal every round and silently split components (caught
     # by review in r10; pinned by
     # test_min_label_wide_decimal_ids_use_changed_row_probe). Every

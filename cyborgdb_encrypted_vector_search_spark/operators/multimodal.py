@@ -205,6 +205,8 @@ def encode_avi(
     demuxer expects of a DIB-codec AVI."""
     if not frames:
         raise ValueError("encode_avi requires at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
     dibs = [_dib_frame_bytes(width, height, rows) for rows in frames]
     frame_bytes = max(len(d) for d in dibs)
     strf = struct.pack(

@@ -1,0 +1,133 @@
+"""Round-11 pins: the evolutionary generation-batch plan (VERDICT r10
+task 6), the stabilized collection_upsert_delete disk-state protocol
+(task 4), the compare_bench warm-spread + idle-anchor rules (task 3 +
+ADVICE), and encode_avi input validation (ADVICE)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conftest import SF_SMOKE
+
+
+def test_evolutionary_generation_stays_wide(spark):
+    """VERDICT r10 task 6: the per-generation embed/score batch must
+    stay one wide parallel stage — `_generation_width(60)` = 7
+    partitions for the reference's 60-row population — with the Arrow
+    embed UDF inside that stage, so no future edit (or AQE rule) can
+    silently serialize the generation loop onto one core. The coalesce
+    is shuffle-free, so the pin is the materialized partition count
+    itself plus the UDF's placement in the final plan."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+    from cyborgdb_encrypted_vector_search_spark.operators import search as S
+
+    assert S._generation_width(60) == 7
+    assert S._generation_width(8) == 1
+    assert S._generation_width(1000) == 8
+
+    target = E.embed_text("hello world", E.DEFAULT_DIM)
+    unit = [float(x) for x in target]
+    pop = [f"candidate text {i}" for i in range(60)]
+    scored = S._generation_scored(
+        spark, pop, E.make_embed_udf(E.DEFAULT_DIM), unit
+    )
+    rows = scored.collect()
+    assert len(rows) == 60
+    assert scored.rdd.getNumPartitions() == 7
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the embed UDF must be Arrow-batched and in the executed stage,
+    # with no exchange between the parallelized scan and the UDF for
+    # AQE to collapse
+    assert "ArrowEvalPython" in final
+    assert "Exchange" not in final
+
+
+def test_evolutionary_search_still_converges(spark):
+    """The refactor onto _generation_scored must not change I1
+    semantics: the property gate's invariants (result count, score
+    range, dedup) hold on a small run."""
+    from cyborgdb_encrypted_vector_search_spark.functions import embed as E
+    from cyborgdb_encrypted_vector_search_spark.operators import search as S
+
+    target = E.embed_text("the quick brown fox", E.DEFAULT_DIM)
+    out = S.evolutionary_search(
+        spark,
+        target,
+        ["quick fox", "lazy dog", "brown bear"],
+        pop_size=12,
+        generations=3,
+        top_n=10,
+        seed=7,
+    ).collect()
+    assert 0 < len(out) <= 10
+    texts = [r["text"] for r in out]
+    assert len(texts) == len(set(texts))  # dedup-max applied
+    assert all(-1.0 <= r["score"] <= 1.0 + 1e-9 for r in out)
+    # sorted desc by score with text tiebreak
+    keys = [(-r["score"], r["text"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_crud_gate_deterministic_and_bounded_tmp(spark):
+    """VERDICT r10 what's-wrong #3: the gate now mutates a per-run
+    copytree of an immutable cached base. Two invocations must (a)
+    agree exactly (the mutation outcome is state-independent), (b)
+    leave the canonical base dir in place for the next run, and (c)
+    retire the previous invocation's mutable copy so /tmp holds at
+    most one."""
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    r1 = C.collection_upsert_delete(spark, SF_SMOKE).collect()
+    first_work = C._CRUD_WORK_DIR
+    assert first_work is not None and os.path.isdir(first_work)
+    r2 = C.collection_upsert_delete(spark, SF_SMOKE).collect()
+    second_work = C._CRUD_WORK_DIR
+    assert r1 == r2
+    assert second_work != first_work
+    assert not os.path.isdir(first_work)  # previous copy retired
+    # the immutable base survives (one canonical build per content tag)
+    base = [
+        d
+        for d in os.listdir(os.path.dirname(second_work))
+        if d.startswith("crud_base_")
+    ]
+    assert base, "canonical crud base dir missing"
+
+
+def test_encode_avi_rejects_zero_fps():
+    """ADVICE r10: fps=0 must raise a validating ValueError, not a
+    ZeroDivisionError from the microseconds-per-frame division."""
+    from cyborgdb_encrypted_vector_search_spark.operators import (
+        multimodal as M,
+    )
+
+    frame = [[(1, 2, 3), (4, 5, 6)]]
+    with pytest.raises(ValueError, match="fps"):
+        M.encode_avi(2, 1, [frame], fps=0)
+    with pytest.raises(ValueError, match="fps"):
+        M.encode_avi(2, 1, [frame], fps=-5)
+
+
+def test_compare_bench_spread_uses_warm_runs():
+    """ADVICE r10: the warm noise band is runs[1:] (run 0 is the cold
+    run by protocol) — NOT sorted()[:-1], which keeps the cold run's
+    codegen cost in the band whenever a warm run hiccups above it."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_bench",
+        Path(__file__).resolve().parent.parent / "tools" / "compare_bench.py",
+    )
+    cb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cb)
+
+    # cold 5.0, warm hiccup 6.0, warm 1.0: band must be warm-only (5.0)
+    assert cb.spread([5.0, 6.0, 1.0]) == pytest.approx(5.0)
+    # the old sorted()[:-1] would have given 4.0 here (cold kept in)
+    assert cb.spread([5.0, 1.0, 1.2]) == pytest.approx(0.2)
+    assert cb.spread([3.0]) == 0.0
+    assert cb.spread(None) == 0.0

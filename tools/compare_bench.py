@@ -21,7 +21,11 @@ import json
 def spread(runs: list[float] | None) -> float:
     if not runs or len(runs) < 2:
         return 0.0
-    warm = sorted(runs)[:-1] if len(runs) > 2 else runs
+    # the protocol defines run 0 as the cold run (codegen + file
+    # listing), so the warm noise band is runs[1:] — dropping the MAX
+    # instead would keep the cold run's codegen cost in the band
+    # whenever a warm run hiccups slower than the cold one
+    warm = runs[1:] if len(runs) > 2 else runs
     return max(warm) - min(warm)
 
 

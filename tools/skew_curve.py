@@ -53,6 +53,10 @@ def main() -> None:
         "graph_skew_triangles_curve": C.graph_skew_triangles_curve,
         "graph_skew_support_curve": C.graph_skew_support_curve,
         "graph_skew_ktruss_curve": C.graph_skew_ktruss_curve,
+        # r11: the full SCAN chain (strong edges -> cores -> star-
+        # contraction CC -> borders), the q_graph_skew_scan weak's
+        # missing growth measurement
+        "graph_skew_scan_curve": C.graph_skew_scan_curve,
     }
 
     for scale in scales:
