@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cyborgdb_encrypted_vector_search_spark.caching import track
 from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
 from cyborgdb_encrypted_vector_search_spark.functions import text as X
 from cyborgdb_encrypted_vector_search_spark.functions import vector as V
@@ -11345,6 +11346,67 @@ q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
 )
 
 
+_BFS_MAX_HOPS, _BFS_N_SEEDS = 3, 5
+
+
+@query(
+    "q_graph_bfs_levels",
+    f"""
+    WITH RECURSIVE edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS v FROM sym ORDER BY v LIMIT {_BFS_N_SEEDS}
+    ),
+    walk(v, hops) AS (
+      SELECT v, 0 FROM seeds
+      UNION
+      SELECT s.dst, w.hops + 1
+      FROM walk w JOIN sym s ON s.src = w.v
+      WHERE w.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT CAST(v AS BIGINT) AS v, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY v
+    """,
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.bfs_levels) —
+    the fourth graph kernel (after triangles / PageRank / components):
+    minimum hop count from the {_BFS_N_SEEDS} smallest-id vertices of
+    the hourly co-purchase graph, bounded at {_BFS_MAX_HOPS} hops (the
+    spam-distance / trust-radius feature a curation pipeline derives
+    from a labeled seed set). Spark expands one frontier per round —
+    hash join on the vertex key + anti-join against the visited set,
+    lineage truncated per round — while the oracle computes the same
+    minimum distances with a recursive UNION CTE (distinct (v, hops)
+    states, min-grouped), so every level of the traversal is
+    value-hashed cross-engine. Min-hop is deterministic regardless of
+    expansion order, which is what makes an iterative traversal
+    hashable at all."""
+    edges = track(_graph_edges(spark, sf_dir).persist())
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.orderBy(F.asc("v")).limit(_BFS_N_SEEDS)
+    res = G.bfs_levels(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    return res.select(
+        F.col("v").cast("bigint").alias("v"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )
+
+
+q_graph_bfs_levels.__doc__ = q_graph_bfs_levels.__doc__.format(
+    _BFS_N_SEEDS=_BFS_N_SEEDS, _BFS_MAX_HOPS=_BFS_MAX_HOPS
+)
+
+
 _LINKPRED_MIN_CN, _LINKPRED_TOPK = 2, 20
 
 
@@ -11987,90 +12049,87 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 10 window — same staleness invariant: (a) every NEW query,
+# Round 11 window — same staleness invariant: (a) every NEW query,
 # (b) every query whose body, oracle, or call-graph changed since its
-# last driver row, (c) oldest-first backfill (COVERAGE.md carries the
-# query -> last-gated-round table).
+# last driver row, (c) the cohort at the staleness ceiling, then
+# oldest-first backfill (COVERAGE.md carries the query ->
+# last-gated-round table).
 #
-# (a) 2 round-10 additions: multimodal_video_stats (REAL RIFF/AVI
-#     container demux + per-frame pixel decode — closes the last
-#     stub; per-frame position-weighted checksum oracle) and
-#     q_graph_skew_scan (SCAN clustering on the hub-dominated fixture
-#     — the driver row for _scan_members' ORIENTED branch, the one
-#     kernel path no co-purchase gate can reach).
-# (b) 6 touched since their last driver rows: q_graph_link_prediction
-#     + q_graph_adamic_adar (wedge repartition width now derived from
-#     spark.sql.shuffle.partitions via _wedge_width — advisory fix),
-#     q_graph_pagerank (persisted (src,dst,deg) adjacency + cost-
-#     chosen broadcast-ranks transfer join — one exchange/iteration),
-#     multimodal_decode_stats (encode_bmp refactored onto the shared
-#     _dib_frame_bytes writer; decode_image_stats now rejects NULL
-#     payloads loudly), multimodal_frame_sample (sample_frame_chunks
-#     now rejects NULL payloads loudly — r10 review finding),
-#     dedup_connected_components (Σ-convergence probe widened to
-#     exact DecimalType(p,0) ids with p <= 28 — the p <= 38 draft
-#     overflowed the decimal sum, r10 review finding).
-# (c) the 27 r5-age entries (the whole cohort at the staleness
-#     ceiling — mandatory this round, per the r9 verdict's task 2) +
-#     the 15 alphabetically-first r6-age entries. Deferred to round 11
-#     (r6 age, hits the ceiling there): the remaining 26 r6 entries —
-#     COVERAGE.md's r6 table row minus the 15 below — which the
-#     round-11 window must lead with after its new/touched block.
+# (a) 1 round-11 addition: q_graph_bfs_levels (multi-source BFS hop
+#     distances — the frontier-expansion kernel, gated against a
+#     recursive UNION CTE computing the same min-hop distances).
+# (b) 3 touched since their last driver rows: collection_upsert_delete
+#     (disk-state protocol: per-run copytree of an immutable cached
+#     base replaces the per-run bulk rebuild — r10 what's-wrong #3),
+#     search_evolutionary (per-generation embed/score batch split into
+#     _generation_scored with an exact parallelize width — the old
+#     coalesce could silently narrow; plan-pinned, r10 task 6),
+#     multimodal_video_stats (encode_avi now validates fps >= 1 —
+#     advisory fix in the gate fixture's encoder call graph).
+#     dedup_connected_components had a comment-only reword (advisory:
+#     stated mechanism of the decimal headroom) — no semantic change,
+#     not re-windowed.
+# (c) the 25 remaining r6-age entries (the whole cohort at the
+#     staleness ceiling — mandatory, per the r10 verdict's task 2;
+#     search_evolutionary is the 26th, already in (b)) + the 21
+#     alphabetically-first r7-age entries as backfill. Deferred to
+#     round 12 (r7 age, hits the ceiling there): the remaining 21 r7
+#     entries — COVERAGE.md's r7 table row minus the 21 below.
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-10 additions
-    "multimodal_video_stats",
-    "q_graph_skew_scan",
+    # (a) round-11 addition
+    "q_graph_bfs_levels",
     # (b) body/oracle/call-graph touched since their last driver row
-    "q_graph_link_prediction",
-    "q_graph_adamic_adar",
-    "q_graph_pagerank",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "dedup_connected_components",
-    # (c) the 27 r5-age entries (mandatory: age hits the ceiling)
-    "q_events_retention",
-    "q_events_rolling_features",
-    "q_events_streaks",
-    "q_histogram_orders",
-    "q_incremental_rollup",
-    "q_outlier_orders",
-    "q_rank_family_orders",
-    "q_retention_expiry",
-    "q_sample_temperature",
-    "q_scd2_user_state",
-    "q_schema_evolution_read",
-    "q_sketch_rollup_users",
-    "q_time_partitioned_hourly",
-    "q_unpivot_revenue_parts",
-    "q_zorder_pruned_scan",
-    "source_csv_roundtrip",
-    "source_json_collection",
-    "source_orc_roundtrip",
-    "streaming_bm25_ingest",
-    "streaming_collection_upsert",
-    "text_bm25_incremental",
-    "text_bm25_topk",
-    "text_chunk_windows",
-    "text_keyword_tfidf",
-    "text_pack_windows",
-    "vector_point_get",
-    "vector_scan_stats",
-    # (c) oldest-first backfill: 15 of the 41 r6-age entries
-    "ann_ivf_adaptive_topk",
-    "dedup_incremental_minhash",
-    "dedup_incremental_verified",
-    "embed_pca_gram",
-    "embed_random_projection",
-    "eval_ab_test",
-    "knn_mmr_rerank",
-    "pipeline_corpus_curation",
-    "q11_important_part_value",
-    "q16_supplier_breadth",
-    "q20_heavy_shippers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q_bloom_filtered_join",
+    "collection_upsert_delete",
+    "search_evolutionary",
+    "multimodal_video_stats",
+    # (c) the 25 remaining r6-age entries (staleness ceiling)
+    "q_compact_small_files",
+    "q_dpp_star_join",
+    "q_events_gapfill_hourly",
+    "q_events_transitions",
+    "q_grouping_sets_orders",
+    "q_heavy_hitters_cms",
+    "q_pivot_status_priority",
+    "q_sample_hash",
+    "q_sample_mixture",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sample_weighted_groups",
+    "q_stats_regression_lineitem",
+    "q_table_fingerprint",
+    "search_greedy",
+    "search_invert_both",
+    "streaming_dedup_count",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_static_join",
+    "text_bpe_merge_counts",
+    "text_decontaminate",
+    "text_pii_scan",
+    "text_repetition_stats",
+    "text_vocabulary_topk",
+    # (c) oldest-first backfill: 21 alphabetically-first r7-age entries
+    "ann_ivf_assign",
+    "ann_ivf_batch_topk",
+    "ann_ivf_search_topk",
+    "ann_lsh_batch_topk",
+    "ann_lsh_bucket_stats",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_probe_topk",
+    "dedup_editdist_pairs",
+    "dedup_embedding_neardup",
+    "dedup_exact_groups",
+    "dedup_jaccard_verified",
+    "dedup_keep_best",
+    "dedup_minhash_pairs",
+    "dedup_simhash_wide",
+    "dedup_winnow_overlap",
+    "knn_batch_topk",
+    "knn_llm_reconstruction",
+    "knn_prompt_reconstruction",
+    "knn_topk_cosine",
+    "multimodal_features",
+    "q12_shipmode_priority",
 )
 
 

@@ -97,6 +97,52 @@ def test_crud_gate_deterministic_and_bounded_tmp(spark):
     assert base, "canonical crud base dir missing"
 
 
+def test_bfs_levels_min_hop_and_early_exit(spark):
+    """bfs_levels must report MINIMUM hop distances (a vertex reachable
+    at hops 1 and 2 reports 1), stop expanding at max_hops, exclude
+    unreachable vertices, and exit early on an exhausted frontier
+    (max_hops larger than the graph's eccentricity is harmless)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    # 1-2-3-4 path, plus a 1-3 chord, plus disconnected 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "v int")
+    got = {
+        r["v"]: r["hops"]
+        for r in G.bfs_levels(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # 3 via chord, not 2 hops
+
+    # max_hops beyond eccentricity: early exit, same fixed point
+    got10 = {
+        r["v"]: r["hops"]
+        for r in G.bfs_levels(edges, seeds, max_hops=10).collect()
+    }
+    assert got10 == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    # multi-source: both components covered, per-source minima
+    seeds2 = spark.createDataFrame([(4,), (8,)], "v int")
+    got2 = {
+        r["v"]: r["hops"]
+        for r in G.bfs_levels(edges, seeds2, max_hops=1).collect()
+    }
+    assert got2 == {4: 0, 8: 0, 3: 1, 9: 1}
+
+    # hop-0 only
+    got0 = {
+        r["v"]: r["hops"]
+        for r in G.bfs_levels(edges, seeds, max_hops=0).collect()
+    }
+    assert got0 == {1: 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        G.bfs_levels(edges, seeds, max_hops=-1)
+
+
 def test_encode_avi_rejects_zero_fps():
     """ADVICE r10: fps=0 must raise a validating ValueError, not a
     ZeroDivisionError from the microseconds-per-frame division."""
@@ -131,3 +177,55 @@ def test_compare_bench_spread_uses_warm_runs():
     assert cb.spread([5.0, 1.0, 1.2]) == pytest.approx(0.2)
     assert cb.spread([3.0]) == 0.0
     assert cb.spread(None) == 0.0
+
+
+def test_compare_bench_hot_window_rule(tmp_path, capsys, monkeypatch):
+    """VERDICT r10 task 3: a moved min whose canary shows a contended
+    window is reported [HOT-WINDOW] (exit 2, re-run demanded), not
+    [REGRESSION] (exit 1); the same moved min with a quiet canary
+    stays a genuine regression."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_bench",
+        Path(__file__).resolve().parent.parent / "tools" / "compare_bench.py",
+    )
+    cb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cb)
+
+    old = {
+        "queries": {"qa": 1.0, "qb": 1.0},
+        "runs_sec": {"qa": [1.2, 1.0, 1.05], "qb": [1.2, 1.0, 1.05]},
+        "canary_sec": {"qa": 0.2, "qb": 0.2},
+    }
+    # qa regresses with a HOT trailing canary (bracket [quiet, 1.0]:
+    # the spike started mid-run-set — the WORSE sample rules);
+    # qb regresses with a quiet bracket -> genuine
+    new = {
+        "queries": {"qa": 3.0, "qb": 3.0},
+        "runs_sec": {"qa": [3.1, 3.0, 3.0], "qb": [3.1, 3.0, 3.0]},
+        "canary_sec": {"qa": [0.2, 1.0], "qb": [0.21, 0.22]},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+
+    monkeypatch.setattr(sys, "argv", ["compare_bench", str(po), str(pn)])
+    with pytest.raises(SystemExit) as exc:
+        cb.main()
+    out = capsys.readouterr().out
+    assert exc.value.code == 1  # the quiet-canary regression wins
+    assert "[HOT-WINDOW] qa" in out
+    assert "[REGRESSION] qb" in out
+
+    # only the hot row: exit 2 (re-run demanded, not a regression)
+    new["queries"]["qb"] = 1.0
+    new["canary_sec"]["qb"] = [0.2, 0.2]
+    pn.write_text(json.dumps(new))
+    with pytest.raises(SystemExit) as exc:
+        cb.main()
+    assert exc.value.code == 2
+    assert "[HOT-WINDOW] qa" in capsys.readouterr().out
