@@ -235,6 +235,14 @@ def main() -> None:
         spark.range(0, 24_000_000, 1, 32).selectExpr("sum(id % 9)").collect()
         return round(time.perf_counter() - t0, 3)
 
+    # warm the canary's own codegen once, discarded: the session
+    # warm-up above compiles sum(id), not sum(id % 9), so the first
+    # timed canary would otherwise carry one-time codegen (~8x quiet —
+    # observed 0.819s vs 0.096s median on the first anchored sweep)
+    # and compare_bench would permanently reclassify the first
+    # HEADLINE row's regressions as HOT-WINDOW
+    _canary()
+
     timings: dict[str, float] = {}
     runs_sec: dict[str, list[float]] = {}
     canary_sec: dict[str, list[float]] = {}

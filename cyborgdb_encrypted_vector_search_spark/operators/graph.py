@@ -1347,10 +1347,17 @@ def bfs_levels(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # NULL endpoints are dropped up front: a NULL is not a vertex, and
+    # downstream the visited anti-join's equality never matches NULL
+    # against NULL — a NULL-endpoint edge would re-emit (NULL, hops)
+    # every round, violating the one-row-per-vertex contract
     sym = track(
         edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .unionAll(
-            edges.select(
+            edges.filter(
+                F.col("src").isNotNull() & F.col("dst").isNotNull()
+            ).select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
@@ -1359,6 +1366,7 @@ def bfs_levels(
     src_col = sources.columns[0]
     frontier = (
         sources.select(F.col(src_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
         .localCheckpoint()

@@ -8168,11 +8168,15 @@ def crypto_key_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fidelity.crossJoin(dead)
 
 
-# the previous collection_upsert_delete run's mutable copy (removed at
-# the start of the next invocation — bounds /tmp growth to one copy);
-# the sequence number keeps each run's path distinct so a retired
-# dir is observably gone (test-pinned)
-_CRUD_WORK_DIR: str | None = None
+# collection_upsert_delete's mutable copies, newest last. Retirement
+# is deferred ONE generation: the immediately-previous run's dir stays
+# on disk so a caller still holding that run's lazy result DataFrame
+# can collect it after a new invocation starts (review finding r11 —
+# deleting it immediately turned the held frame into a
+# FileNotFoundException); only the grandparent is removed, bounding
+# /tmp growth to two copies. The sequence number keeps paths distinct
+# so a retired dir is observably gone (test-pinned).
+_CRUD_WORK_DIRS: list[str] = []
 _CRUD_WORK_SEQ: int = 0
 
 
@@ -8217,10 +8221,12 @@ def collection_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASE collection is built once per content tag into an immutable
     canonical dir (one file per bucket — `add`'s repartition makes the
     layout deterministic) and each run starts from a byte-identical
-    `copytree` of it, mutating only the copy; the previous run's copy
-    is removed first so /tmp state doesn't accumulate across a
-    3-run bench sweep. A mutation gate still never reuses a MUTATED
-    artifact — only the immutable pre-mutation base is cached."""
+    `copytree` of it, mutating only the copy; copies are retired one
+    generation deferred (the grandparent is deleted at each new
+    invocation) so a still-held previous result stays collectable
+    while /tmp stays bounded at two copies across a 3-run bench
+    sweep. A mutation gate still never reuses a MUTATED artifact —
+    only the immutable pre-mutation base is cached."""
     import hashlib as _hl
     import os as _os
     import shutil as _sh
@@ -8247,18 +8253,17 @@ def collection_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         c0.add(src, id_col="id")
         _publish_dir(tmp, base)
     # fresh mutable copy per run, canonical byte layout every time;
-    # the prior invocation's copy has been collected by the time a new
-    # one starts (gates are run to completion), so drop it here
-    global _CRUD_WORK_DIR, _CRUD_WORK_SEQ
-    if _CRUD_WORK_DIR is not None:
-        _sh.rmtree(_CRUD_WORK_DIR, ignore_errors=True)
+    # retire the GRANDPARENT copy only (see _CRUD_WORK_DIRS note)
+    global _CRUD_WORK_SEQ
+    while len(_CRUD_WORK_DIRS) > 1:
+        _sh.rmtree(_CRUD_WORK_DIRS.pop(0), ignore_errors=True)
     _CRUD_WORK_SEQ += 1
     work = _os.path.join(
         _tf.gettempdir(), f"crud_gate_{tag}_{_os.getpid()}_{_CRUD_WORK_SEQ}"
     )
     _sh.rmtree(work, ignore_errors=True)
     _sh.copytree(base, work)
-    _CRUD_WORK_DIR = work
+    _CRUD_WORK_DIRS.append(work)
     coll = Collection(
         spark, "crud_gate", _os.path.join(work, "crud_gate"), dim=64
     )
@@ -10419,6 +10424,40 @@ def graph_adamic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(F.desc("aa_fp"), F.asc("u"), F.asc("v")).limit(
         _LINKPRED_TOPK
+    )
+
+
+def graph_bfs_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-disjoint scale-curve twin of q_graph_bfs_levels (r11):
+    the gate's seed rule (the 5 smallest vertex ids) is applied PER
+    id-offset block — one row_number window over `v div 10^9` — so
+    every replica contributes a full frontier expansion and the
+    traversal's work term grows linearly in replicas. Seeds anchored
+    only in block 0 would explore one replica and measure nothing
+    (the blowup's other N-1 components are unreachable from it). At
+    1x there is a single block and the workload is exactly the
+    gate's. Reduced to a bounded per-hop histogram."""
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    edges = track(_graph_curve_edges(spark, sf_dir).persist())
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    w = Window.partitionBy(F.expr("v div 1000000000")).orderBy(F.asc("v"))
+    seeds = (
+        verts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BFS_N_SEEDS)
+        .select("v")
+    )
+    res = G.bfs_levels(edges, seeds, max_hops=_BFS_MAX_HOPS)
+    # cast BEFORE summing: the accumulator must be decimal(38,0) — a
+    # BIGINT sum of id-offset vertex ids (~N²·10^12 at an N-replica
+    # blowup) can silently wrap in non-ANSI mode before the cast
+    return res.groupBy("hops").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v_sum"),
     )
 
 

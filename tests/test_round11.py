@@ -17,9 +17,11 @@ def test_evolutionary_generation_stays_wide(spark):
     stay one wide parallel stage — `_generation_width(60)` = 7
     partitions for the reference's 60-row population — with the Arrow
     embed UDF inside that stage, so no future edit (or AQE rule) can
-    silently serialize the generation loop onto one core. The coalesce
-    is shuffle-free, so the pin is the materialized partition count
-    itself plus the UDF's placement in the final plan."""
+    silently serialize the generation loop onto one core. The width is
+    planted with an explicit parallelize(rows, width) — exact and
+    shuffle-free — so the pin is the materialized partition count
+    itself plus the UDF's placement in the final (exchange-free)
+    plan."""
     from cyborgdb_encrypted_vector_search_spark.functions import embed as E
     from cyborgdb_encrypted_vector_search_spark.operators import search as S
 
@@ -73,21 +75,31 @@ def test_evolutionary_search_still_converges(spark):
 
 def test_crud_gate_deterministic_and_bounded_tmp(spark):
     """VERDICT r10 what's-wrong #3: the gate now mutates a per-run
-    copytree of an immutable cached base. Two invocations must (a)
-    agree exactly (the mutation outcome is state-independent), (b)
-    leave the canonical base dir in place for the next run, and (c)
-    retire the previous invocation's mutable copy so /tmp holds at
-    most one."""
+    copytree of an immutable cached base. Invocations must (a) agree
+    exactly (the mutation outcome is state-independent), (b) leave the
+    canonical base dir in place, (c) keep the IMMEDIATELY-previous
+    run's copy alive so a held lazy result still collects after a new
+    invocation (review finding r11), and (d) retire the grandparent
+    copy so /tmp stays bounded at two copies."""
     from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
 
-    r1 = C.collection_upsert_delete(spark, SF_SMOKE).collect()
-    first_work = C._CRUD_WORK_DIR
-    assert first_work is not None and os.path.isdir(first_work)
+    df1 = C.collection_upsert_delete(spark, SF_SMOKE)
+    r1 = df1.collect()
+    first_work = C._CRUD_WORK_DIRS[-1]
+    assert os.path.isdir(first_work)
     r2 = C.collection_upsert_delete(spark, SF_SMOKE).collect()
-    second_work = C._CRUD_WORK_DIR
+    second_work = C._CRUD_WORK_DIRS[-1]
     assert r1 == r2
     assert second_work != first_work
-    assert not os.path.isdir(first_work)  # previous copy retired
+    # (c) the held first result is still collectable — its dir lives
+    assert os.path.isdir(first_work)
+    assert df1.collect() == r1
+    # (d) a third run retires the grandparent (run 1's copy)
+    r3 = C.collection_upsert_delete(spark, SF_SMOKE).collect()
+    assert r3 == r1
+    assert not os.path.isdir(first_work)
+    assert os.path.isdir(second_work)
+    assert len(C._CRUD_WORK_DIRS) == 2
     # the immutable base survives (one canonical build per content tag)
     base = [
         d
@@ -137,10 +149,18 @@ def test_bfs_levels_min_hop_and_early_exit(spark):
     }
     assert got0 == {1: 0}
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="max_hops"):
+    with pytest.raises(ValueError, match="max_hops"):
         G.bfs_levels(edges, seeds, max_hops=-1)
+
+    # NULL endpoints are not vertices: no (NULL, hops) rows, no
+    # duplicate re-emission round over round (NULL never equals NULL
+    # in the visited anti-join)
+    edges_n = spark.createDataFrame(
+        [(1, None), (1, 2), (2, None)], "src int, dst int"
+    )
+    got_n = G.bfs_levels(edges_n, seeds, max_hops=3).collect()
+    assert {(r["v"], r["hops"]) for r in got_n} == {(1, 0), (2, 1)}
+    assert len(got_n) == 2
 
 
 def test_encode_avi_rejects_zero_fps():

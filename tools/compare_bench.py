@@ -60,6 +60,16 @@ def main() -> None:
         help="canary elevation over the quiet reference that marks a "
         "row's window as co-tenant-hot (flag becomes HOT-WINDOW)",
     )
+    ap.add_argument(
+        "--abs-floor",
+        type=float,
+        default=0.3,
+        help="absolute min-increase (sec) a regression must also "
+        "exceed: local-mode sub-second rows jitter 20-35%% between "
+        "same-code quiet sweeps (host-regime drift, r10->r11 A/B "
+        "verified in docs/COSTS.md), so a relative-only rule flags "
+        "scheduling-floor noise",
+    )
     args = ap.parse_args()
     with open(args.old) as f:
         old = json.load(f)
@@ -98,7 +108,7 @@ def main() -> None:
     for name in common:
         o, n = oq[name], nq[name]
         band = max(spread(oruns.get(name)), spread(nruns.get(name)))
-        if n > o * (1 + args.tol) and n - o > band:
+        if n > o * (1 + args.tol) and n - o > max(band, args.abs_floor):
             c = ncan.get(name)
             if (
                 quiet_ref is not None

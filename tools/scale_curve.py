@@ -224,6 +224,9 @@ def main() -> None:
         "graph_skew_triangles_curve": C.graph_skew_triangles_curve,
         "graph_skew_support_curve": C.graph_skew_support_curve,
         "graph_skew_ktruss_curve": C.graph_skew_ktruss_curve,
+        # r11 twin: multi-source BFS — seeds re-derived per id-offset
+        # block so every replica contributes a full frontier expansion
+        "graph_bfs_curve": C.graph_bfs_curve,
     }
 
     for scale in scales:
