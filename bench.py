@@ -154,9 +154,11 @@ HEADLINE = [
     "q_graph_skew_support",
     "multimodal_video_stats",
     "q_graph_skew_scan",
-    # r11: multi-source BFS hop distances (frontier expansion), priced
-    # the round it is gated
+    # r11: multi-source BFS hop distances (frontier expansion) and
+    # entity resolution (multi-pass blocking -> predicate -> CC),
+    # priced the round they are gated
     "q_graph_bfs_levels",
+    "pipeline_entity_resolution",
 ]
 
 

@@ -1172,3 +1172,102 @@ def editdist_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    passes,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Entity resolution (record linkage): multi-pass blocking →
+    in-block pair predicate → connected components → one entity label
+    per record. The classic training-data op the dedup family doesn't
+    cover: near-duplicate DOCUMENTS share content, while duplicate
+    ENTITIES share identity across heterogeneous representations
+    (case/format variants, appended noise, alternate keys), so no
+    single similarity pass finds them — each blocking pass catches a
+    different variant axis and the component closure merges the
+    evidence.
+
+    ``passes`` is a sequence of ``(block_exprs, predicate)``:
+    ``block_exprs`` (list of Column/str) define the blocking key —
+    only records agreeing on it are paired (NULL keys never block:
+    SQL equality semantics, enforced here explicitly) — and
+    ``predicate(a, b)`` takes two struct Columns carrying the full
+    record and returns the match condition evaluated INSIDE the block.
+
+    Scale shape: each pass is one self-equi-join on the blocking key
+    (shuffle on that key, pairs bounded per block), never an all-pairs
+    product; blocks larger than ``max_block`` are DROPPED LOUDLY
+    (logged with their keys' count) exactly like the co-occurrence
+    hub cap — an oversized block means the blocking key is broken,
+    and silently going quadratic on it would be the real failure.
+    Cluster formation is large-star/small-star contraction (O(log n)
+    rounds). Returns (``id_col``, entity) with entity = the smallest
+    record id in the cluster; unmatched records resolve to themselves.
+    """
+    from pyspark.sql import Column
+
+    rec = records.select(
+        F.col(id_col).alias("_rid"), F.struct(*records.columns).alias("_row")
+    )
+    edges = None
+    for block_exprs, predicate in passes:
+        cols = [
+            c if isinstance(c, Column) else F.col(c) for c in block_exprs
+        ]
+        # blocking expressions resolve against the ORIGINAL record
+        # columns (they may be arbitrary Columns over them), so each
+        # pass projects its key straight off `records`
+        keyed = records.select(
+            F.struct(*cols).alias("_bk"),
+            F.col(id_col).alias("_rid"),
+            F.struct(*records.columns).alias("_row"),
+        ).filter(
+            # NULL anywhere in the key -> the record does not block
+            F.forall(
+                F.array(*[F.isnull(c).cast("int") for c in cols]),
+                lambda x: x == 0,
+            )
+        )
+        sizes = keyed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+        oversized = sizes.filter(F.col("_n") > max_block)
+        # one driver-side job per pass (the count), not two — the
+        # oversized set is bounded by #blocks and the count IS the
+        # existence probe
+        n_over = oversized.count()
+        if n_over:
+            log.warning(
+                "resolve_entities: dropping %d blocks larger than "
+                "max_block=%d — the blocking key is too coarse for "
+                "this pass; its pairs would be quadratic",
+                n_over,
+                max_block,
+            )
+            keyed = keyed.join(
+                oversized.select("_bk"), "_bk", "left_anti"
+            )
+        a = keyed.select(
+            "_bk", F.col("_rid").alias("_ida"), F.col("_row").alias("_rowa")
+        )
+        b = keyed.select(
+            "_bk", F.col("_rid").alias("_idb"), F.col("_row").alias("_rowb")
+        )
+        pairs = (
+            a.join(b, "_bk")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(predicate(F.col("_rowa"), F.col("_rowb")))
+            .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
+        )
+        edges = pairs if edges is None else edges.unionByName(pairs)
+    if edges is None:
+        raise ValueError("resolve_entities requires at least one pass")
+    comp = connected_components_star(edges.distinct(), "a", "b")
+    return (
+        rec.join(comp, rec["_rid"] == comp["node"], "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
+        )
+    )

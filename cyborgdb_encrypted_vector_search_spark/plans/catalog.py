@@ -7484,6 +7484,138 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_entity_resolution",
+    """
+    WITH RECURSIVE base AS (
+      SELECT c_custkey, c_name || ' ' || c_mktsegment AS nm,
+             'P' || CAST(c_custkey * 7919 AS VARCHAR) AS ph,
+             CAST(c_nationkey AS BIGINT) AS nation
+      FROM customer
+    ),
+    recs AS MATERIALIZED (
+      SELECT CAST(c_custkey AS BIGINT) AS id, nm AS name, ph AS phone,
+             nation
+      FROM base
+      UNION ALL
+      SELECT CAST(c_custkey + 10000000 AS BIGINT), lower(nm), ph, nation
+      FROM base
+      UNION ALL
+      SELECT CAST(c_custkey + 20000000 AS BIGINT), nm || 'X',
+             substr(ph, 1, length(ph) - 1) || '9', nation
+      FROM base WHERE c_custkey % 7 = 0
+    ),
+    phone_edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM recs a JOIN recs b ON a.phone = b.phone AND a.id < b.id
+    ),
+    name_edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM recs a JOIN recs b
+        ON a.nation = b.nation
+       AND substr(a.name, 10, 9) = substr(b.name, 10, 9)
+       AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT * FROM phone_edges UNION SELECT * FROM name_edges
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(node, lab) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON r.node = s.a
+    ),
+    comp AS (SELECT node, min(lab) AS entity FROM reach GROUP BY node),
+    labeled AS (
+      SELECT r.id, coalesce(c.entity, r.id) AS entity
+      FROM recs r LEFT JOIN comp c ON c.node = r.id
+    ),
+    clusters AS (
+      SELECT entity, count(*) AS sz FROM labeled GROUP BY entity
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(entity) AS BIGINT) AS entity_checksum
+    FROM clusters GROUP BY sz
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution showpiece (operators/dedup.resolve_entities):
+    multi-pass blocking → in-block predicate → component closure, the
+    record-linkage op a cross-source training-data pipeline runs where
+    document dedup stops (duplicate ENTITIES share identity across
+    heterogeneous representations, not content). The fixture derives a
+    deterministic variant corpus from `customer` in BOTH engines: a
+    case-mangled variant of every record (same phone — only the exact-
+    key pass can catch it: its name is ~30 edits away) and an
+    appended-noise + phone-typo variant of every 7th (levenshtein 1 on
+    the name, different phone — only the blocked fuzzy pass can catch
+    it). Pass 1 blocks on the exact phone; pass 2 blocks on (nation,
+    the 9-digit key segment of the name) and verifies levenshtein <= 2
+    inside the block — so each variant axis is found by a different
+    pass, the star-contraction closure merges the evidence into one
+    entity per customer, and the per-size cluster histogram +
+    entity-id checksum is value-hashed against DuckDB running the
+    identical blocking, the identical levenshtein threshold, and a
+    recursive min-label CTE over the identical edge set."""
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+    )
+
+    cust = load(spark, "customer", sf_dir)
+    b0 = cust.select(
+        F.col("c_custkey").cast("bigint").alias("ck"),
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.col("c_mktsegment")
+        ).alias("name"),
+        F.concat(
+            F.lit("P"), (F.col("c_custkey") * 7919).cast("string")
+        ).alias("phone"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    base = b0.select(
+        F.col("ck").alias("id"), "name", "phone", "nation"
+    )
+    v1 = b0.select(
+        (F.col("ck") + 10_000_000).alias("id"),
+        F.lower("name").alias("name"),
+        "phone",
+        "nation",
+    )
+    v2 = b0.filter(F.col("ck") % 7 == 0).select(
+        (F.col("ck") + 20_000_000).alias("id"),
+        F.concat("name", F.lit("X")).alias("name"),
+        F.concat(
+            F.expr("substr(phone, 1, length(phone) - 1)"), F.lit("9")
+        ).alias("phone"),
+        "nation",
+    )
+    recs = base.unionByName(v1).unionByName(v2)
+    resolved = resolve_entities(
+        recs,
+        "id",
+        passes=[
+            (["phone"], lambda a, b: F.lit(True)),
+            (
+                [F.col("nation"), F.substring("name", 10, 9)],
+                lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
+            ),
+        ],
+    )
+    clusters = resolved.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("entity").cast("bigint").alias("entity_checksum"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "entity_checksum",
+    )
+
+
+@query(
     "text_decontaminate",
     f"""
     WITH bench AS (
@@ -10427,6 +10559,66 @@ def graph_adamic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_resolution_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-curve twin of pipeline_entity_resolution (r11). The gate
+    rides `customer`, which the blowup COPIES rather than replicates,
+    so the twin derives the same variant corpus from the blown-up
+    `orders` keys instead (1x is therefore a ~10x-sized cousin of the
+    gate fixture, not byte-identical — documented deviation). Names
+    are fixed-width ('ORDER#' || lpad(key, 13, '0')) so the digit-
+    segment blocking key is invariant across the case/append variants
+    at any key width, and the id-offset blocks keep every replica's
+    blocks disjoint (both blocking keys embed the full offset key).
+    Same two passes, same per-size histogram reduction."""
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+    )
+
+    o = load(spark, "orders", sf_dir)
+    b0 = o.select(
+        F.col("o_orderkey").cast("bigint").alias("ck"),
+        F.concat(
+            F.lit("ORDER#"), F.lpad(F.col("o_orderkey").cast("string"), 13, "0")
+        ).alias("name"),
+        F.concat(
+            F.lit("P"), (F.col("o_orderkey") * 7919).cast("string")
+        ).alias("phone"),
+        (F.col("o_orderkey") % 25).alias("nation"),
+    )
+    base = b0.select(F.col("ck").alias("id"), "name", "phone", "nation")
+    v1 = b0.select(
+        (F.col("ck") + 100_000_000_000).alias("id"),
+        F.lower("name").alias("name"),
+        "phone",
+        "nation",
+    )
+    v2 = b0.filter(F.col("ck") % 7 == 0).select(
+        (F.col("ck") + 200_000_000_000).alias("id"),
+        F.concat("name", F.lit("X")).alias("name"),
+        F.concat(
+            F.expr("substr(phone, 1, length(phone) - 1)"), F.lit("9")
+        ).alias("phone"),
+        "nation",
+    )
+    recs = base.unionByName(v1).unionByName(v2)
+    resolved = resolve_entities(
+        recs,
+        "id",
+        passes=[
+            (["phone"], lambda a, b: F.lit(True)),
+            (
+                [F.col("nation"), F.substring("name", 7, 13)],
+                lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
+            ),
+        ],
+    )
+    clusters = resolved.groupBy("entity").agg(F.count(F.lit(1)).alias("sz"))
+    return clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("entity").cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
 def graph_bfs_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica-disjoint scale-curve twin of q_graph_bfs_levels (r11):
     the gate's seed rule (the 5 smallest vertex ids) is applied PER
@@ -12094,9 +12286,13 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest-first backfill (COVERAGE.md carries the query ->
 # last-gated-round table).
 #
-# (a) 1 round-11 addition: q_graph_bfs_levels (multi-source BFS hop
+# (a) 2 round-11 additions: q_graph_bfs_levels (multi-source BFS hop
 #     distances — the frontier-expansion kernel, gated against a
-#     recursive UNION CTE computing the same min-hop distances).
+#     recursive UNION CTE computing the same min-hop distances) and
+#     pipeline_entity_resolution (record linkage: multi-pass blocking
+#     -> in-block predicate -> star-contraction closure over a
+#     deterministic variant corpus; recursive min-label CTE oracle
+#     over the identical edge set).
 # (b) 3 touched since their last driver rows: collection_upsert_delete
 #     (disk-state protocol: per-run copytree of an immutable cached
 #     base replaces the per-run bulk rebuild — r10 what's-wrong #3),
@@ -12110,13 +12306,16 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     not re-windowed.
 # (c) the 25 remaining r6-age entries (the whole cohort at the
 #     staleness ceiling — mandatory, per the r10 verdict's task 2;
-#     search_evolutionary is the 26th, already in (b)) + the 21
-#     alphabetically-first r7-age entries as backfill. Deferred to
-#     round 12 (r7 age, hits the ceiling there): the remaining 21 r7
-#     entries — COVERAGE.md's r7 table row minus the 21 below.
+#     search_evolutionary is the 26th, already in (b)) + the 20
+#     alphabetically-first r7-age entries as backfill (the second new
+#     gate displaced q12_shipmode_priority, oldest-first rule).
+#     Deferred to round 12 (r7 age, hits the ceiling there): the
+#     remaining 22 r7 entries — COVERAGE.md's r7 table row minus the
+#     20 below.
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-11 addition
+    # (a) round-11 additions
     "q_graph_bfs_levels",
+    "pipeline_entity_resolution",
     # (b) body/oracle/call-graph touched since their last driver row
     "collection_upsert_delete",
     "search_evolutionary",
@@ -12168,7 +12367,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "knn_prompt_reconstruction",
     "knn_topk_cosine",
     "multimodal_features",
-    "q12_shipmode_priority",
 )
 
 

@@ -129,3 +129,46 @@ def test_scan_members_match_python_reference(spark, edges):
     }
     assert got == _py_scan(edges, 6, 10, 3)
     caching.release_all()
+
+
+def _py_bfs(
+    edges: set[tuple[int, int]], seeds: set[int], max_hops: int
+) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        nxt -= dist.keys()
+        if not nxt:
+            break
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+    return dist
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edge_sets,
+    st.sets(st.integers(1, 9), min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=4),
+)
+def test_bfs_levels_match_python_reference(spark, edges, seeds, max_hops):
+    """r11: the distributed frontier expansion must agree with a plain
+    Python BFS on randomized graphs, seed sets and hop bounds — min
+    hop per vertex, unreachable vertices absent, seeds at hop 0 even
+    when isolated."""
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "v long")
+    got = {
+        r["v"]: r["hops"]
+        for r in G.bfs_levels(df, sdf, max_hops=max_hops).collect()
+    }
+    assert got == _py_bfs(edges, seeds, max_hops)
+    caching.release_all()

@@ -249,3 +249,65 @@ def test_compare_bench_hot_window_rule(tmp_path, capsys, monkeypatch):
         cb.main()
     assert exc.value.code == 2
     assert "[HOT-WINDOW] qa" in capsys.readouterr().out
+
+
+def test_resolve_entities_multipass_and_block_cap(spark):
+    """resolve_entities: evidence from DIFFERENT passes must merge into
+    one entity (exact-key pass + fuzzy in-block pass), unmatched
+    records resolve to themselves, NULL blocking keys never block, and
+    oversized blocks are dropped (their would-be pairs vanish) rather
+    than going quadratic."""
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # entity A: 1-2 share phone; 2-3 near-name (same block "aa")
+        (1, "aaron smith", "p1", "aa"),
+        (2, "AARON SMITH", "p1", "aa"),
+        (3, "aaron smyth", "p2", "aa"),
+        # singleton
+        (4, "zed", "p9", "zz"),
+        # NULL phone: must not pair with the other NULL phone
+        (5, "nul one", None, "n1"),
+        (6, "nul two", None, "n2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, phone string, blk string"
+    )
+    res = {
+        r["id"]: r["entity"]
+        for r in resolve_entities(
+            df,
+            "id",
+            passes=[
+                (["phone"], lambda a, b: F.lit(True)),
+                (
+                    ["blk"],
+                    lambda a, b: F.levenshtein(
+                        F.lower(a["name"]), F.lower(b["name"])
+                    )
+                    <= 2,
+                ),
+            ],
+        ).collect()
+    }
+    assert res == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+
+    # block cap: a block of 3 dropped at max_block=2 -> all singletons
+    res2 = {
+        r["id"]: r["entity"]
+        for r in resolve_entities(
+            df,
+            "id",
+            passes=[(["blk"], lambda a, b: F.lit(True))],
+            max_block=2,
+        ).collect()
+    }
+    assert res2 == {i: i for i in range(1, 7)}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least one pass"):
+        resolve_entities(df, "id", passes=[])

@@ -227,6 +227,9 @@ def main() -> None:
         # r11 twin: multi-source BFS — seeds re-derived per id-offset
         # block so every replica contributes a full frontier expansion
         "graph_bfs_curve": C.graph_bfs_curve,
+        # r11 twin: entity resolution (blocking -> predicate -> CC)
+        # on the blown-up orders keys (customer is a COPY table)
+        "entity_resolution_curve": C.entity_resolution_curve,
     }
 
     for scale in scales:
