@@ -262,8 +262,9 @@ def connected_components(
     # precision promotion is available above the cap), so p <= 28
     # guarantees >= 10 digits of slack in that fixed accumulator
     # (the same margin integers get: 19-digit longs in a 38-digit
-    # accumulator) while p > 28 can
-    # compare equal every round and silently split components (caught
+    # accumulator) while p > 28 can overflow that accumulator — ANSI
+    # crashes the round, non-ANSI yields NULL sums that compare equal
+    # every round and silently split components (caught
     # by review in r10; pinned by
     # test_min_label_wide_decimal_ids_use_changed_row_probe). Every
     # other label type keeps the type-agnostic changed-row probe (one
@@ -1174,11 +1175,35 @@ def editdist_pairs(
     )
 
 
+def _er_keyed(records: DataFrame, id_col: str, block_exprs) -> DataFrame:
+    """Project a record frame onto one blocking pass's key space:
+    (_bk struct, _rid, _row full-record struct), with NULL-key records
+    removed — SQL equality semantics say a NULL key matches nothing,
+    and enforcing that here (rather than letting the self-join's
+    null-safe behavior decide) keeps both engines' edge sets
+    identical. Shared by resolve_entities and its incremental twin so
+    the two paths can never disagree on what a block contains."""
+    from pyspark.sql import Column
+
+    cols = [c if isinstance(c, Column) else F.col(c) for c in block_exprs]
+    return records.select(
+        F.struct(*cols).alias("_bk"),
+        F.col(id_col).alias("_rid"),
+        F.struct(*records.columns).alias("_row"),
+    ).filter(
+        F.forall(
+            F.array(*[F.isnull(c).cast("int") for c in cols]),
+            lambda x: x == 0,
+        )
+    )
+
+
 def resolve_entities(
     records: DataFrame,
     id_col: str,
     passes,
     max_block: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Entity resolution (record linkage): multi-pass blocking →
     in-block pair predicate → connected components → one entity label
@@ -1206,37 +1231,36 @@ def resolve_entities(
     Cluster formation is large-star/small-star contraction (O(log n)
     rounds). Returns (``id_col``, entity) with entity = the smallest
     record id in the cluster; unmatched records resolve to themselves.
-    """
-    from pyspark.sql import Column
 
+    ``stats``, when passed a dict, is populated in place with
+    ``dropped_blocks`` (total oversized blocks dropped across passes)
+    and ``dropped_blocks_per_pass`` — so a pipeline can ASSERT
+    zero-drop instead of scraping the warning log (a dropped block
+    means the blocking key was too coarse and the result is a
+    documented under-approximation, which callers should fail loudly
+    on unless they opted into it).
+    """
+    if stats is not None:
+        stats["dropped_blocks_per_pass"] = []
+        stats["dropped_blocks"] = 0
     rec = records.select(
         F.col(id_col).alias("_rid"), F.struct(*records.columns).alias("_row")
     )
     edges = None
     for block_exprs, predicate in passes:
-        cols = [
-            c if isinstance(c, Column) else F.col(c) for c in block_exprs
-        ]
         # blocking expressions resolve against the ORIGINAL record
         # columns (they may be arbitrary Columns over them), so each
         # pass projects its key straight off `records`
-        keyed = records.select(
-            F.struct(*cols).alias("_bk"),
-            F.col(id_col).alias("_rid"),
-            F.struct(*records.columns).alias("_row"),
-        ).filter(
-            # NULL anywhere in the key -> the record does not block
-            F.forall(
-                F.array(*[F.isnull(c).cast("int") for c in cols]),
-                lambda x: x == 0,
-            )
-        )
+        keyed = _er_keyed(records, id_col, block_exprs)
         sizes = keyed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
         oversized = sizes.filter(F.col("_n") > max_block)
         # one driver-side job per pass (the count), not two — the
         # oversized set is bounded by #blocks and the count IS the
         # existence probe
         n_over = oversized.count()
+        if stats is not None:
+            stats["dropped_blocks_per_pass"].append(n_over)
+            stats["dropped_blocks"] += n_over
         if n_over:
             log.warning(
                 "resolve_entities: dropping %d blocks larger than "
@@ -1271,3 +1295,173 @@ def resolve_entities(
             F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
         )
     )
+
+
+def resolve_entities_incremental(
+    old_records: DataFrame,
+    old_labels: DataFrame,
+    new_records: DataFrame,
+    id_col: str,
+    passes,
+    max_block: int = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """O(batch) incremental twin of :func:`resolve_entities` — the
+    maintenance path a 100 TB pipeline actually runs: a resolved
+    corpus (``old_records`` + its ``old_labels`` = (id, entity) from a
+    prior resolve over the SAME ``passes``) absorbs a batch of
+    ``new_records`` WITHOUT re-closing the full entity graph.
+
+    Method (entity contraction): per pass, the batch is keyed with the
+    identical :func:`_er_keyed` projection and joined (broadcast — the
+    batch is micro-batch-sized by contract) against the old corpus's
+    key index, yielding new-old candidate pairs; new-new pairs come
+    from the batch's own self-join. Every old endpoint is then
+    CONTRACTED to its existing entity label — sound because an old
+    entity is already a connected set, and exact for the min-id label
+    rule because the old label IS the min member id — and
+    large-star/small-star closure runs on the contracted graph only:
+    nodes = batch ids + touched old entity labels, i.e. O(batch), not
+    O(corpus). Old entities transitively merged THROUGH a new record
+    (two contracted labels linked by a batch node) land in one
+    component, exactly as a rebuild would.
+
+    Cost shape per pass: one scan + shuffle-free broadcast join over
+    the old key index (never a self-join of the old corpus), one
+    O(batch²/blocks) batch self-join, and a CC on an O(batch)-node
+    graph. The rebuild's cost is paid once, up front, never again.
+
+    Equality to a full rebuild on (old ∪ new) holds PROVIDED (a) ids
+    are globally unique across both frames, (b) ``old_labels`` came
+    from ``resolve_entities(old_records, ...)`` with the same passes
+    and ``max_block``, and (c) no block crosses ``max_block`` between
+    runs: the cap here is enforced on the COMBINED (old ∪ new) block
+    size — mirroring what a rebuild would see — but a block that grows
+    past the cap only suppresses its NEW pairs; merges already baked
+    into ``old_labels`` are monotone and cannot be undone. Pass
+    ``stats`` and assert ``stats["dropped_blocks"] == 0`` to fail
+    loudly instead of diverging (same contract as the rebuild's
+    zero-drop assertion). Gated equal to the full rebuild by
+    ``pipeline_entity_resolution_incremental`` (plans/catalog.py),
+    whose DuckDB oracle is the rebuild-over-everything CTE.
+    """
+    if stats is not None:
+        stats["dropped_blocks_per_pass"] = []
+        stats["dropped_blocks"] = 0
+    edges = None
+    for block_exprs, predicate in passes:
+        ko = _er_keyed(old_records, id_col, block_exprs)
+        kn = _er_keyed(new_records, id_col, block_exprs)
+        sizes = (
+            ko.select("_bk")
+            .unionAll(kn.select("_bk"))
+            .groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        oversized = sizes.filter(F.col("_n") > max_block)
+        n_over = oversized.count()
+        if stats is not None:
+            stats["dropped_blocks_per_pass"].append(n_over)
+            stats["dropped_blocks"] += n_over
+        if n_over:
+            log.warning(
+                "resolve_entities_incremental: dropping %d combined "
+                "blocks larger than max_block=%d — new pairs from "
+                "them are suppressed; prior merges stand (monotone)",
+                n_over,
+                max_block,
+            )
+            ko = ko.join(oversized.select("_bk"), "_bk", "left_anti")
+            kn = kn.join(oversized.select("_bk"), "_bk", "left_anti")
+        a = kn.select(
+            "_bk", F.col("_rid").alias("_ida"), F.col("_row").alias("_rowa")
+        )
+        b = kn.select(
+            "_bk", F.col("_rid").alias("_idb"), F.col("_row").alias("_rowb")
+        )
+        nn = (
+            a.join(b, "_bk")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(predicate(F.col("_rowa"), F.col("_rowb")))
+            .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
+        )
+        # new-old: ONE scan of the old key index, batch broadcast —
+        # the predicate contract is (smaller-id row, larger-id row),
+        # identical to the rebuild's self-join orientation, so a
+        # non-symmetric predicate cannot diverge the two paths
+        kb = F.broadcast(
+            kn.select(
+                "_bk",
+                F.col("_rid").alias("_idn"),
+                F.col("_row").alias("_rown"),
+            )
+        )
+        no = (
+            ko.join(kb, "_bk")
+            .filter(
+                F.when(
+                    F.col("_rid") < F.col("_idn"),
+                    predicate(F.col("_row"), F.col("_rown")),
+                ).otherwise(predicate(F.col("_rown"), F.col("_row")))
+            )
+            .select(
+                F.least("_rid", "_idn").alias("a"),
+                F.greatest("_rid", "_idn").alias("b"),
+            )
+        )
+        p = nn.unionByName(no)
+        edges = p if edges is None else edges.unionByName(p)
+    if edges is None:
+        raise ValueError(
+            "resolve_entities_incremental requires at least one pass"
+        )
+    lab = old_labels.select(
+        F.col(id_col).alias("_lid"), F.col("entity").alias("_lent")
+    )
+    # contract old endpoints to their entity labels (new ids pass
+    # through); the contracted edge set is O(batch)-sized, so both
+    # label joins broadcast
+    la = lab.select(
+        F.col("_lid").alias("_la"), F.col("_lent").alias("_ea")
+    )
+    lb = lab.select(
+        F.col("_lid").alias("_lb"), F.col("_lent").alias("_eb")
+    )
+    e = (
+        edges.distinct()
+        .join(la, F.col("a") == F.col("_la"), "left")
+        .join(lb, F.col("b") == F.col("_lb"), "left")
+        .select(
+            F.coalesce(F.col("_ea"), F.col("a")).alias("_ca"),
+            F.coalesce(F.col("_eb"), F.col("b")).alias("_cb"),
+        )
+    )
+    contracted = (
+        e.select(
+            F.least("_ca", "_cb").alias("a"),
+            F.greatest("_ca", "_cb").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    comp = connected_components_star(contracted, "a", "b").persist()
+    new_lab = (
+        new_records.select(F.col(id_col).alias("_rid"))
+        .join(comp, F.col("_rid") == F.col("node"), "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
+        )
+    )
+    remap = comp.select(
+        F.col("node").alias("_e"), F.col("component").alias("_c")
+    )
+    old_lab = (
+        old_labels.select(F.col(id_col), F.col("entity"))
+        .join(F.broadcast(remap), F.col("entity") == F.col("_e"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_c"), F.col("entity")).alias("entity"),
+        )
+    )
+    return old_lab.unionByName(new_lab)
