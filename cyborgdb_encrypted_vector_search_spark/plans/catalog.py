@@ -7557,11 +7557,64 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity per customer, and the per-size cluster histogram +
     entity-id checksum is value-hashed against DuckDB running the
     identical blocking, the identical levenshtein threshold, and a
-    recursive min-label CTE over the identical edge set."""
+    recursive min-label CTE over the identical edge set.
+
+    INVARIANT (r11 advisory): the DuckDB oracle has no counterpart to
+    resolve_entities' max_block drop — it pairs every block whatever
+    its size. Safe here because both blocking keys embed the unique
+    custkey (block size <= 3 at any SF), and enforced loudly below:
+    the gate asserts zero dropped blocks via the stats out-param, so a
+    future coarser key fails the gate instead of silently diverging
+    the engines."""
     from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
         resolve_entities,
     )
 
+    recs = _er_corpus(spark, sf_dir)
+    stats: dict = {}
+    resolved = resolve_entities(
+        recs, "id", passes=_ER_PASSES(), stats=stats
+    )
+    assert stats["dropped_blocks"] == 0, (
+        "entity-resolution gate: blocking key too coarse — "
+        f"{stats['dropped_blocks']} blocks dropped; the DuckDB oracle "
+        "has no drop and the engines would diverge"
+    )
+    return _er_histogram(resolved)
+
+
+def _ER_PASSES():
+    """The gate's two blocking passes (shared verbatim by the full and
+    incremental gates so their edge sets cannot drift): exact phone;
+    (nation, 9-digit name key segment) with levenshtein <= 2 verified
+    in-block."""
+    return [
+        (["phone"], lambda a, b: F.lit(True)),
+        (
+            [F.col("nation"), F.substring("name", 10, 9)],
+            lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
+        ),
+    ]
+
+
+def _er_histogram(resolved: DataFrame) -> DataFrame:
+    clusters = resolved.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("entity").cast("bigint").alias("entity_checksum"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "entity_checksum",
+    )
+
+
+def _er_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution variant corpus (base + case-mangled +
+    appended-noise/phone-typo), shared by the full and incremental
+    gates."""
     cust = load(spark, "customer", sf_dir)
     b0 = cust.select(
         F.col("c_custkey").cast("bigint").alias("ck"),
@@ -7573,9 +7626,7 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phone"),
         F.col("c_nationkey").cast("bigint").alias("nation"),
     )
-    base = b0.select(
-        F.col("ck").alias("id"), "name", "phone", "nation"
-    )
+    base = b0.select(F.col("ck").alias("id"), "name", "phone", "nation")
     v1 = b0.select(
         (F.col("ck") + 10_000_000).alias("id"),
         F.lower("name").alias("name"),
@@ -7590,29 +7641,103 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phone"),
         "nation",
     )
-    recs = base.unionByName(v1).unionByName(v2)
-    resolved = resolve_entities(
-        recs,
-        "id",
-        passes=[
-            (["phone"], lambda a, b: F.lit(True)),
-            (
-                [F.col("nation"), F.substring("name", 10, 9)],
-                lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
-            ),
-        ],
+    return base.unionByName(v1).unionByName(v2)
+
+
+@query(
+    "pipeline_entity_resolution_incremental",
+    """
+    WITH RECURSIVE base AS (
+      SELECT c_custkey, c_name || ' ' || c_mktsegment AS nm,
+             'P' || CAST(c_custkey * 7919 AS VARCHAR) AS ph,
+             CAST(c_nationkey AS BIGINT) AS nation
+      FROM customer
+    ),
+    recs AS MATERIALIZED (
+      SELECT CAST(c_custkey AS BIGINT) AS id, nm AS name, ph AS phone,
+             nation
+      FROM base
+      UNION ALL
+      SELECT CAST(c_custkey + 10000000 AS BIGINT), lower(nm), ph, nation
+      FROM base
+      UNION ALL
+      SELECT CAST(c_custkey + 20000000 AS BIGINT), nm || 'X',
+             substr(ph, 1, length(ph) - 1) || '9', nation
+      FROM base WHERE c_custkey % 7 = 0
+    ),
+    phone_edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM recs a JOIN recs b ON a.phone = b.phone AND a.id < b.id
+    ),
+    name_edges AS (
+      SELECT a.id AS a, b.id AS b
+      FROM recs a JOIN recs b
+        ON a.nation = b.nation
+       AND substr(a.name, 10, 9) = substr(b.name, 10, 9)
+       AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT * FROM phone_edges UNION SELECT * FROM name_edges
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(node, lab) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON r.node = s.a
+    ),
+    comp AS (SELECT node, min(lab) AS entity FROM reach GROUP BY node),
+    labeled AS (
+      SELECT r.id, coalesce(c.entity, r.id) AS entity
+      FROM recs r LEFT JOIN comp c ON c.node = r.id
+    ),
+    clusters AS (
+      SELECT entity, count(*) AS sz FROM labeled GROUP BY entity
     )
-    clusters = resolved.groupBy("entity").agg(
-        F.count(F.lit(1)).alias("sz")
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(entity) AS BIGINT) AS entity_checksum
+    FROM clusters GROUP BY sz
+    """,
+)
+def pipeline_entity_resolution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(batch) maintenance twin of pipeline_entity_resolution
+    (operators/dedup.resolve_entities_incremental) — proves the
+    incremental path lands EXACTLY where the rebuild does: the oracle
+    is the identical rebuild-over-everything recursive CTE, while
+    Spark resolves only the base corpus (ids with id % 3 != 0), then
+    absorbs the held-out third as a batch via entity contraction. The
+    modulus cuts ACROSS the variant axes (10M and 20M id offsets are
+    ≡ 1 and 2 mod 3), so the batch exercises every incremental shape:
+    new-record-joins-old-entity, two old entities merged transitively
+    through a batch record (a base record arriving after both its
+    variants), and relabel-down (a batch id smaller than the old
+    entity label). Zero-drop asserted on both phases via the stats
+    out-param — same invariant note as the full gate."""
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+        resolve_entities_incremental,
     )
-    return clusters.groupBy("sz").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        F.sum("entity").cast("bigint").alias("entity_checksum"),
-    ).select(
-        F.col("sz").cast("bigint").alias("cluster_size"),
-        "n_clusters",
-        "entity_checksum",
+
+    recs = _er_corpus(spark, sf_dir)
+    old = recs.filter(F.col("id") % 3 != 0)
+    new = recs.filter(F.col("id") % 3 == 0)
+    s1: dict = {}
+    s2: dict = {}
+    old_labels = resolve_entities(
+        old, "id", passes=_ER_PASSES(), stats=s1
     )
+    merged = resolve_entities_incremental(
+        old, old_labels, new, "id", passes=_ER_PASSES(), stats=s2
+    )
+    assert s1["dropped_blocks"] == 0 and s2["dropped_blocks"] == 0, (
+        "incremental entity-resolution gate: oversized blocks dropped "
+        f"({s1['dropped_blocks']}/{s2['dropped_blocks']}) — equality "
+        "to the rebuild oracle only holds at zero drops"
+    )
+    return _er_histogram(merged)
 
 
 @query(
@@ -10559,21 +10684,9 @@ def graph_adamic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def entity_resolution_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-curve twin of pipeline_entity_resolution (r11). The gate
-    rides `customer`, which the blowup COPIES rather than replicates,
-    so the twin derives the same variant corpus from the blown-up
-    `orders` keys instead (1x is therefore a ~10x-sized cousin of the
-    gate fixture, not byte-identical — documented deviation). Names
-    are fixed-width ('ORDER#' || lpad(key, 13, '0')) so the digit-
-    segment blocking key is invariant across the case/append variants
-    at any key width, and the id-offset blocks keep every replica's
-    blocks disjoint (both blocking keys embed the full offset key).
-    Same two passes, same per-size histogram reduction."""
-    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
-        resolve_entities,
-    )
-
+def _er_orders_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curve twins' variant corpus, derived from the blown-up
+    `orders` keys (shared by the rebuild and incremental curves)."""
     o = load(spark, "orders", sf_dir)
     b0 = o.select(
         F.col("o_orderkey").cast("bigint").alias("ck"),
@@ -10600,23 +10713,98 @@ def entity_resolution_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phone"),
         "nation",
     )
-    recs = base.unionByName(v1).unionByName(v2)
-    resolved = resolve_entities(
-        recs,
-        "id",
-        passes=[
-            (["phone"], lambda a, b: F.lit(True)),
-            (
-                [F.col("nation"), F.substring("name", 7, 13)],
-                lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
-            ),
-        ],
-    )
+    return base.unionByName(v1).unionByName(v2)
+
+
+def _er_orders_passes():
+    """The curve twins' two blocking passes: exact phone; (nation,
+    13-digit key segment at offset 7 of the fixed-width 'ORDER#' name)
+    with levenshtein <= 2 verified in-block."""
+    return [
+        (["phone"], lambda a, b: F.lit(True)),
+        (
+            [F.col("nation"), F.substring("name", 7, 13)],
+            lambda a, b: F.levenshtein(a["name"], b["name"]) <= 2,
+        ),
+    ]
+
+
+def _er_curve_histogram(resolved: DataFrame) -> DataFrame:
     clusters = resolved.groupBy("entity").agg(F.count(F.lit(1)).alias("sz"))
     return clusters.groupBy("sz").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        # cast BEFORE summing: id-offset entity labels reach ~2*10^11
+        # and a BIGINT sum over millions of them can wrap silently
         F.sum(F.col("entity").cast("decimal(38,0)")).alias("checksum"),
     )
+
+
+def entity_resolution_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-curve twin of pipeline_entity_resolution (r11). The gate
+    rides `customer`, which the blowup COPIES rather than replicates,
+    so the twin derives the same variant corpus from the blown-up
+    `orders` keys instead (1x is therefore a ~10x-sized cousin of the
+    gate fixture, not byte-identical — documented deviation). Names
+    are fixed-width ('ORDER#' || lpad(key, 13, '0')) so the digit-
+    segment blocking key is invariant across the case/append variants
+    at any key width, and the id-offset blocks keep every replica's
+    blocks disjoint (both blocking keys embed the full offset key).
+    Same two passes, same per-size histogram reduction."""
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+    )
+
+    recs = _er_orders_corpus(spark, sf_dir)
+    resolved = resolve_entities(recs, "id", passes=_er_orders_passes())
+    return _er_curve_histogram(resolved)
+
+
+def entity_resolution_incremental_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-curve twin of pipeline_entity_resolution_incremental
+    (r12): a FIXED batch absorbed into a GROWING resolved corpus — the
+    100 TB maintenance claim stated measurably. The batch is the
+    replica-0 base variant of every 31st key (size-invariant across
+    the blowup); the old corpus is everything else, and its labels are
+    resolved ONCE into a content-tagged /tmp parquet (the same
+    build-then-reuse protocol as the IVF incremental-append curve), so
+    the timed work is the absorb alone: per pass, one scan of the old
+    key index probed by the broadcast batch, then closure on the
+    O(batch) contracted graph. A scalable absorb shows t ≈ fixed +
+    scan-slope * corpus rows — NOT the rebuild curve's closure term.
+    Each batch record is a base row whose v1/v2 variants sit in the
+    old corpus as two SEPARATE entities (case-mangle kills the name
+    edge between v1 and v2), so every absorb merges two old entities
+    through a new record and relabels both DOWN to the batch id —
+    the adversarial shapes at full scale, not a no-op append."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from cyborgdb_encrypted_vector_search_spark.operators.dedup import (
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    recs = _er_orders_corpus(spark, sf_dir)
+    is_batch = (F.col("id") < 1_000_000_000) & (F.col("id") % 31 == 0)
+    old = recs.filter(~is_batch)
+    new = recs.filter(is_batch)
+    ctag = _content_tag(spark, sf_dir, "orders", "o_orderkey")
+    tag = _hl.md5(f"{sf_dir}:er_inc_v1:{ctag}".encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"er_inc_labels_{tag}")
+    if not _os.path.isdir(path):
+        tmp = f"{path}.tmp{_os.getpid()}"
+        resolve_entities(
+            old, "id", passes=_er_orders_passes()
+        ).write.parquet(tmp)
+        _publish_dir(tmp, path)
+    old_labels = spark.read.schema("id bigint, entity bigint").parquet(path)
+    merged = resolve_entities_incremental(
+        old, old_labels, new, "id", passes=_er_orders_passes()
+    )
+    return _er_curve_histogram(merged)
 
 
 def graph_bfs_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11635,6 +11823,63 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_graph_bfs_levels.__doc__ = q_graph_bfs_levels.__doc__.format(
     _BFS_N_SEEDS=_BFS_N_SEEDS, _BFS_MAX_HOPS=_BFS_MAX_HOPS
+)
+
+
+_BFS_TRUNC_HOPS = 1
+
+
+@query(
+    "q_graph_bfs_truncated",
+    f"""
+    WITH RECURSIVE edges AS MATERIALIZED ({_GRAPH_EDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS v FROM sym ORDER BY v LIMIT {_BFS_N_SEEDS}
+    ),
+    walk(v, hops) AS (
+      SELECT v, 0 FROM seeds
+      UNION
+      SELECT s.dst, w.hops + 1
+      FROM walk w JOIN sym s ON s.src = w.v
+      WHERE w.hops < {_BFS_TRUNC_HOPS}
+    )
+    SELECT CAST(v AS BIGINT) AS v, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY v
+    """,
+)
+def q_graph_bfs_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-budget TRUNCATION twin of q_graph_bfs_levels (r11 verdict
+    task 6): the gate fixture's co-purchase graph reaches its whole
+    component within ~2 hops of the seed set, so the main gate
+    (max_hops={_BFS_MAX_HOPS}) exercises early exit but never the
+    truncation branch. This twin runs the SAME seeds at
+    max_hops={_BFS_TRUNC_HOPS}, where vertices beyond the budget must
+    be absent from BOTH engines' output — the truncation semantics are
+    now value-hashed cross-engine, not just unit-pinned
+    (test_round11.py pins the Spark side alone)."""
+    edges = track(_graph_edges(spark, sf_dir).persist())
+    from cyborgdb_encrypted_vector_search_spark.operators import graph as G
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.orderBy(F.asc("v")).limit(_BFS_N_SEEDS)
+    res = G.bfs_levels(edges, seeds, max_hops=_BFS_TRUNC_HOPS)
+    return res.select(
+        F.col("v").cast("bigint").alias("v"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )
+
+
+q_graph_bfs_truncated.__doc__ = q_graph_bfs_truncated.__doc__.format(
+    _BFS_MAX_HOPS=_BFS_MAX_HOPS, _BFS_TRUNC_HOPS=_BFS_TRUNC_HOPS
 )
 
 

@@ -167,3 +167,22 @@ def test_incremental_predicate_orientation(spark):
     inc = resolve_entities_incremental(old, old_labels, new, "id", passes)
     full = resolve_entities(old.unionByName(new), "id", passes)
     assert _labels(inc) == _labels(full)
+
+
+def test_incremental_curve_twin_equals_rebuild_twin(spark, sf_dir):
+    """The scale-curve twins share one corpus, so the incremental
+    absorb (fixed batch + cached old labels) must land on the exact
+    histogram the rebuild twin computes — the same equality the driver
+    gate proves at sf0.01, pinned here on the curve path (which
+    additionally exercises the /tmp label cache and the parquet
+    round-trip of old_labels)."""
+    from cyborgdb_encrypted_vector_search_spark.plans import catalog as C
+
+    a = sorted(map(tuple, C.entity_resolution_curve(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            C.entity_resolution_incremental_curve(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b

@@ -230,6 +230,13 @@ def main() -> None:
         # r11 twin: entity resolution (blocking -> predicate -> CC)
         # on the blown-up orders keys (customer is a COPY table)
         "entity_resolution_curve": C.entity_resolution_curve,
+        # r12 twin: FIXED batch absorbed into the GROWING resolved
+        # corpus (old labels built once into a content-tagged /tmp
+        # parquet; the timed work is the absorb alone — scan slope,
+        # not closure)
+        "entity_resolution_incremental_curve": (
+            C.entity_resolution_incremental_curve
+        ),
     }
 
     for scale in scales:
