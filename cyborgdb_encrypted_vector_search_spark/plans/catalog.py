@@ -12525,93 +12525,99 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; keep deferred names in the comment so nothing is dropped.
 # ----------------------------------------------------------------------
 
-# Round 11 window — same staleness invariant: (a) every NEW query,
-# (b) every query whose body, oracle, or call-graph changed since its
-# last driver row, (c) the cohort at the staleness ceiling, then
-# oldest-first backfill (COVERAGE.md carries the query ->
-# last-gated-round table).
+# Round 12 window — the staleness invariant RE-DERIVED (r11 verdict
+# "what's missing" #1: 204/50 had outgrown the r7-adopted 4-round
+# ceiling). The honest arithmetic, now enforced by
+# tools/rotation_schedule.py (run per round; simulates the rule 12
+# rounds forward from the committed CORRECTNESS_r*.json artifacts):
 #
-# (a) 2 round-11 additions: q_graph_bfs_levels (multi-source BFS hop
-#     distances — the frontier-expansion kernel, gated against a
-#     recursive UNION CTE computing the same min-hop distances) and
-#     pipeline_entity_resolution (record linkage: multi-pass blocking
-#     -> in-block predicate -> star-contraction closure over a
-#     deterministic variant corpus; recursive min-label CTE oracle
-#     over the identical edge set).
-# (b) 3 touched since their last driver rows: collection_upsert_delete
-#     (disk-state protocol: per-run copytree of an immutable cached
-#     base replaces the per-run bulk rebuild — r10 what's-wrong #3),
-#     search_evolutionary (per-generation embed/score batch split into
-#     _generation_scored with an exact parallelize width — the old
-#     coalesce could silently narrow; plan-pinned, r10 task 6),
-#     multimodal_video_stats (encode_avi now validates fps >= 1 —
-#     advisory fix in the gate fixture's encoder call graph).
-#     dedup_connected_components had a comment-only reword (advisory:
-#     stated mechanism of the decimal headroom) — no semantic change,
-#     not re-windowed.
-# (c) the 25 remaining r6-age entries (the whole cohort at the
-#     staleness ceiling — mandatory, per the r10 verdict's task 2;
-#     search_evolutionary is the 26th, already in (b)) + the 20
-#     alphabetically-first r7-age entries as backfill (the second new
-#     gate displaced q12_shipmode_priority, oldest-first rule).
-#     Deferred to round 12 (r7 age, hits the ceiling there): the
-#     remaining 22 r7 entries — COVERAGE.md's r7 table row minus the
-#     20 below.
+#   N = 206 catalog queries, W = 50 driver slots,
+#   k = 8 slots/round reserved for new + touched entries
+#   ceiling = ceil(N / (W - k)) = ceil(206 / 42) = 5 rounds
+#   growth budget = (5*50 - 206) / 5 = 8.8 net additions/round
+#
+# Window rule (unchanged in form): (a) every NEW query, (b) every
+# query whose body, oracle, or call-graph changed since its last
+# driver row, (c) the at-ceiling cohort (age reaches 5 this round),
+# then oldest-first backfill. Catalog growth is now BUDGETED: any
+# round adding more than the budget must consolidate or displace
+# (rotation_schedule.py exits 1 when the derived ceiling drifts from
+# the documented one).
+#
+# r12 construction:
+# (a) 2 new: pipeline_entity_resolution_incremental (O(batch) absorb
+#     gated equal to the full-rebuild oracle), q_graph_bfs_truncated
+#     (hop-budget truncation branch value-hashed cross-engine).
+# (b) 1 touched: pipeline_entity_resolution (stats out-param +
+#     zero-drop assertion + shared-corpus refactor with the
+#     incremental gate). dedup_connected_components had a
+#     comment-only reword (restored overflow clause, r11 advisory) —
+#     no semantic change, not re-windowed.
+# (c) the 22 r7-age entries (age 5 at r12 — the whole cohort,
+#     mandatory) + 25 oldest-first backfill = the alphabetically-
+#     first 25 of the 38 r8-age entries. Deferred (r8-age, due r13):
+#     q_cube_lineitem, q_events_asof_signup, q_events_user_gaps,
+#     q_like_regex_filter, q_part_brand_stats, q_percentiles,
+#     q_semi_join_active, q_skew_salted_join,
+#     q_window_top_orders_per_cust, source_text_lines,
+#     streaming_incremental_dedup, text_lang_distribution,
+#     text_quality_filter (13 — comfortably inside r13's 42
+#     non-reserved slots; see the simulator's transient table).
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-11 additions
-    "q_graph_bfs_levels",
-    "pipeline_entity_resolution",
+    # (a) round-12 additions
+    "pipeline_entity_resolution_incremental",
+    "q_graph_bfs_truncated",
     # (b) body/oracle/call-graph touched since their last driver row
-    "collection_upsert_delete",
-    "search_evolutionary",
-    "multimodal_video_stats",
-    # (c) the 25 remaining r6-age entries (staleness ceiling)
-    "q_compact_small_files",
-    "q_dpp_star_join",
-    "q_events_gapfill_hourly",
-    "q_events_transitions",
-    "q_grouping_sets_orders",
-    "q_heavy_hitters_cms",
-    "q_pivot_status_priority",
-    "q_sample_hash",
-    "q_sample_mixture",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sample_weighted_groups",
-    "q_stats_regression_lineitem",
-    "q_table_fingerprint",
-    "search_greedy",
-    "search_invert_both",
-    "streaming_dedup_count",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_static_join",
-    "text_bpe_merge_counts",
-    "text_decontaminate",
-    "text_pii_scan",
-    "text_repetition_stats",
-    "text_vocabulary_topk",
-    # (c) oldest-first backfill: 21 alphabetically-first r7-age entries
-    "ann_ivf_assign",
-    "ann_ivf_batch_topk",
-    "ann_ivf_search_topk",
-    "ann_lsh_batch_topk",
-    "ann_lsh_bucket_stats",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_probe_topk",
-    "dedup_editdist_pairs",
-    "dedup_embedding_neardup",
-    "dedup_exact_groups",
-    "dedup_jaccard_verified",
-    "dedup_keep_best",
-    "dedup_minhash_pairs",
-    "dedup_simhash_wide",
-    "dedup_winnow_overlap",
-    "knn_batch_topk",
-    "knn_llm_reconstruction",
-    "knn_prompt_reconstruction",
-    "knn_topk_cosine",
-    "multimodal_features",
+    "pipeline_entity_resolution",
+    # (c) the 22 r7-age entries (at the re-derived 5-round ceiling)
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q_anti_join_quiet_customers",
+    "q_approx_sketches",
+    "q_events_ema_rows",
+    "q_events_ema_user",
+    "q_events_range_join",
+    "q_events_sessionization",
+    "q_exact_quantiles_orders",
+    "q_quantile_bounds_orders",
+    "q_rank_scalable_orders",
+    "q_rollup_orders",
+    "q_set_ops_customers",
+    "q_shuffle_shard",
+    "q_split_train_val_test",
+    "q_token_budget_select",
+    "text_perplexity_filter",
+    # (c) oldest-first backfill: 25 alphabetically-first r8-age entries
+    "ann_ivf_incremental_append",
+    "ann_ivf_kmeans_build",
+    "ann_ivf_layout_search",
+    "ann_ivfadc_batch_topk",
+    "ann_ivfadc_search_topk",
+    "ann_ivfpq_batch_topk",
+    "ann_ivfpq_search_topk",
+    "ann_pq_search_topk",
+    "collection_lifecycle",
+    "collection_query_encrypted",
+    "collection_query_filtered",
+    "collection_query_topk",
+    "crypto_key_rotation",
+    "dedup_simhash",
+    "dedup_simhash_groups",
+    "json_vector_roundtrip",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q_argmax_order",
 )
 
 

@@ -186,3 +186,24 @@ def test_incremental_curve_twin_equals_rebuild_twin(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_rotation_schedule_invariant():
+    """The r12 re-derived staleness arithmetic (ceiling 5, reserve 8)
+    must hold: the documented ceiling equals the derived one, the
+    queued GATE_PRIORITY window contains every at-ceiling and new
+    query, and the 12-round forward simulation never exceeds the
+    ceiling. Breaking any of these (catalog growth past the budget, a
+    window edit dropping a due cohort) fails here before the driver
+    sees it."""
+    import subprocess
+    import sys
+
+    for mode in ("status", "window"):
+        r = subprocess.run(
+            [sys.executable, "tools/rotation_schedule.py", mode],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
