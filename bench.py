@@ -159,6 +159,13 @@ HEADLINE = [
     # priced the round they are gated
     "q_graph_bfs_levels",
     "pipeline_entity_resolution",
+    # r12: the incremental absorb (resolve 2/3 + absorb 1/3 — the gate
+    # prices the equality proof, not the steady-state absorb; the
+    # fixed-batch absorb alone is priced by the scale-curve twin) and
+    # the hop-budget truncation branch, priced the round they are
+    # gated
+    "pipeline_entity_resolution_incremental",
+    "q_graph_bfs_truncated",
 ]
 
 
@@ -173,6 +180,21 @@ def main() -> None:
     # parked fd as the final atomic write.
     real_stdout = os.dup(1)
     os.dup2(2, 1)
+
+    # --only a,b,c  : run only the named HEADLINE/serve rows
+    # --splice      : merge this run's rows into the existing
+    #                 BENCH_DETAIL.json instead of replacing it —
+    #                 the documented remedy for rows whose canary
+    #                 bracket flagged a co-tenant-hot window (r11
+    #                 verdict "what's wrong" #1): re-run them QUIET,
+    #                 splice, re-commit, so the committed artifact
+    #                 carries no self-flagged rows. Timing semantics
+    #                 of spliced rows are identical to a full sweep
+    #                 (same warmups, canary bracket, min-of-3).
+    only: set[str] | None = None
+    splice = "--splice" in sys.argv
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -250,6 +272,8 @@ def main() -> None:
     canary_sec: dict[str, list[float]] = {}
     loadavg_1m: dict[str, list[float]] = {}
     for name in HEADLINE:
+        if only is not None and name not in only:
+            continue
         fn = cat[name].fn
         before = _canary()
         runs, loads = [], []
@@ -267,6 +291,8 @@ def main() -> None:
         canary_sec[name] = [before, _canary()]
         loadavg_1m[name] = loads
     for name, fn in serve_only.items():
+        if only is not None and name not in only:
+            continue
         fn(spark, sf_dir)  # warm: builds + caches the index, untimed
         before = _canary()
         runs, loads = [], []
@@ -278,6 +304,21 @@ def main() -> None:
         timings[name], runs_sec[name] = min(runs), runs
         canary_sec[name] = [before, _canary()]
         loadavg_1m[name] = loads
+
+    if splice:
+        detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+        with open(detail_path) as f:
+            prev = json.load(f)
+        for key, cur in (
+            ("queries", timings),
+            ("runs_sec", runs_sec),
+            ("canary_sec", canary_sec),
+            ("loadavg_1m", loadavg_1m),
+        ):
+            merged = dict(prev.get(key, {}))
+            merged.update(cur)
+            cur.clear()
+            cur.update(merged)
 
     total = round(sum(timings.values()), 3)
 
