@@ -1419,18 +1419,29 @@ def resolve_entities_incremental(
         F.col(id_col).alias("_lid"), F.col("entity").alias("_lent")
     )
     # contract old endpoints to their entity labels (new ids pass
-    # through); the contracted edge set is O(batch)-sized, so both
-    # label joins broadcast
-    la = lab.select(
-        F.col("_lid").alias("_la"), F.col("_lent").alias("_ea")
+    # through). Join shape matters at scale: old_labels is
+    # CORPUS-sized, and a left join with it on the build side can't
+    # broadcast (LeftOuter builds right), which would shuffle the
+    # whole labels table. Instead: project the O(batch) touched
+    # endpoint set, semi-reduce old_labels against its broadcast (one
+    # scan, BHJ, O(batch) survivors), and broadcast THAT lookup into
+    # both endpoint joins — old_labels is scanned, never shuffled.
+    ed = edges.distinct().persist()
+    touched = (
+        ed.select(F.col("a").alias("_t"))
+        .unionByName(ed.select(F.col("b").alias("_t")))
+        .distinct()
     )
-    lb = lab.select(
-        F.col("_lid").alias("_lb"), F.col("_lent").alias("_eb")
+    lk = (
+        lab.join(F.broadcast(touched), F.col("_lid") == F.col("_t"))
+        .select("_lid", "_lent")
+        .persist()
     )
+    la = lk.select(F.col("_lid").alias("_la"), F.col("_lent").alias("_ea"))
+    lb = lk.select(F.col("_lid").alias("_lb"), F.col("_lent").alias("_eb"))
     e = (
-        edges.distinct()
-        .join(la, F.col("a") == F.col("_la"), "left")
-        .join(lb, F.col("b") == F.col("_lb"), "left")
+        ed.join(F.broadcast(la), F.col("a") == F.col("_la"), "left")
+        .join(F.broadcast(lb), F.col("b") == F.col("_lb"), "left")
         .select(
             F.coalesce(F.col("_ea"), F.col("a")).alias("_ca"),
             F.coalesce(F.col("_eb"), F.col("b")).alias("_cb"),
@@ -1447,7 +1458,7 @@ def resolve_entities_incremental(
     comp = connected_components_star(contracted, "a", "b").persist()
     new_lab = (
         new_records.select(F.col(id_col).alias("_rid"))
-        .join(comp, F.col("_rid") == F.col("node"), "left")
+        .join(F.broadcast(comp), F.col("_rid") == F.col("node"), "left")
         .select(
             F.col("_rid").alias(id_col),
             F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
