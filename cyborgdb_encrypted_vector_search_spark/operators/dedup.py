@@ -1426,13 +1426,15 @@ def resolve_entities_incremental(
     # endpoint set, semi-reduce old_labels against its broadcast (one
     # scan, BHJ, O(batch) survivors), and broadcast THAT lookup into
     # both endpoint joins — old_labels is scanned, never shuffled.
-    ed = edges.distinct().persist()
+    from cyborgdb_encrypted_vector_search_spark.caching import track
+
+    ed = track(edges.distinct().persist())
     touched = (
         ed.select(F.col("a").alias("_t"))
         .unionByName(ed.select(F.col("b").alias("_t")))
         .distinct()
     )
-    lk = (
+    lk = track(
         lab.join(F.broadcast(touched), F.col("_lid") == F.col("_t"))
         .select("_lid", "_lent")
         .persist()
@@ -1455,7 +1457,7 @@ def resolve_entities_incremental(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    comp = connected_components_star(contracted, "a", "b").persist()
+    comp = track(connected_components_star(contracted, "a", "b").persist())
     new_lab = (
         new_records.select(F.col(id_col).alias("_rid"))
         .join(F.broadcast(comp), F.col("_rid") == F.col("node"), "left")

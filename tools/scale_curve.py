@@ -15,7 +15,8 @@ keep one canonical hit and the blowup adds *distinct* rows, not
 key collisions.
 
 Prints one JSON line per (scale, query). Usage:
-  python tools/scale_curve.py [base_sf_dir] [scales e.g. 1,4,16]
+  python tools/scale_curve.py [base_sf_dir] [scales e.g. 1,4,16] \
+      [only e.g. entity_resolution_curve,graph_bfs_curve]
 """
 
 from __future__ import annotations
@@ -178,6 +179,10 @@ def materialize(spark, base: str, scale: int, out: str) -> None:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scales = [int(s) for s in (sys.argv[2] if len(sys.argv) > 2 else "1,4,16").split(",")]
+    # optional 3rd arg: comma-list of query/twin names — run ONLY
+    # those (a new operator's same-round curve point shouldn't re-pay
+    # the full suite)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     tmp = os.environ.get("TMPDIR", "/tmp")
 
     from cyborgdb_encrypted_vector_search_spark.caching import release_all
@@ -244,6 +249,8 @@ def main() -> None:
         if scale != 1:
             materialize(spark, base, scale, sf_dir)
         for name in [*QUERIES, *extra]:
+            if only is not None and name not in only:
+                continue
             fn = cat[name].fn if name in cat else extra[name]
             best = float("inf")
             for _ in range(2):
