@@ -400,14 +400,27 @@ def connected_components_star(
         if stats is not None:
             stats["rounds"] = 0
         return nodes.withColumn("component", F.col("node"))
-    rounds = 0
-    converged = False
-    while n_e > 0 and rounds < max_iter:
-        # LARGE-STAR: symmetric adjacency; m(u) = min(Γ(u) ∪ {u});
-        # emit (v, m(u)) for every neighbor v > u. Result stays
-        # large -> small because v > u >= m(u).
-        sym = e.unionAll(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    def _contract_once(cur: DataFrame, bcast: bool) -> DataFrame:
+        """One large-star + small-star pass over large->small edges
+        (lazy — the caller decides materialization).
+
+        LARGE-STAR: symmetric adjacency; m(u) = min(Γ(u) ∪ {u}); emit
+        (v, m(u)) for every neighbor v > u — stays large -> small
+        because v > u >= m(u). No distinct on the intermediate (r12):
+        both consumers tolerate duplicate rows — min is
+        duplicate-insensitive and the small-star distinct dedups the
+        stored set — so the extra exchange bought nothing.
+        SMALL-STAR: key each node u over its smaller neighbors; attach
+        u and all of them to the minimum.
+
+        ``bcast`` (cost probe, r12): the per-node min tables are O(n)
+        rows with n bounded by the node count; while they comfortably
+        broadcast (~16 B/row, same bound class as pagerank's
+        broadcast_ranks and the support kernel's small_adj), the two
+        attach joins stream sym/large with NO shuffle. Big graphs keep
+        the scale-safe shuffle joins."""
+        sym = cur.unionAll(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         mins = (
             sym.groupBy("a")
@@ -415,25 +428,29 @@ def connected_components_star(
             .select("a", F.least("__mb", "a").alias("m"))
         )
         large = (
-            sym.join(mins, "a")
+            sym.join(F.broadcast(mins) if bcast else mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
-        # SMALL-STAR: on large->small edges, key each node u over its
-        # smaller neighbors; attach u and all of them to the minimum.
         mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
-        small = (
-            large.join(mins2, "a")
+        return (
+            large.join(F.broadcast(mins2) if bcast else mins2, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .unionAll(
-                mins2.select(F.col("a"), F.col("m").alias("b"))
-            )
+            .unionAll(mins2.select(F.col("a"), F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint()
         )
+
+    rounds = 0
+    converged = False
+    while n_e > 0 and rounds < max_iter:
+        # (A two-rounds-per-materialization batch was measured in r12
+        # and rejected: the deeper plan re-executes the intermediate
+        # through the second round's broadcast builds and costs what
+        # the saved checkpoint+count job bought.)
+        bcast = 16 * 2 * n_e < (32 << 20)
+        small = _contract_once(e, bcast).localCheckpoint()
         n_new = small.count()
         rounds += 1
         if n_new == n_e:
@@ -1243,21 +1260,26 @@ def resolve_entities(
     if stats is not None:
         stats["dropped_blocks_per_pass"] = []
         stats["dropped_blocks"] = 0
+    if not passes:
+        raise ValueError("resolve_entities requires at least one pass")
     rec = records.select(
         F.col(id_col).alias("_rid"), F.struct(*records.columns).alias("_row")
     )
+    # blocking expressions resolve against the ORIGINAL record
+    # columns (they may be arbitrary Columns over them), so each
+    # pass projects its key straight off `records`
+    keyed_l = [_er_keyed(records, id_col, bx) for bx, _ in passes]
+    over_l = [
+        k.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block)
+        .select("_bk")
+        for k in keyed_l
+    ]
+    n_over_l = _er_drop_counts(over_l)
     edges = None
-    for block_exprs, predicate in passes:
-        # blocking expressions resolve against the ORIGINAL record
-        # columns (they may be arbitrary Columns over them), so each
-        # pass projects its key straight off `records`
-        keyed = _er_keyed(records, id_col, block_exprs)
-        sizes = keyed.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
-        oversized = sizes.filter(F.col("_n") > max_block)
-        # one driver-side job per pass (the count), not two — the
-        # oversized set is bounded by #blocks and the count IS the
-        # existence probe
-        n_over = oversized.count()
+    for i, (block_exprs, predicate) in enumerate(passes):
+        keyed, n_over = keyed_l[i], n_over_l[i]
         if stats is not None:
             stats["dropped_blocks_per_pass"].append(n_over)
             stats["dropped_blocks"] += n_over
@@ -1269,9 +1291,7 @@ def resolve_entities(
                 n_over,
                 max_block,
             )
-            keyed = keyed.join(
-                oversized.select("_bk"), "_bk", "left_anti"
-            )
+            keyed = keyed.join(over_l[i], "_bk", "left_anti")
         a = keyed.select(
             "_bk", F.col("_rid").alias("_ida"), F.col("_row").alias("_rowa")
         )
@@ -1285,9 +1305,10 @@ def resolve_entities(
             .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
         )
         edges = pairs if edges is None else edges.unionByName(pairs)
-    if edges is None:
-        raise ValueError("resolve_entities requires at least one pass")
-    comp = connected_components_star(edges.distinct(), "a", "b")
+    # no .distinct() before the closure (r12): the contraction loop
+    # symmetrizes and dedups its canonical edge set in its own first
+    # checkpoint, so the extra exchange here bought nothing
+    comp = connected_components_star(edges, "a", "b")
     return (
         rec.join(comp, rec["_rid"] == comp["node"], "left")
         .select(
@@ -1295,6 +1316,22 @@ def resolve_entities(
             F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
         )
     )
+
+
+def _er_drop_counts(over_l: list[DataFrame]) -> list[int]:
+    """ONE driver job for every pass's oversized-block count (r12 —
+    was one count job per pass): union the per-pass one-row count
+    aggregates, tagged by pass index, and collect once. The counts
+    feed the stats out-param and decide whether a pass needs its
+    anti-join drop filter at all."""
+    probe = None
+    for i, ov in enumerate(over_l):
+        c = ov.agg(F.count(F.lit(1)).alias("_n")).select(
+            F.lit(i).alias("_p"), "_n"
+        )
+        probe = c if probe is None else probe.unionAll(c)
+    by_pass = {r["_p"]: r["_n"] for r in probe.collect()}
+    return [int(by_pass.get(i, 0)) for i in range(len(over_l))]
 
 
 def resolve_entities_incremental(
@@ -1348,18 +1385,25 @@ def resolve_entities_incremental(
     if stats is not None:
         stats["dropped_blocks_per_pass"] = []
         stats["dropped_blocks"] = 0
-    edges = None
-    for block_exprs, predicate in passes:
-        ko = _er_keyed(old_records, id_col, block_exprs)
-        kn = _er_keyed(new_records, id_col, block_exprs)
-        sizes = (
-            ko.select("_bk")
-            .unionAll(kn.select("_bk"))
-            .groupBy("_bk")
-            .agg(F.count(F.lit(1)).alias("_n"))
+    if not passes:
+        raise ValueError(
+            "resolve_entities_incremental requires at least one pass"
         )
-        oversized = sizes.filter(F.col("_n") > max_block)
-        n_over = oversized.count()
+    ko_l = [_er_keyed(old_records, id_col, bx) for bx, _ in passes]
+    kn_l = [_er_keyed(new_records, id_col, bx) for bx, _ in passes]
+    over_l = [
+        ko.select("_bk")
+        .unionAll(kn.select("_bk"))
+        .groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block)
+        .select("_bk")
+        for ko, kn in zip(ko_l, kn_l)
+    ]
+    n_over_l = _er_drop_counts(over_l)
+    edges = None
+    for i, (block_exprs, predicate) in enumerate(passes):
+        ko, kn, n_over = ko_l[i], kn_l[i], n_over_l[i]
         if stats is not None:
             stats["dropped_blocks_per_pass"].append(n_over)
             stats["dropped_blocks"] += n_over
@@ -1371,8 +1415,8 @@ def resolve_entities_incremental(
                 n_over,
                 max_block,
             )
-            ko = ko.join(oversized.select("_bk"), "_bk", "left_anti")
-            kn = kn.join(oversized.select("_bk"), "_bk", "left_anti")
+            ko = ko.join(over_l[i], "_bk", "left_anti")
+            kn = kn.join(over_l[i], "_bk", "left_anti")
         a = kn.select(
             "_bk", F.col("_rid").alias("_ida"), F.col("_row").alias("_rowa")
         )
@@ -1411,10 +1455,6 @@ def resolve_entities_incremental(
         )
         p = nn.unionByName(no)
         edges = p if edges is None else edges.unionByName(p)
-    if edges is None:
-        raise ValueError(
-            "resolve_entities_incremental requires at least one pass"
-        )
     lab = old_labels.select(
         F.col(id_col).alias("_lid"), F.col("entity").alias("_lent")
     )

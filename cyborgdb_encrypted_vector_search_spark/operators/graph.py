@@ -288,6 +288,209 @@ def _triangle_sides(tri: DataFrame) -> DataFrame:
     ).select("e.src", "e.dst")
 
 
+# Decremental peeling (r12): once the oriented triangle list is
+# materialized, a peel round's support change is fully determined by
+# the triangles that DIE that round (>= 1 side newly dropped) — so
+# instead of re-exploding the whole list into 3x sides + a shuffled
+# groupBy and rewriting the list through three shuffled semi-joins
+# EVERY round, the peeler keeps the cumulative dropped-edge set as a
+# small broadcast and derives each round from ONE map-side scan of the
+# immutable list snapshot (3 broadcast probes/side). The broadcast is
+# only safe while the cumulative drop count stays small; past this cap
+# the peeler COMPACTS — prunes the list with the shuffled semi-joins
+# and recounts support from scratch (exactly the pre-r12 round shape) —
+# and resets the broadcast. Rows, not bytes: 2 ids + overhead ≈ 20 B/row
+# keeps the worst broadcast ~30 MB, the same comfort bound as small_adj.
+_REMOVED_BROADCAST_CAP = 1_500_000
+
+
+class _TrussPeeler:
+    """Exact per-round truss peeling over a materialized oriented
+    triangle list, with decremental support maintenance.
+
+    Invariant between rounds: ``sup`` holds exactly one
+    (src, dst, support) row per CURRENT surviving edge, where support
+    is the edge's triangle count in the current survivor subgraph —
+    identical to what a full recount over the pruned list would give
+    (each dying triangle decrements exactly its three sides, and dies
+    exactly once). ``tris`` is an immutable snapshot consistent with
+    ``removed``: alive triangles = snapshot rows with no side in
+    ``removed``. Peel rounds therefore produce byte-identical survivor
+    sets to the recompute-per-round formulation, round by round — the
+    property the unrolled SQL oracles rely on.
+    """
+
+    def __init__(
+        self, edges: DataFrame, tris: DataFrame, n_edges: int | None = None
+    ) -> None:
+        # edges: canonical (src, dst), materialized by the caller.
+        # tris: (a1,b1,a2,b2,a3,b3) canonical triangle sides for the
+        # triangles of ``edges``'s subgraph, materialized (DISK_ONLY).
+        self.tris = tris
+        self.sup = self._recount(edges)
+        self.n_sup = self.sup.count() if n_edges is None else n_edges
+        self.removed: DataFrame | None = None
+        self.n_removed = 0
+
+    def _recount(self, edge_set: DataFrame) -> DataFrame:
+        """Full support recount: every edge of ``edge_set`` left-joined
+        with its triangle-side count (0 when in no alive triangle).
+        One row per edge — the peeler's representation invariant."""
+        counts = (
+            _triangle_sides_from_struct(self.tris)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        )
+        return (
+            edge_set.select("src", "dst")
+            .join(counts, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                F.coalesce(F.col("__cnt"), F.lit(0).cast("bigint")).alias(
+                    "support"
+                ),
+            )
+            .localCheckpoint()
+        )
+
+    def survivors(self) -> DataFrame:
+        return self.sup.select("src", "dst")
+
+    def peel(self, thr: int) -> tuple[DataFrame | None, int]:
+        """One peel round at threshold ``thr``: drop every surviving
+        edge with support < thr and restore the invariant. Returns
+        (dropped_edges, n_dropped); dropped_edges is None when the
+        round is a fixed point (nothing dropped)."""
+        drop = (
+            self.sup.filter(F.col("support") < thr)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_drop = drop.count()
+        if n_drop == 0:
+            return None, 0
+        keep = self.sup.filter(F.col("support") >= thr)
+        n_keep = self.n_sup - n_drop
+        self.n_sup = n_keep
+        if n_keep <= _REMOVED_BROADCAST_CAP and n_keep < n_drop:
+            # The SURVIVOR side is the small one (a shell collapse —
+            # e.g. the skew fixture's chain/skip strip dying in one
+            # round): prune the snapshot map-side against the
+            # broadcast survivor set and recount over the (now tiny)
+            # alive list — cheaper than marking a drop set bigger
+            # than what survives.
+            surv = keep.select("src", "dst").localCheckpoint()
+            self.tris = _prune_triangle_sides(self.tris, surv, bcast=True)
+            self.sup = self._recount(surv)
+            self.removed, self.n_removed = None, 0
+            return drop, n_drop
+        if self.n_removed + n_drop > _REMOVED_BROADCAST_CAP:
+            # Compact: the cumulative drop set no longer broadcasts
+            # comfortably — prune the snapshot through the shuffled
+            # semi-joins and recount (the scale-safe pre-r12 round),
+            # then resume decremental rounds from the fresh snapshot.
+            surv = keep.select("src", "dst").localCheckpoint()
+            self.tris = _prune_triangle_sides(
+                self.tris, surv, bcast=n_keep <= _REMOVED_BROADCAST_CAP
+            )
+            self.sup = self._recount(surv)
+            self.removed, self.n_removed = None, 0
+            return drop, n_drop
+        # Decremental round: triangles dying NOW have >= 1 side in this
+        # round's drop and no side in the previously-removed set — one
+        # map-side scan of the snapshot with 3 broadcast probes finds
+        # them; their exploded sides, counted, are the exact support
+        # decrements for the surviving edges.
+        marked = drop.select(
+            "src", "dst", F.lit(0).alias("__po"), F.lit(1).alias("__pn")
+        )
+        if self.removed is not None:
+            marked = self.removed.select(
+                "src", "dst", F.lit(1).alias("__po"), F.lit(0).alias("__pn")
+            ).unionAll(marked)
+        t = self.tris
+        hit_o, hit_n = F.lit(0), F.lit(0)
+        for i in (1, 2, 3):
+            t = t.join(
+                F.broadcast(
+                    marked.select(
+                        F.col("src").alias(f"a{i}"),
+                        F.col("dst").alias(f"b{i}"),
+                        F.col("__po").alias(f"__po{i}"),
+                        F.col("__pn").alias(f"__pn{i}"),
+                    )
+                ),
+                [f"a{i}", f"b{i}"],
+                "left",
+            )
+            hit_o = hit_o + F.coalesce(F.col(f"__po{i}"), F.lit(0))
+            hit_n = hit_n + F.coalesce(F.col(f"__pn{i}"), F.lit(0))
+        dying = t.filter((hit_n > 0) & (hit_o == 0)).select(
+            "a1", "b1", "a2", "b2", "a3", "b3"
+        )
+        delta = (
+            _triangle_sides_from_struct(dying)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__dec"))
+        )
+        self.sup = (
+            keep.join(F.broadcast(delta), ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (
+                    F.col("support")
+                    - F.coalesce(F.col("__dec"), F.lit(0).cast("bigint"))
+                ).alias("support"),
+            )
+            .localCheckpoint()
+        )
+        self.removed = (
+            drop
+            if self.removed is None
+            else self.removed.unionAll(drop).localCheckpoint()
+        )
+        self.n_removed += n_drop
+        return drop, n_drop
+
+
+def _triangle_sides_from_struct(tris: DataFrame) -> DataFrame:
+    """Explode a (a1,b1,a2,b2,a3,b3) triangle-side frame into one row
+    per (triangle, canonical side) — the support-counting shape."""
+    return tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a1").alias("src"), F.col("b1").alias("dst")),
+                F.struct(F.col("a2").alias("src"), F.col("b2").alias("dst")),
+                F.struct(F.col("a3").alias("src"), F.col("b3").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def _prune_triangle_sides(
+    tris: DataFrame, survivors: DataFrame, bcast: bool = False
+) -> DataFrame:
+    """Keep triangles whose three sides all survive — three semi-join
+    probes, re-materialized DISK_ONLY (see ktruss_edges' storage-level
+    note). ``bcast`` (the caller knows the survivor count) keeps the
+    prune a single map-side scan of the list; otherwise the shuffled
+    semi-joins are the scale-safe shape."""
+    from pyspark import StorageLevel
+
+    def _side(i: int) -> DataFrame:
+        s = survivors.withColumnsRenamed({"src": f"a{i}", "dst": f"b{i}"})
+        return F.broadcast(s) if bcast else s
+
+    return (
+        tris.join(_side(1), ["a1", "b1"], "left_semi")
+        .join(_side(2), ["a2", "b2"], "left_semi")
+        .join(_side(3), ["a3", "b3"], "left_semi")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+
+
 # Cost-model constant for the support-kernel choice: the full-adjacency
 # intersect does Σ_v d(v)² array-hash probes but materializes NO
 # triangle rows and pays NO extra exchange, so it absorbs roughly an
@@ -581,20 +784,25 @@ def ktruss_edges(
       ``triangle_sides``): the triangle-list prune design below.
 
     In the oriented path the wedge work runs ONCE: the round-1 triangle
-    list (each
-    triangle's three canonical sides) is materialized, and every
-    later round derives support by PRUNING that list — a triangle of
-    the peeled subgraph is exactly a round-1 triangle whose three
-    sides all survived, so three edge-keyed semi-joins (broadcast-able
-    survivor sets in practice, AQE decides) replace the wedge
-    re-enumeration. This is the standard truss-decomposition
-    optimization: per-round cost drops from O(wedges) to
-    O(triangles_remaining). The list is persisted DISK_ONLY: on a
-    dense graph triangles outnumber edges by orders of magnitude, and
-    a memory-cached 16x curve run GC-thrashed the local JVM —
-    sequential disk reads per round are the scale-safe shape (a
-    cluster would use the same level; the list is written once, read
-    ~rounds times, and shrinks monotonically).
+    list (each triangle's three canonical sides) is materialized, and
+    every later round maintains support DECREMENTALLY (_TrussPeeler,
+    r12): the triangles that die in a round are exactly the alive
+    snapshot rows with >= 1 side in that round's drop set, found by one
+    map-side scan of the snapshot with broadcast probes — no per-round
+    3x-side explode + shuffled recount, no per-round list rewrite. The
+    cumulative drop set is kept broadcast-small; past
+    _REMOVED_BROADCAST_CAP the peeler compacts (shuffled semi-join
+    prune + full recount — the pre-r12 round shape) and resumes, so
+    heavy early rounds at scale cost what they always did while the
+    long tail of light rounds is O(scan + |dropped|). Survivor sets are
+    byte-identical to the recompute-per-round formulation round by
+    round (each dying triangle decrements exactly its three sides,
+    once), which is what the unrolled SQL oracles rely on. The list is
+    persisted DISK_ONLY: on a dense graph triangles outnumber edges by
+    orders of magnitude, and a memory-cached 16x curve run GC-thrashed
+    the local JVM — sequential disk reads per round are the scale-safe
+    shape (a cluster would use the same level; the list is written
+    once and read ~rounds times).
 
     Same fixed-point discipline as pagerank_fixedpoint /
     connected_components: all keyed shuffles, no global sort; each
@@ -648,10 +856,10 @@ def ktruss_edges(
                 break  # fixed point — extra peels are idempotent
         return cur
     # one wedge join total: triangles as their three canonical sides.
-    # Callers that already hold the (pruned) list for THIS edge set —
-    # edge_trussness's level loop — pass it via ``triangle_sides`` so
-    # the wedge join isn't re-run per level; a caller-supplied frame is
-    # never unpersisted here (ownership stays with the caller).
+    # Callers that already hold the list for THIS edge set pass it via
+    # ``triangle_sides`` so the wedge join isn't re-run; a
+    # caller-supplied frame is never mutated here (the peeler treats
+    # it as an immutable snapshot).
     if triangle_sides is None:
         # localCheckpoint (not persist): materializes AND truncates the
         # plan — iterative prune chains otherwise nest the triangle
@@ -672,59 +880,15 @@ def ktruss_edges(
         )
     else:
         tris = triangle_sides
+    peeler = _TrussPeeler(cur, tris, n_cur)
     done = 0
     while (rounds is None or done < rounds) and n_cur > 0:
-        sup = (
-            tris.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("a1").alias("src"), F.col("b1").alias("dst")),
-                        F.struct(F.col("a2").alias("src"), F.col("b2").alias("dst")),
-                        F.struct(F.col("a3").alias("src"), F.col("b3").alias("dst")),
-                    )
-                ).alias("e")
-            )
-            .select("e.src", "e.dst")
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        )
-        # inner join: edges in zero triangles have no support row and
-        # are dropped — exactly the support < thr criterion for thr>=1
-        nxt = (
-            cur.join(sup, ["src", "dst"])
-            .filter(F.col("support") >= thr)
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        n_nxt = nxt.count()
+        _, n_drop = peeler.peel(thr)
         done += 1
-        converged = n_nxt == n_cur
-        cur, n_cur = nxt, n_nxt
-        if converged:
+        n_cur -= n_drop
+        if n_drop == 0:
             break  # fixed point — extra peels are idempotent
-        if (rounds is None or done < rounds) and n_cur > 0:
-            # surviving triangles = all three sides survived the peel
-            tris = (
-                tris.join(
-                    cur.withColumnsRenamed({"src": "a1", "dst": "b1"}),
-                    ["a1", "b1"],
-                    "left_semi",
-                )
-                .join(
-                    cur.withColumnsRenamed({"src": "a2", "dst": "b2"}),
-                    ["a2", "b2"],
-                    "left_semi",
-                )
-                .join(
-                    cur.withColumnsRenamed({"src": "a3", "dst": "b3"}),
-                    ["a3", "b3"],
-                    "left_semi",
-                )
-                .localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.DISK_ONLY
-                )
-            )
-    return cur
+    return peeler.survivors()
 
 
 def kcore_edges(
@@ -1067,19 +1231,61 @@ def _scan_members(
             broadcast_adj=stats["small_adj"],
         ).withColumnRenamed("support", "cn")
     else:
-        # pass the caller's persisted deg: the orientation join inside
-        # would otherwise re-run the degree shuffle from scratch
-        cn = edge_triangle_support(
-            edges, kernel="oriented", deg=deg
-        ).withColumnRenamed("support", "cn")
-        e = (
-            edges.join(cn, ["src", "dst"], "left")
-            .fillna(0, subset=["cn"])
-            .join(deg.withColumnRenamed("v", "src"), "src")
+        # Degrees ride along the orientation join (r12): the oriented
+        # support kernel must join deg onto every edge to orient it
+        # anyway, so materialize that joined frame ONCE (canonical
+        # keys + both degrees) and let both consumers — the oriented
+        # wedge fan-out and the ε-test's edge frame — scan it. The
+        # pre-r12 shape joined deg twice inside the orientation and
+        # twice more after the support aggregate: four degree joins
+        # and a support left-join against a bare edge list, versus
+        # two joins + one checkpoint pass here.
+        ed = (
+            edges.join(deg.withColumnRenamed("v", "src"), "src")
             .withColumnRenamed("d", "ds")
             .join(deg.withColumnRenamed("v", "dst"), "dst")
             .withColumnRenamed("d", "dd")
+            .select("src", "dst", "ds", "dd")
+            .localCheckpoint()
         )
+        fwd = (F.col("ds") < F.col("dd")) | (
+            (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+        )
+        oriented = ed.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("w"),
+        )
+        fwdl = oriented.groupBy("u").agg(
+            F.sort_array(F.collect_list("w")).alias("fw")
+        )
+        common = (
+            oriented.join(
+                fwdl.select(
+                    F.col("u").alias("__ja"), F.col("fw").alias("fa")
+                ),
+                F.col("u") == F.col("__ja"),
+            )
+            .join(
+                fwdl.select(
+                    F.col("u").alias("__jb"), F.col("fw").alias("fb")
+                ),
+                F.col("w") == F.col("__jb"),
+            )
+            .select("u", "w", F.array_intersect("fa", "fb").alias("common"))
+        )
+        cn = (
+            _triangle_sides(
+                common.select("u", "w", F.explode("common").alias("c"))
+                .select(
+                    "u",
+                    F.least("w", "c").alias("w1"),
+                    F.greatest("w", "c").alias("w2"),
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        )
+        e = ed.join(cn, ["src", "dst"], "left").fillna(0, subset=["cn"])
     # DECIMAL(38,0) comparison: (cn+2)²·eps_den² on 64-bit longs wraps
     # silently in non-ANSI mode once an edge's support tops ~3e7 (the
     # DuckDB oracle promotes to HUGEINT) — decimal keeps the squared
@@ -1191,15 +1397,24 @@ def scan_roles(
     # materialized-RDD scan, which also stops the kernel re-running
     # per consumer.
     members = members.localCheckpoint()
+    # Classification frames (members, nc) are bounded by the VERTEX
+    # count; one bounded count on the persisted degree table prices
+    # broadcasting them (r12 — same bound class as pagerank's
+    # broadcast_ranks): the nc attach then streams the symmetric
+    # adjacency and the two final label joins stream the node
+    # universe, all with NO exchange. Big graphs keep the scale-safe
+    # shuffle joins. (members is a LogicalRDD after the checkpoint, so
+    # the planner has no stats — without the explicit hint these three
+    # tiny joins all planned as shuffle joins.)
+    bc = 16 * deg.count() < (32 << 20)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # per-vertex distinct neighbor clusters (members included — their
     # role is decided by is_core before nc is consulted)
+    mem_by_src = members.select(F.col("v").alias("src"), "cluster")
     nc = (
-        sym.join(
-            members.select(F.col("v").alias("src"), "cluster"), "src"
-        )
+        sym.join(F.broadcast(mem_by_src) if bc else mem_by_src, "src")
         .groupBy(F.col("dst").alias("v"))
         .agg(F.countDistinct("cluster").alias("nc"))
     )
@@ -1211,8 +1426,8 @@ def scan_roles(
     )
     return (
         deg.select("v")
-        .join(members, "v", "left")
-        .join(nc, "v", "left")
+        .join(F.broadcast(members) if bc else members, "v", "left")
+        .join(F.broadcast(nc) if bc else nc, "v", "left")
         .select(
             "v",
             F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias(
@@ -1230,14 +1445,18 @@ def edge_trussness(edges: DataFrame, k_max: int = 64) -> DataFrame:
     generalization of ktruss_edges, and the graph analogue of a core
     number: community-strength scoring without picking k up front.
 
-    Level-peeling formulation built on the same
-    one-wedge-join-then-prune machinery as ktruss_edges: enumerate
-    triangles once, then for k = 3, 4, ... peel the CURRENT survivor
-    set to its k-truss fixed point (cheap semi-join pruning rounds —
-    the triangle list only ever shrinks), and the edges REMOVED while
-    peeling at level k get trussness k-1. Stops when the survivor set
-    empties or k_max is hit (a safety bound, not a semantic one: real
-    graphs exhaust long before 64 — max support bounds trussness).
+    Level-peeling formulation built on ktruss_edges' decremental
+    peeler (_TrussPeeler): enumerate triangles once, then run ONE flat
+    peel loop — each round drops the surviving edges whose maintained
+    support is under the current level's threshold, and the edges
+    REMOVED while peeling at level k get trussness k-1. A round that
+    drops nothing IS the level-k fixed point, so the loop advances to
+    level k+1 reusing the already-maintained support (the pre-r12
+    per-level formulation recounted support from scratch at every
+    level boundary and rewrote the triangle list every round). Stops
+    when the survivor set empties or k_max is hit (a safety bound, not
+    a semantic one: real graphs exhaust long before 64 — max support
+    bounds trussness).
 
     Not SQL-oracle-gated (the per-level fixed points are unbounded
     recursion on both axes); verified like the xxhash cluster-scale
@@ -1266,39 +1485,20 @@ def edge_trussness(edges: DataFrame, k_max: int = 64) -> DataFrame:
     )
     spark = edges.sparkSession
     out = spark.createDataFrame([], "src long, dst long, trussness long")
+    peeler = _TrussPeeler(cur, tris, n_cur)
     k = 3
     while n_cur > 0 and k <= k_max:
-        survivors = ktruss_edges(cur, k=k, triangle_sides=tris)
-        n_surv = survivors.count()
-        removed = cur.join(survivors, ["src", "dst"], "left_anti")
+        dropped, n_drop = peeler.peel(k - 2)
+        if n_drop == 0:
+            # fixed point at level k (an empty first drop means the
+            # whole survivor set IS the k-truss) — advance the level;
+            # the maintained support carries over unchanged
+            k += 1
+            continue
         out = out.unionByName(
-            removed.withColumn("trussness", F.lit(k - 1).cast("long"))
+            dropped.withColumn("trussness", F.lit(k - 1).cast("long"))
         ).localCheckpoint()
-        cur, n_cur = survivors, n_surv
-        if n_cur > 0:
-            # shrink the shared triangle list to the survivor subgraph
-            # so the next level's internal peeling starts small
-            tris = (
-                tris.join(
-                    cur.withColumnsRenamed({"src": "a1", "dst": "b1"}),
-                    ["a1", "b1"],
-                    "left_semi",
-                )
-                .join(
-                    cur.withColumnsRenamed({"src": "a2", "dst": "b2"}),
-                    ["a2", "b2"],
-                    "left_semi",
-                )
-                .join(
-                    cur.withColumnsRenamed({"src": "a3", "dst": "b3"}),
-                    ["a3", "b3"],
-                    "left_semi",
-                )
-                .localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.DISK_ONLY
-                )
-            )
-        k += 1
+        n_cur -= n_drop
     if n_cur > 0:  # k_max safety bound hit: report the floor honestly
         log.warning(
             "edge_trussness: %d edges still in the %d-truss at k_max=%d; "
@@ -1309,7 +1509,9 @@ def edge_trussness(edges: DataFrame, k_max: int = 64) -> DataFrame:
             k_max,
         )
         out = out.unionByName(
-            cur.withColumn("trussness", F.lit(k_max).cast("long"))
+            peeler.survivors().withColumn(
+                "trussness", F.lit(k_max).cast("long")
+            )
         )
     return out
 
