@@ -281,6 +281,41 @@ def build_ivfsq_layout(
     enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ivfsq_probe_lists(
+    centroids: DataFrame, targets: dict, nprobe: int = 4
+) -> dict:
+    """Probe lists for MANY query targets in ONE driver job (r12):
+    the per-query ``ivfsq_search`` probe is a tiny
+    TakeOrderedAndProject over the centroid table, but a serving gate
+    that issues Q sequential searches paid Q driver jobs (and Q
+    re-derivations of the centroid frame) just to pick 4 ids each.
+    Union the Q per-target top-``nprobe`` subplans — each branch keeps
+    the EXACT per-query selection expression (asc distance, asc id) —
+    and collect once. Returns {query_key: [centroid_id, ...]} with
+    each list in the same (distance, id) order the single-query path
+    produces."""
+    probes = None
+    for key, target in sorted(targets.items()):
+        t = V.literal_vector([float(x) for x in target])
+        p = (
+            centroids.withColumn("__d", V.l2_distance("centroid", t))
+            .orderBy(F.asc("__d"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .select(
+                F.lit(key).alias("__qk"),
+                "centroid_id",
+                F.col("__d").alias("__dd"),
+            )
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    out: dict = {k: [] for k in targets}
+    for r in sorted(
+        probes.collect(), key=lambda r: (r["__qk"], r["__dd"], r["centroid_id"])
+    ):
+        out[r["__qk"]].append(r["centroid_id"])
+    return out
+
+
 def ivfsq_search(
     layout: DataFrame,
     centroids: DataFrame,
@@ -291,21 +326,27 @@ def ivfsq_search(
     nprobe: int = 4,
     oversample: int = 8,
     id_col: str = "vec_id",
+    probe_ids: list | None = None,
 ) -> DataFrame:
     """IVF+SQ8 probe search: nearest ``nprobe`` centroids (driver-side
     over the tiny centroid table, like ann.ivf_search), then the SQ8
     approximate-fold + exact re-rank runs over ONLY the probed
     partitions — ``centroid_id IN (...)`` is a PartitionFilter on a
-    materialized layout, so unprobed lists cost zero IO."""
-    t = V.literal_vector([float(x) for x in target])
-    probe_ids = [
-        r["centroid_id"]
-        for r in centroids.withColumn("__d", V.l2_distance("centroid", t))
-        .orderBy(F.asc("__d"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    ]
-    probed = layout.filter(F.col("centroid_id").isin(probe_ids))
+    materialized layout, so unprobed lists cost zero IO.
+    ``probe_ids`` (from :func:`ivfsq_probe_lists`) skips the per-query
+    probe job when the caller batched the probes for many queries."""
+    if probe_ids is None:
+        t = V.literal_vector([float(x) for x in target])
+        probe_ids = [
+            r["centroid_id"]
+            for r in centroids.withColumn(
+                "__d", V.l2_distance("centroid", t)
+            )
+            .orderBy(F.asc("__d"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        ]
+    probed = layout.filter(F.col("centroid_id").isin(list(probe_ids)))
     return sq8_search(
         probed, mins, maxs, target, k=k, oversample=oversample, id_col=id_col
     )

@@ -6995,10 +6995,23 @@ def ann_ivfsq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: r["embedding"]
         for r in emb.filter(F.col("vec_id").isin(p["qids"])).collect()
     }
+    # one driver job for ALL five probe lists (r12): the per-query
+    # probe collects were 5 sequential jobs re-deriving the centroid
+    # frame each time — the searches themselves stay per-query (this
+    # gate prices single-query serving; the batch twin is
+    # ann_ivfsq_batch_topk)
+    probe_map = _q.ivfsq_probe_lists(cent, targets, nprobe=4)
     approx = None
     for qid, t in sorted(targets.items()):
         a = _q.ivfsq_search(
-            layout, cent, p["mins"], p["maxs"], t, k=10, nprobe=4
+            layout,
+            cent,
+            p["mins"],
+            p["maxs"],
+            t,
+            k=10,
+            nprobe=4,
+            probe_ids=probe_map[qid],
         ).select(
             F.lit(qid).cast("bigint").alias("qid"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
