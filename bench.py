@@ -232,6 +232,13 @@ def main() -> None:
         "ann_ivfadc_batch_serve": C.ivfadc_batch_serve,
         "ann_sq8_batch_serve": C.sq8_batch_serve,
         "ann_ivfsq_batch_serve": C.ivfsq_batch_serve,
+        # r13 (VERDICT r12 #7, additions-only): the xxhash64 fast-path
+        # dedup twins — the pipelines a 100 TB near-dup pass actually
+        # runs; the md5 HEADLINE rows stay as the oracle-parity
+        # contract. Same serve-twin protocol as the PQ rows: the warm
+        # pass builds the internal banded/fingerprint caches untimed.
+        "dedup_simhash_wide_serve": C.simhash_wide_serve,
+        "dedup_minhash_xxhash_serve": C.minhash_xxhash_serve,
     }
 
     from cyborgdb_encrypted_vector_search_spark.caching import release_all

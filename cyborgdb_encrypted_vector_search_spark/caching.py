@@ -46,6 +46,28 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+# Mid-loop plan capture (r13): the iterative kernels (truss peeling,
+# star-contraction CC, k-core) checkpoint every round, so a dump of
+# the final frame shows only the trivial assembled plan.
+# tools/explain_dump.py sets this sink to a list; each round then
+# appends (label, formatted plan) for the round frame JUST BEFORE its
+# checkpoint truncates the lineage. None (the default) is a no-op on
+# every query path.
+_PLAN_SINK: list | None = None
+
+
+def snap_plan(label: str, df: DataFrame) -> None:
+    if _PLAN_SINK is not None:
+        _PLAN_SINK.append(
+            (
+                label,
+                df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                ),
+            )
+        )
+
+
 def release_all() -> int:
     """Unpersist every tracked frame; returns how many were released.
 

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
+from cyborgdb_encrypted_vector_search_spark.caching import (
+    snap_plan as _snap_plan,
+)
 from cyborgdb_encrypted_vector_search_spark.functions import hashing as H
 from cyborgdb_encrypted_vector_search_spark.functions import vector as V
 
@@ -450,7 +453,9 @@ def connected_components_star(
         # through the second round's broadcast builds and costs what
         # the saved checkpoint+count job bought.)
         bcast = 16 * 2 * n_e < (32 << 20)
-        small = _contract_once(e, bcast).localCheckpoint()
+        plan = _contract_once(e, bcast)
+        _snap_plan("cc_star_round", plan)
+        small = plan.localCheckpoint()
         n_new = small.count()
         rounds += 1
         if n_new == n_e:
@@ -480,6 +485,74 @@ def connected_components_star(
         parents.withColumnRenamed("a", "node"), "node", "left"
     ).select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+
+
+# Bounded driver-side closure (r13, guide §1.5: fewer driver jobs).
+# The entity-resolution paths close PAIR graphs whose labels are
+# already shipped through the driver anyway (the comp/remap broadcast
+# builds collect every row) — so under the same 32 MB comfort bound
+# the closure itself runs there too: ONE collect + a union-find
+# instead of the star-contraction loop's ~12 jobs (checkpoint + count
+# + two broadcast builds per round). Over the bound, the distributed
+# kernel runs unchanged; the dedup_components_star / SCAN consumers
+# keep calling connected_components_star directly, so the distributed
+# kernel's bench rows still price the distributed algorithm.
+# The dedup broadcast comfort bound (same class as the CC round probe
+# at `_contract_once`): ~16 B/row for the node-keyed tables, 2 per
+# edge, under 32 MB -> 2^20 edges.
+_ER_DRIVER_CLOSURE_CAP = (32 << 20) // 32
+
+
+def _er_closure_bound(n_edges: int) -> bool:
+    return n_edges <= _ER_DRIVER_CLOSURE_CAP
+
+
+def _driver_closure_rows(rows) -> list[tuple]:
+    """Union-find over collected (a, b) pairs; returns one
+    (node, component) row per distinct endpoint with component = the
+    smallest node id reachable from it — exactly
+    connected_components_star's labeling contract."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes: set = set()
+    for a, b in rows:
+        nodes.add(a)
+        nodes.add(b)
+    comp_min: dict = {}
+    roots = {n: find(n) for n in nodes}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[roots[n]]) for n in sorted(nodes)]
+
+
+def _closure_frame(pairs: DataFrame, rows) -> DataFrame:
+    """Materialize a driver-computed closure as a (node, component)
+    frame with the pair frame's id type."""
+    from pyspark.sql.types import StructField, StructType
+
+    t = pairs.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("node", t, False),
+            StructField("component", t, False),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(
+        _driver_closure_rows(rows), schema
     )
 
 
@@ -1262,6 +1335,17 @@ def resolve_entities(
         stats["dropped_blocks"] = 0
     if not passes:
         raise ValueError("resolve_entities requires at least one pass")
+    from cyborgdb_encrypted_vector_search_spark.caching import track
+
+    # Persist the record frame once (r13, guide §5/§7.3): every pass
+    # scans it three times (the oversized-block probe + both self-join
+    # sides) and the final label join once more — ~7 scans of what may
+    # be a derived multi-branch plan, and the UNPERSISTED form nested
+    # that whole derivation into every consumer's plan (the gate's
+    # executed plan was ~15k lines, with driver planning time to
+    # match). One cache, InMemoryTableScan leaves everywhere.
+    if not records.is_cached:
+        records = track(records.persist())
     rec = records.select(
         F.col(id_col).alias("_rid"), F.struct(*records.columns).alias("_row")
     )
@@ -1305,10 +1389,21 @@ def resolve_entities(
             .select(F.col("_ida").alias("a"), F.col("_idb").alias("b"))
         )
         edges = pairs if edges is None else edges.unionByName(pairs)
-    # no .distinct() before the closure (r12): the contraction loop
-    # symmetrizes and dedups its canonical edge set in its own first
-    # checkpoint, so the extra exchange here bought nothing
-    comp = connected_components_star(edges, "a", "b")
+    # Closure routing (r13): the pair set is output-bound (only
+    # blocked candidate pairs that passed the predicate), usually far
+    # smaller than the corpus. Persist it, probe with a capped limit-
+    # collect (ONE job — if the cap is not hit, the collected rows ARE
+    # the closure input), and close on the driver under the bound;
+    # past the cap the star-contraction kernel runs unchanged over the
+    # cache. (r12 note still holds: no .distinct() before the
+    # distributed closure — the contraction loop dedups its canonical
+    # edge set in its own first checkpoint.)
+    edges = track(edges.persist())
+    probe = edges.limit(_ER_DRIVER_CLOSURE_CAP + 1).collect()
+    if _er_closure_bound(len(probe)):
+        comp = F.broadcast(_closure_frame(edges, probe))
+    else:
+        comp = connected_components_star(edges, "a", "b")
     return (
         rec.join(comp, rec["_rid"] == comp["node"], "left")
         .select(
@@ -1389,6 +1484,14 @@ def resolve_entities_incremental(
         raise ValueError(
             "resolve_entities_incremental requires at least one pass"
         )
+    from cyborgdb_encrypted_vector_search_spark.caching import track
+
+    # same per-pass multi-scan shape as the rebuild: cache both record
+    # frames once (r13 — see resolve_entities' persist note)
+    if not old_records.is_cached:
+        old_records = track(old_records.persist())
+    if not new_records.is_cached:
+        new_records = track(new_records.persist())
     ko_l = [_er_keyed(old_records, id_col, bx) for bx, _ in passes]
     kn_l = [_er_keyed(new_records, id_col, bx) for bx, _ in passes]
     over_l = [
@@ -1466,24 +1569,35 @@ def resolve_entities_incremental(
     # endpoint set, semi-reduce old_labels against its broadcast (one
     # scan, BHJ, O(batch) survivors), and broadcast THAT lookup into
     # both endpoint joins — old_labels is scanned, never shuffled.
-    from cyborgdb_encrypted_vector_search_spark.caching import track
-
+    # ALL of those broadcasts are now guarded by one bounded probe
+    # (r13, VERDICT r12 "what's wrong" #2): n_ed bounds touched and lk
+    # (<= 2 * n_ed rows each) and the contracted closure's node set —
+    # a caller whose batch outgrows the documented micro-batch
+    # contract gets scale-safe shuffle joins and the distributed
+    # closure instead of a silent driver-side blowup.
     ed = track(edges.distinct().persist())
+    n_ed = ed.count()
+    small = _er_closure_bound(n_ed)
     touched = (
         ed.select(F.col("a").alias("_t"))
         .unionByName(ed.select(F.col("b").alias("_t")))
         .distinct()
     )
     lk = track(
-        lab.join(F.broadcast(touched), F.col("_lid") == F.col("_t"))
+        lab.join(
+            F.broadcast(touched) if small else touched,
+            F.col("_lid") == F.col("_t"),
+        )
         .select("_lid", "_lent")
         .persist()
     )
     la = lk.select(F.col("_lid").alias("_la"), F.col("_lent").alias("_ea"))
     lb = lk.select(F.col("_lid").alias("_lb"), F.col("_lent").alias("_eb"))
+    if small:
+        la, lb = F.broadcast(la), F.broadcast(lb)
     e = (
-        ed.join(F.broadcast(la), F.col("a") == F.col("_la"), "left")
-        .join(F.broadcast(lb), F.col("b") == F.col("_lb"), "left")
+        ed.join(la, F.col("a") == F.col("_la"), "left")
+        .join(lb, F.col("b") == F.col("_lb"), "left")
         .select(
             F.coalesce(F.col("_ea"), F.col("a")).alias("_ca"),
             F.coalesce(F.col("_eb"), F.col("b")).alias("_cb"),
@@ -1497,10 +1611,23 @@ def resolve_entities_incremental(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    comp = track(connected_components_star(contracted, "a", "b").persist())
+    if small:
+        # contracted has <= n_ed rows (a contraction of the distinct
+        # edge set), inside the bound by construction: close on the
+        # driver — one collect job replaces the star-contraction loop
+        # (see _driver_closure_rows)
+        comp = _closure_frame(contracted, contracted.collect())
+    else:
+        comp = track(
+            connected_components_star(contracted, "a", "b").persist()
+        )
     new_lab = (
         new_records.select(F.col(id_col).alias("_rid"))
-        .join(F.broadcast(comp), F.col("_rid") == F.col("node"), "left")
+        .join(
+            F.broadcast(comp) if small else comp,
+            F.col("_rid") == F.col("node"),
+            "left",
+        )
         .select(
             F.col("_rid").alias(id_col),
             F.coalesce(F.col("component"), F.col("_rid")).alias("entity"),
@@ -1511,7 +1638,11 @@ def resolve_entities_incremental(
     )
     old_lab = (
         old_labels.select(F.col(id_col), F.col("entity"))
-        .join(F.broadcast(remap), F.col("entity") == F.col("_e"), "left")
+        .join(
+            F.broadcast(remap) if small else remap,
+            F.col("entity") == F.col("_e"),
+            "left",
+        )
         .select(
             F.col(id_col),
             F.coalesce(F.col("_c"), F.col("entity")).alias("entity"),

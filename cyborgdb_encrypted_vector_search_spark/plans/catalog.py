@@ -7223,6 +7223,25 @@ def simhash_wide_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
 
 
+def minhash_xxhash_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of dedup_minhash_pairs (bench/scale-curve only,
+    not gated — r13, VERDICT r12 #7): the xxhash64 MinHash+LSH
+    candidate pipeline a 100 TB near-dup pass actually runs (array
+    <long> signatures, 8-byte band keys; no md5 hex materialization).
+    The GATED md5 pipeline is the cross-engine parity contract and
+    stays value-hashed in dedup_minhash_pairs; this twin puts a
+    headline number on the fast path so the dedup story is not
+    md5-bound. Same shingling, banding math, and distinct-pair join —
+    only the hash family differs (not oracle-portable by design)."""
+    from cyborgdb_encrypted_vector_search_spark.operators import dedup as _d
+
+    corpus = _corpus2x(spark, sf_dir, near=True)
+    pairs = _d.lsh_candidate_pairs_xxhash(
+        corpus, "doc_id", "text", shingle_len=3, num_hashes=8, num_bands=4
+    )
+    return pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
 @query(
     "source_csv_roundtrip",
     """
@@ -7739,9 +7758,15 @@ def pipeline_entity_resolution_incremental(
     new = recs.filter(F.col("id") % 3 == 0)
     s1: dict = {}
     s2: dict = {}
+    # localCheckpoint (r13): the absorb consumes old_labels TWICE (the
+    # touched-label lookup and the full relabel scan) and its lazy
+    # plan re-derived the whole rebuild tail each time while nesting
+    # it into a ~15k-line executed plan (driver planning time, guide
+    # §7.3). A real pipeline reads stored labels here; materializing
+    # them once is that shape.
     old_labels = resolve_entities(
         old, "id", passes=_ER_PASSES(), stats=s1
-    )
+    ).localCheckpoint()
     merged = resolve_entities_incremental(
         old, old_labels, new, "id", passes=_ER_PASSES(), stats=s2
     )
@@ -12557,80 +12582,82 @@ def q_quantile_bounds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rotation_schedule.py exits 1 when the derived ceiling drifts from
 # the documented one).
 #
-# r12 construction:
-# (a) 2 new: pipeline_entity_resolution_incremental (O(batch) absorb
-#     gated equal to the full-rebuild oracle), q_graph_bfs_truncated
-#     (hop-budget truncation branch value-hashed cross-engine).
-# (b) 1 touched: pipeline_entity_resolution (stats out-param +
-#     zero-drop assertion + shared-corpus refactor with the
-#     incremental gate). dedup_connected_components had a
-#     comment-only reword (restored overflow clause, r11 advisory) —
-#     no semantic change, not re-windowed.
-# (c) the 22 r7-age entries (age 5 at r12 — the whole cohort,
-#     mandatory) + 25 oldest-first backfill = the alphabetically-
-#     first 25 of the 38 r8-age entries. Deferred (r8-age, due r13):
-#     q_cube_lineitem, q_events_asof_signup, q_events_user_gaps,
-#     q_like_regex_filter, q_part_brand_stats, q_percentiles,
-#     q_semi_join_active, q_skew_salted_join,
-#     q_window_top_orders_per_cust, source_text_lines,
-#     streaming_incremental_dedup, text_lang_distribution,
-#     text_quality_filter (13 — comfortably inside r13's 42
+# r13 construction (optimization round — no new queries, no feature
+# work; the window leads with the round's touched operators and the
+# at-ceiling cohort per the rule above):
+# (a) 0 new.
+# (b) 7 touched: pipeline_entity_resolution +
+#     pipeline_entity_resolution_incremental (records persist, guarded
+#     broadcasts, bounded driver closure), q_graph_adamic_adar +
+#     q_graph_link_prediction (packed (u<<32|v) group key; narrowed
+#     dw/bl wedge payload; broadcast degree attach under probe),
+#     q_graph_trussness_hist + q_graph_ktruss + q_graph_skew_ktruss
+#     (the peeler's decrement-delta broadcast now bounded by
+#     3·Σ support(dropped) — same results, plan guard).
+# (c) the 13 r8-age entries (age 5 at r13 — the whole cohort the r12
+#     window deferred, mandatory) + 30 oldest-first backfill = the
+#     (last-gated, name)-first 30 of the 42 r9-age entries. Deferred
+#     (r9-age, due r14): q_graph_triangles, q_supplier_nation,
+#     q_time_partitioned_events, q_window_running_total,
+#     streaming_collection_ingest, streaming_hourly_counts,
+#     streaming_interval_join, streaming_ivf_ingest,
+#     streaming_stateful_user_counts, text_profile,
+#     text_winnow_profile, vector_dim_stats (12 — inside r14's 42
 #     non-reserved slots; see the simulator's transient table).
 GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-12 additions
+    # (b) body/call-graph touched since their last driver row
     "pipeline_entity_resolution_incremental",
-    "q_graph_bfs_truncated",
-    # (b) body/oracle/call-graph touched since their last driver row
     "pipeline_entity_resolution",
-    # (c) the 22 r7-age entries (at the re-derived 5-round ceiling)
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q_anti_join_quiet_customers",
-    "q_approx_sketches",
-    "q_events_ema_rows",
-    "q_events_ema_user",
-    "q_events_range_join",
-    "q_events_sessionization",
-    "q_exact_quantiles_orders",
-    "q_quantile_bounds_orders",
-    "q_rank_scalable_orders",
-    "q_rollup_orders",
-    "q_set_ops_customers",
-    "q_shuffle_shard",
-    "q_split_train_val_test",
-    "q_token_budget_select",
-    "text_perplexity_filter",
-    # (c) oldest-first backfill: 25 alphabetically-first r8-age entries
-    "ann_ivf_incremental_append",
-    "ann_ivf_kmeans_build",
-    "ann_ivf_layout_search",
-    "ann_ivfadc_batch_topk",
-    "ann_ivfadc_search_topk",
-    "ann_ivfpq_batch_topk",
-    "ann_ivfpq_search_topk",
-    "ann_pq_search_topk",
-    "collection_lifecycle",
-    "collection_query_encrypted",
-    "collection_query_filtered",
-    "collection_query_topk",
-    "crypto_key_rotation",
-    "dedup_simhash",
-    "dedup_simhash_groups",
-    "json_vector_roundtrip",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q_argmax_order",
+    "q_graph_adamic_adar",
+    "q_graph_link_prediction",
+    "q_graph_trussness_hist",
+    "q_graph_ktruss",
+    "q_graph_skew_ktruss",
+    # (c) the 13 r8-age entries (at the 5-round ceiling this round)
+    "q_cube_lineitem",
+    "q_events_asof_signup",
+    "q_events_user_gaps",
+    "q_like_regex_filter",
+    "q_part_brand_stats",
+    "q_percentiles",
+    "q_semi_join_active",
+    "q_skew_salted_join",
+    "q_window_top_orders_per_cust",
+    "source_text_lines",
+    "streaming_incremental_dedup",
+    "text_lang_distribution",
+    "text_quality_filter",
+    # (c) oldest-first backfill: 30 (last, name)-first r9-age entries
+    "ann_ivfsq_batch_topk",
+    "ann_ivfsq_incremental_append",
+    "ann_ivfsq_search_topk",
+    "ann_sq8_batch_topk",
+    "ann_sq8_search_topk",
+    "collection_snapshot_diff",
+    "crypto_roundtrip",
+    "dedup_components_star",
+    "dedup_containment_pairs",
+    "dedup_incremental_substring",
+    "dedup_semantic_clusters",
+    "dedup_substring_pairs",
+    "eval_retrieval_metrics",
+    "knn_label_vote",
+    "multimodal_payload_dedup",
+    "pipeline_hybrid_rrf",
+    "pipeline_rag_ingest",
+    "pipeline_rag_rerank",
+    "q21_sole_late_shipper",
+    "q_data_quality_audit",
+    "q_events_attribution",
+    "q_events_funnel",
+    "q_events_json_agg",
+    "q_graph_edge_support",
+    "q_graph_kcore",
+    "q_graph_scan_clusters",
+    "q_graph_scan_roles",
+    "q_graph_skew_support",
+    "q_graph_skew_triangles",
+    "q_graph_structural_similarity",
 )
 
 

@@ -203,6 +203,9 @@ def main() -> None:
     # ground truth; the curve times the production paths.
     extra = {
         "dedup_simhash_wide_serve": C.simhash_wide_serve,
+        # r13 twin: the xxhash64 MinHash+LSH candidate pipeline (the
+        # md5 gate is the parity contract; this is the 100 TB path)
+        "dedup_minhash_xxhash_serve": C.minhash_xxhash_serve,
         "ann_sq8_batch_serve": C.sq8_batch_serve,
         # replica-disjoint twins (see QUERIES note); editdist has no
         # twin — text replication can't be tag-neutralized (see the
