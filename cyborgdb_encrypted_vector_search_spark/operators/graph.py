@@ -1117,9 +1117,13 @@ def weighted_link_scores(
       a cross-engine value hash cannot tolerate). Same monotone
       down-weighting of promiscuous apexes, integer-exact.
 
-    Each common neighbor w contributes both terms at the apex, so the
-    whole thing is ONE extra projection on the wedge join — the same
-    single shuffle + groupBy((u,v)) as the unweighted count, the same
+    Each common neighbor w contributes both terms at the apex: the
+    wedge stream carries only (dw, bl) — the apex degree and its bit
+    length, int32 under a probed bound — and the LINKPRED_SCALE
+    divisions run inside the aggregate (r13, guide §2.3: 20 B/row
+    less than shipping two fixed-point longs through the heavy path's
+    exchange). Same groupBy key discipline as the unweighted count
+    (packed (u << 32 | v) under the id-range probe), same
     ``max_apex_degree`` hub-cap discipline (a neighbor shared with
     millions carries no signal — dropping mega-hub apexes is the
     Adamic-Adar rationale applied as a hard cap; drop count logged at
